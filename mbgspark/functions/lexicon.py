@@ -1,0 +1,63 @@
+"""Deterministic lexicon sentiment classifier — SURVEY.md §2.10 X1 fallback.
+
+The reference's sentiment stage is a HuggingFace model (utils.py:53-92) —
+heavyweight and environment-dependent, so correctness tests use a
+lexicon-backed classifier with the SAME output contract
+``(label string, confidence_score double)`` and the same error semantics:
+null/empty text → ('neutral', 0.0) (utils.py:81-92), input truncated to 512
+chars (utils.py:85-86).  Score = matched_tokens / total_tokens (FIXTURES.md §4).
+
+Pure column expressions (no UDF): tokens via split, polarity via
+higher-order-function filters — stays in whole-stage codegen and is
+reproducible in an ANSI-SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Lexicon over the synthetic testdata vocabulary; swap for an Indonesian
+# lexicon (bagus/sehat/berhasil vs gagal/korupsi/buruk) on real tweet data.
+POSITIVE = ("fast", "big", "vector", "spark")
+NEGATIVE = ("slow", "small", "dup", "error")
+
+
+def token_hits(tokens_col_name: str, words: tuple[str, ...]) -> Column:
+    """Occurrence count of lexicon words in a tokens array column (by name)."""
+    in_list = ", ".join(f"'{w}'" for w in words)
+    return F.expr(f"size(filter({tokens_col_name}, t -> t IN ({in_list})))")
+
+
+def with_lexicon_sentiment(df, text_col: str = "text"):
+    """Add tokens/pos_hits/neg_hits/label/confidence_score columns.
+
+    Truncation to 512 chars mirrors utils.py:85-86; empty → neutral/0.0
+    mirrors utils.py:81-92.
+    """
+    df = df.withColumn("__clean", F.lower(F.trim(F.substring(F.col(text_col), 1, 512))))
+    df = df.withColumn("__tokens", F.split(F.col("__clean"), " "))
+    df = df.withColumn("pos_hits", token_hits("__tokens", POSITIVE).cast("bigint"))
+    df = df.withColumn("neg_hits", token_hits("__tokens", NEGATIVE).cast("bigint"))
+    df = df.withColumn("total_tokens", F.size("__tokens").cast("bigint"))
+    df = df.withColumn("label", lexicon_label())
+    df = df.withColumn("confidence_score", lexicon_score())
+    return df.drop("__clean", "__tokens")
+
+
+def lexicon_label() -> Column:
+    return (
+        F.when(F.col("total_tokens") <= 0, F.lit("neutral"))
+        .when(F.col("pos_hits") > F.col("neg_hits"), F.lit("positive"))
+        .when(F.col("pos_hits") < F.col("neg_hits"), F.lit("negative"))
+        .otherwise(F.lit("neutral"))
+    )
+
+
+def lexicon_score() -> Column:
+    return F.round(
+        F.when(F.col("total_tokens") <= 0, F.lit(0.0)).otherwise(
+            (F.col("pos_hits") + F.col("neg_hits")) / F.col("total_tokens")
+        ),
+        4,
+    )

@@ -1,0 +1,131 @@
+"""Readers / writers — SURVEY.md §2.1 (S1–S13).
+
+The reference's storage model is one MongoDB collection per day named
+``{prefix}{YYYYMMDD}`` (utils.py:567-604) plus daily/monthly labeled JSON
+exports (resilient_etl.py:574-584).  Spark-first mapping:
+
+- canonical store  = date-partitioned Parquet (``partitionBy("event_date")``);
+  the collection name becomes the partition value (S11), collection-range
+  enumeration (S12) becomes Catalyst partition pruning on a BETWEEN predicate.
+- JSON export (S7/S13) = ``df.write.json`` with the same shape.
+- Mongo bulk upsert (S8/S9) = keyed merge: keep-latest-per-key + partition
+  overwrite (idempotent; D3 semantics of resilient_scraper.py:944-972).
+- index creation (S10, utils.py:594-604) = no-op: partition pruning + Parquet
+  min/max stats give the same access paths.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# Driver-generated testdata catalog (TESTDATA.md).
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """S3 full scan: one parquet file per table. Column pruning + predicate
+    pushdown are Catalyst's job once the plan is declarative.
+
+    The events table stores ``ts`` as parquet TIMESTAMP(NANOS), which Spark
+    only reads via the nanosAsLong legacy flag; rebuild a proper timestamp
+    (µs truncation — same as DuckDB's TIMESTAMP_NS → TIMESTAMP behavior)."""
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for field in df.schema.fields:
+        if field.name == "ts" and field.dataType.simpleString() == "bigint":
+            # integer div, not `/`: double division loses precision at
+            # nanosecond-epoch magnitudes (~1.7e18 > 2^53)
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TESTDATA_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Expose the catalog to ``spark.sql`` under the canonical names."""
+    for name, df in load_all(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
+
+
+def read_json_docs(spark: SparkSession, path_or_glob: str, schema=None) -> DataFrame:
+    """S1/S2: JSON scan; a path glob replaces the reference's filename-regex
+    directory walk (utils.py:283-297)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path_or_glob)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S7/S13: JSON export (json.dump analog, resilient_etl.py:574-584)."""
+    df.write.mode(mode).json(path)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_col: str = "event_date",
+    mode: str = "overwrite",
+) -> None:
+    """Canonical store writer: per-day collections (utils.py:583-584) become
+    partitions. Dynamic partition overwrite so a re-run replaces only the days
+    it touched — the batch analog of the reference's per-day upsert loop."""
+    (
+        df.write.mode(mode)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
+
+
+def merge_by_key(
+    existing: DataFrame,
+    updates: DataFrame,
+    key: str = "_id",
+    order_col: str = "scraped_at",
+) -> DataFrame:
+    """S8/S9 + D3: idempotent upsert — union then keep-latest-per-key.
+
+    The reference re-scrapes the same tweet and relies on
+    ``UpdateOne({_id}, {$set}, upsert=True)`` (resilient_scraper.py:944-951) so
+    re-deliveries update rather than duplicate.  Batch Spark equivalent:
+    ``row_number() over (partition by key order by order_col desc) = 1``.
+    Ties break toward the update side (is_update desc) to mirror $set-wins.
+    """
+    ex = existing.withColumn("__is_update", F.lit(0))
+    up = updates.withColumn("__is_update", F.lit(1))
+    w = Window.partitionBy(key).orderBy(
+        F.col("__is_update").desc(), F.col(order_col).desc_nulls_last()
+    )
+    return (
+        ex.unionByName(up, allowMissingColumns=True)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__is_update")
+    )
+
+
+def existing_partition_values(spark: SparkSession, path: str, partition_col: str) -> DataFrame:
+    """F6 skip-scan support: list partition values already materialized, for
+    the incremental loader's anti-join (resilient_etl.py:304-318)."""
+    try:
+        return spark.read.parquet(path).select(partition_col).distinct()
+    except Exception:
+        return spark.createDataFrame([], f"{partition_col} string")

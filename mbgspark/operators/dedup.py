@@ -1,0 +1,274 @@
+"""Deduplication operators — SURVEY.md §2.4 (D1–D3) plus the scale-out
+near-duplicate suite a 100 TB training-data pipeline needs (exact hash,
+MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine).
+
+Reference semantics:
+- D1 dedup-by-key: session set of seen ``_id``s, first-wins
+  (src/resilient_scraper.py:55,352,357) → ``dropDuplicates([key])``.
+- D2 dedup-by-normalized-text: ``hash(text.strip().lower())`` membership
+  (src/resilient_scraper.py:354-358) → xxhash64 key + dropDuplicates.
+- D3 idempotent upsert / keep-latest (src/resilient_scraper.py:944-951) →
+  ``row_number() over (partition by key order by ts desc) = 1``.
+
+Scale notes: every dedup here is a hash-shuffle on the dedup key — Spark does
+partial (map-side) aggregation automatically for dropDuplicates; the MinHash
+path turns an O(n²) similarity problem into band-bucket equi-joins, which AQE
+can re-plan for skewed buckets. Portability note for oracles: signatures are
+built from md5 strings (identical in Spark / DuckDB / Python), never from
+engine-private hash functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------- D1-D3 ----
+
+def dedup_by_key(df: DataFrame, key: str = "_id") -> DataFrame:
+    """D1: first-wins by key (src/resilient_scraper.py:55,352)."""
+    return df.dropDuplicates([key])
+
+
+def dedup_by_normalized_text(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """D2: dedup on hash(lower(trim(text))) (src/resilient_scraper.py:354-358)."""
+    return (
+        df.withColumn("__tkey", F.xxhash64(F.lower(F.trim(F.col(text_col)))))
+        .dropDuplicates(["__tkey"])
+        .drop("__tkey")
+    )
+
+
+def keep_latest_per_key(
+    df: DataFrame, key: str, order_col: str, tiebreak: str | None = None
+) -> DataFrame:
+    """D3 batch analog of upsert: keep newest row per key, deterministic
+    tiebreak (src/resilient_scraper.py:944-951)."""
+    order = [F.col(order_col).desc()]
+    if tiebreak:
+        order.append(F.col(tiebreak).desc())
+    w = Window.partitionBy(key).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# ------------------------------------------------- near-dup: shingling ----
+
+def with_word_shingles(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, out: str = "shingle"
+) -> DataFrame:
+    """Explode k-word shingles of lower(trim(text)). One row per (id, shingle),
+    distinct. Pure built-ins: split + sequence + transform + explode."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    shingles = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(k)])
+    )
+    return (
+        df.select(F.col(id_col), F.explode(shingles).alias(out))
+        .filter(F.col(out) != "")
+        .distinct()
+    )
+
+
+def minhash_signature(
+    shingled: DataFrame, id_col: str, num_hashes: int = 8, shingle_col: str = "shingle"
+) -> DataFrame:
+    """Portable MinHash: for permutation i, sig_i = min(md5(i || ':' || shingle)).
+
+    Lexicographic min over md5 hex strings is a valid min-wise hash family for
+    dedup purposes and is bit-identical across Spark, DuckDB, and Python —
+    the property the correctness oracle needs. Output: (id, sig array<string>).
+    One shuffle (groupBy id)."""
+    aggs = [
+        F.min(F.md5(F.concat_ws(":", F.lit(str(i)), F.col(shingle_col)))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = shingled.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        F.col(id_col), F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str, bands: int = 4, rows_per_band: int = 2
+) -> DataFrame:
+    """Band the signature; docs sharing any band bucket become candidate pairs.
+
+    Equi-join on (band_idx, band_key) — a hash shuffle, never a cross join;
+    this is what keeps near-dup detection feasible at 100 TB. Output distinct
+    (id_a < id_b) pairs."""
+    sig_len = bands * rows_per_band
+    band_rows = signatures.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.element_at("sig", b * rows_per_band + r + 1)
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("band_key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_idx", "band.band_key")
+    a = band_rows.alias("a")
+    b = band_rows.alias("b")
+    return (
+        a.join(b, on=["band_idx", "band_key"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    shingled: DataFrame, pairs: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Exact shingle-Jaccard on candidate pairs only (the cheap-to-expensive
+    two-pass plan the reference uses for location matching, utils.py:509-511).
+
+    intersection via equi-join on shingle; union = |A| + |B| − |A∩B|."""
+    counts = shingled.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    sh_a = shingled.select(F.col(id_col).alias("id_a"), F.col("shingle"))
+    sh_b = shingled.select(F.col(id_col).alias("id_b"), F.col("shingle"))
+    inter = (
+        pairs.join(sh_a, "id_a")
+        .join(sh_b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    ca = counts.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(ca, "id_a")
+        .join(cb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline: shingle → signature → band buckets →
+    candidate pairs → exact-Jaccard verify. All equi-joins and group-bys."""
+    shingled = with_word_shingles(df, id_col, text_col, k)
+    sig = minhash_signature(shingled, id_col, num_hashes)
+    pairs = lsh_candidate_pairs(sig, id_col, bands, num_hashes // bands)
+    return jaccard_verify(shingled, pairs, id_col, threshold)
+
+
+# ------------------------------------------------------------- simhash ----
+
+def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """32-bit SimHash over word tokens, portable construction.
+
+    Bit b of a token's hash = MSB of the b-th hex nibble of md5(token)
+    (i.e. nibble ≥ 8) — pure string ops, bit-identical in Spark / DuckDB /
+    Python, no hex→int conversion needed. Each bit votes ±1 per token
+    occurrence; simhash bit b = 1 iff the vote sum is positive.
+
+    Physical shape: explode(token) → explode(32 bit positions) → two hash
+    aggregations — linear in corpus size, no cross join, shuffles on
+    (id, bit) then (id)."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    hashed = toks.withColumn("h", F.md5("tok"))
+    bits = hashed.select(
+        id_col,
+        F.posexplode(F.split(F.substring("h", 1, 32), "(?!^)")).alias("bit", "nib"),
+    ).withColumn(
+        "vote", F.when(F.col("nib").isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1)
+    )
+    votes = bits.groupBy(id_col, "bit").agg(F.sum("vote").alias("v"))
+    # pyspark's F.shiftleft only takes a literal shift amount; the SQL form
+    # accepts a column expression.
+    bit_value = F.expr("CAST(shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT)) AS BIGINT)")
+    return votes.groupBy(id_col).agg(
+        F.sum(F.when(F.col("v") > 0, bit_value).otherwise(F.lit(0).cast("long")))
+        .cast("bigint")
+        .alias("simhash")
+    )
+
+
+# -------------------------------------------------- embedding near-dup ----
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<float|double> columns with built-in
+    higher-order functions (zip_with dot product + aggregate norms) — JVM-side,
+    no Python round trip."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+    nb = F.sqrt(
+        F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+    return dot / (na * nb)
+
+
+def embedding_near_dups(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    threshold: float = 0.95, block_bits: int = 0,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs.
+
+    block_bits=0 → exact all-pairs (test scale). At 100 TB scale set
+    block_bits>0: rows are bucketed by the signs of `block_bits` fixed
+    pseudo-random hyperplanes (deterministic from dimension md5), and only
+    same-bucket pairs are compared — the LSH analog for dense vectors."""
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    if block_bits:
+        def bucket(v: Column) -> Column:
+            # sign of v[i] for the first block_bits dims — a crude but
+            # deterministic hyperplane family adequate for bucketing.
+            return F.concat_ws(
+                "", *[(F.element_at(v, i + 1) >= 0).cast("int").cast("string") for i in range(block_bits)]
+            )
+        a = a.withColumn("bk", bucket(F.col("va")))
+        b = b.withColumn("bk", bucket(F.col("vb")))
+        joined = a.join(b, "bk").drop("bk")
+    else:
+        joined = a.crossJoin(b)
+    return (
+        joined.filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", F.round(cosine_sim(F.col("va"), F.col("vb")), 4))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )

@@ -1,0 +1,105 @@
+"""Location / dictionary joins — SURVEY.md §2.5 (J1–J3).
+
+The reference's location detector (utils.py:336-437) is a hand-rolled
+nested-loop over a 456-row (province, city) dictionary with ordered matching
+strategies and first-match-wins; its fuzzy variant (utils.py:440-492) keeps
+the best-scoring match (arg-max).  Spark-first re-expression:
+
+- J1 = broadcast containment join: fact × broadcast(dim) filtered on
+  word-bounded containment, then ``row_number()`` over the pinned dictionary
+  order to reproduce first-match-wins.  Catalyst plans the 456-row dim as a
+  BroadcastNestedLoopJoin — correct and cheap at that build size; the fact
+  side streams, so this scales to arbitrary row counts.
+- J2 = similarity top-1: broadcast theta join scored by ``levenshtein``
+  (the built-in stand-in for fuzz.partial_ratio), arg-max per row via window.
+- Two-pass plan (utils.py:509-511): exact containment first; fuzzy only on
+  the unmatched remainder — implemented in ``two_pass_locate``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def containment_join_first_match(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_id: str,
+    text_col: str,
+    term_col: str,
+    order_col: str = "dict_order",
+    use_token_membership: bool = True,
+) -> DataFrame:
+    """J1: first (by dict order) dim term contained word-bounded in the text.
+
+    ``use_token_membership=True`` matches on token membership
+    (array_contains(split(text))) — equivalent to \\b-bounded regex on
+    single-space-normalized text and hash-joinable; False falls back to the
+    literal regex containment of utils.py:364-371."""
+    b = F.broadcast(dim)
+    if use_token_membership:
+        joined = fact.join(
+            b, F.array_contains(F.split(F.lower(F.col(text_col)), r"\s+"), F.col(term_col))
+        )
+    else:
+        joined = fact.crossJoin(b).filter(
+            F.lower(F.col(text_col)).rlike(
+                F.concat(F.lit(r"\b"), F.col(term_col), F.lit(r"\b"))
+            )
+        )
+    w = Window.partitionBy(fact_id).orderBy(F.col(order_col).asc())
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def fuzzy_top1_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_id: str,
+    fact_term: str,
+    dim_term: str,
+    max_distance: int | None = None,
+) -> DataFrame:
+    """J2: best (min edit distance) dim term per fact row; deterministic
+    tiebreak on the dim term. Arg-max pattern of utils.py:463-487."""
+    joined = fact.crossJoin(F.broadcast(dim)).withColumn(
+        "lev_dist", F.levenshtein(F.col(fact_term), F.col(dim_term)).cast("bigint")
+    )
+    if max_distance is not None:
+        joined = joined.filter(F.col("lev_dist") <= max_distance)
+    w = Window.partitionBy(fact_id).orderBy(F.col("lev_dist").asc(), F.col(dim_term).asc())
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def two_pass_locate(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_id: str,
+    text_col: str,
+    term_col: str,
+    order_col: str = "dict_order",
+    fuzzy_max_distance: int = 2,
+) -> DataFrame:
+    """Cheap-to-expensive plan (utils.py:509-511): exact containment first,
+    fuzzy (levenshtein vs each token) only on the unmatched remainder."""
+    exact = containment_join_first_match(fact, dim, fact_id, text_col, term_col, order_col)
+    matched_ids = exact.select(fact_id).distinct()
+    remainder = fact.join(matched_ids, fact_id, "left_anti")
+    rem_tokens = remainder.select(
+        F.col(fact_id),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("__tok"),
+    ).filter(F.col("__tok") != "")
+    fuzzy = fuzzy_top1_join(
+        rem_tokens, dim, fact_id, "__tok", term_col, max_distance=fuzzy_max_distance
+    ).drop("__tok")
+    exact_out = exact.select(fact_id, term_col, F.lit("exact").alias("match_kind"))
+    fuzzy_out = fuzzy.select(fact_id, term_col, F.lit("fuzzy").alias("match_kind"))
+    return exact_out.unionByName(fuzzy_out)

@@ -1,0 +1,110 @@
+"""Text-analysis operators for a training-data pipeline: language ID,
+quality scoring, token counting, document fingerprinting.
+
+All pure column expressions (whole-stage codegen), deterministic, and
+reproducible in an ANSI-SQL oracle — no model weights, no Python hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language marker-word lists (n-gram heuristic stand-in). On real
+# corpora swap for charset n-gram profiles; the operator shape is identical.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of"),
+    "es": ("el", "la", "de"),
+    "fr": ("le", "la", "et"),
+    "de": ("der", "die", "und"),
+}
+
+BPE_ISH_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def _tokens(text: Column) -> Column:
+    return F.split(F.lower(F.trim(text)), r"\s+")
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text", out: str = "pred_lang") -> DataFrame:
+    """Language-ID heuristic: argmax of marker-word hit counts, 'unk' on zero.
+    Deterministic tiebreak: alphabetically-first language wins strict ties."""
+    toks = _tokens(F.col(text_col))
+    hit_cols = []
+    tmp = df.withColumn("__toks", toks)
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        in_list = ", ".join(f"'{m}'" for m in markers)
+        tmp = tmp.withColumn(
+            f"__h_{lang}", F.expr(f"size(filter(__toks, t -> t IN ({in_list})))")
+        )
+        hit_cols.append(lang)
+    expr = F.lit("unk")
+    max_h = F.greatest(*[F.col(f"__h_{lang}") for lang in hit_cols])
+    for lang in reversed(hit_cols):
+        expr = F.when(
+            (F.col(f"__h_{lang}") == max_h) & (max_h > 0), F.lit(lang)
+        ).otherwise(expr)
+    out_df = tmp.withColumn(out, expr)
+    return out_df.drop("__toks", *[f"__h_{lang}" for lang in hit_cols])
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality heuristics: char length, token count, mean token length,
+    punctuation ratio, stopword ratio, and a composite [0,1] score.
+    Mirrors the shape of C13/F3 length gating (resilient_scraper.py:399)."""
+    t = F.trim(F.col(text_col))
+    toks = F.split(F.lower(t), r"\s+")
+    n_chars = F.length(t).cast("bigint")
+    n_tokens = F.size(toks).cast("bigint")
+    punct = (n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))).cast("bigint")
+    stop_hits = F.expr(
+        "size(filter(split(lower(trim(" + text_col + ")), '\\\\s+'),"
+        " t -> t IN ('the','a','of','and','to')))"
+    ).cast("bigint")
+    return (
+        df.withColumn("n_chars", n_chars)
+        .withColumn("n_tokens", n_tokens)
+        .withColumn(
+            "mean_token_len",
+            F.round(F.when(n_tokens > 0, n_chars / n_tokens).otherwise(F.lit(0.0)), 4),
+        )
+        .withColumn(
+            "punct_ratio",
+            F.round(F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0)), 4),
+        )
+        .withColumn(
+            "stopword_ratio",
+            F.round(F.when(n_tokens > 0, stop_hits / n_tokens).otherwise(F.lit(0.0)), 4),
+        )
+        .withColumn(
+            "quality_score",
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    (F.least(n_tokens, F.lit(100)) / 100.0) * 0.5
+                    + F.when(n_tokens > 0, stop_hits / n_tokens).otherwise(0.0) * 0.5,
+                ),
+                4,
+            ),
+        )
+    )
+
+
+def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish regex token count
+    (letters runs / digit runs / single symbols)."""
+    t = F.lower(F.trim(F.col(text_col)))
+    return df.withColumn(
+        "ws_tokens", F.size(F.split(t, r"\s+")).cast("bigint")
+    ).withColumn(
+        "bpe_tokens", F.size(F.regexp_extract_all(t, F.lit(BPE_ISH_RE), 0)).cast("bigint")
+    )
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprint: md5 of whitespace-normalized lowercase text
+    (portable across engines), plus a sorted-unique-token "shape" fingerprint
+    that survives word reordering (rolling-hash analog)."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    shape = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(F.split(norm, " ")))))
+    return df.withColumn("fingerprint", F.md5(norm)).withColumn("shape_fingerprint", shape)

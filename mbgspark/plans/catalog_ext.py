@@ -1,0 +1,444 @@
+"""Extension query set: the operations a large-scale training-data pipeline
+needs beyond the reference's own surface (north-star scope) — dedup suite
+(exact / MinHash+LSH / SimHash / n-gram Jaccard / embedding-cosine),
+similarity search (brute-force + IVF), text analysis (lang-ID, quality,
+token counts, fingerprints), and multimodal binary-column plumbing.
+
+Near-dup queries synthesize their own duplicates (the testdata corpus has
+none): a perturbed copy of low-id documents is unioned in with id+1000000,
+IDENTICALLY in the Spark builder and the DuckDB oracle, so both engines see
+the same corpus and the expected pairs are non-trivial.
+
+Portability rules as in catalog_core: md5-based hashing only (bit-identical
+across engines), rounded floats, total ordering, bigint casts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mbgspark.operators import dedup as dd
+from mbgspark.operators.multimodal import extract_features
+from mbgspark.operators.similarity import brute_force_topk, ivf_topk
+from mbgspark.operators.textstats import (
+    with_fingerprint,
+    with_lang_id,
+    with_quality_score,
+    with_token_counts,
+)
+from mbgspark.plans.catalog_core import _t
+
+# ------------------------------------------------------------------ dedup --
+
+# Shared perturbed-corpus construction (Spark + SQL twins).
+DUP_SQL_UNION = """
+  SELECT doc_id AS id, lower(trim(text)) AS t FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS id,
+         lower(trim(substr(text, strpos(text, ' ') + 1))) AS t
+  FROM documents WHERE doc_id < 30
+"""
+
+
+def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ near-copies (first token dropped) of doc_id < 30."""
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(F.col("doc_id").alias("id"), F.lower(F.trim("text")).alias("t"))
+    pert = (
+        d.filter(F.col("doc_id") < 30)
+        .select(
+            (F.col("doc_id") + 1000000).alias("id"),
+            F.lower(
+                F.trim(F.expr("substring(text, instr(text, ' ') + 1)"))
+            ).alias("t"),
+        )
+    )
+    return base.unionByName(pert)
+
+
+def dedup_exact(spark, sf_dir):
+    """Exact dedup via content-hash groupBy: fingerprint → keeper (min id) +
+    copy count. Corpus = documents ∪ exact copies of doc_id < 50."""
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(F.col("doc_id").alias("id"), F.col("text"))
+    copies = d.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 1000000).alias("id"), F.col("text")
+    )
+    return (
+        base.unionByName(copies)
+        .groupBy(F.md5(F.lower(F.trim("text"))).alias("fingerprint"))
+        .agg(F.min("id").alias("keeper_id"), F.count("*").alias("n_copies"))
+        .orderBy("fingerprint")
+    )
+
+
+DEDUP_EXACT_SQL = """
+WITH unioned AS (
+  SELECT doc_id AS id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50
+)
+SELECT md5(lower(trim(text))) AS fingerprint, min(id) AS keeper_id,
+       count(*) AS n_copies
+FROM unioned GROUP BY 1 ORDER BY fingerprint
+"""
+
+
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash(8) + LSH(4 bands × 2) near-dup pairs, Jaccard-verified ≥ 0.5."""
+    corpus = _dup_corpus(spark, sf_dir)
+    return dd.minhash_near_dups(
+        corpus, "id", "t", k=3, num_hashes=8, bands=4, threshold=0.5
+    ).orderBy("id_a", "id_b")
+
+
+_MINHASH_SIG_COLS = ",\n         ".join(
+    f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(8)
+)
+_MINHASH_BANDS = "\n  UNION ALL\n".join(
+    f"  SELECT id, {b} AS band_idx, md5(h{2*b} || '|' || h{2*b+1}) AS band_key FROM sig"
+    for b in range(4)
+)
+
+DEDUP_MINHASH_SQL = f"""
+WITH unioned AS ({DUP_SQL_UNION}),
+toks AS (SELECT id, string_split_regex(t, '\\s+') AS tk FROM unioned),
+sh AS (
+  SELECT DISTINCT id, concat_ws(' ', tk[i], tk[i+1], tk[i+2]) AS shingle
+  FROM toks, LATERAL unnest(generate_series(1, greatest(len(tk) - 2, 1))) AS g(i)
+  WHERE concat_ws(' ', tk[i], tk[i+1], tk[i+2]) <> ''
+),
+sig AS (
+  SELECT id, {_MINHASH_SIG_COLS}
+  FROM sh GROUP BY id
+),
+bands AS (
+{_MINHASH_BANDS}
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b USING (band_idx, band_key)
+  WHERE a.id < b.id
+),
+counts AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_inter
+  FROM cand c
+  JOIN sh sa ON sa.id = c.id_a
+  JOIN sh sb ON sb.id = c.id_b AND sb.shingle = sa.shingle
+  GROUP BY c.id_a, c.id_b
+),
+jac AS (
+  SELECT id_a, id_b,
+         round(n_inter / CAST(ca.n_sh + cb.n_sh - n_inter AS DOUBLE), 4) AS jaccard
+  FROM inter
+  JOIN counts ca ON ca.id = id_a
+  JOIN counts cb ON cb.id = id_b
+)
+SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.5 ORDER BY id_a, id_b
+"""
+
+
+def dedup_simhash(spark, sf_dir):
+    """32-bit SimHash signature per document over the perturbed corpus."""
+    corpus = _dup_corpus(spark, sf_dir)
+    return dd.simhash32(corpus, "id", "t").orderBy("id")
+
+
+DEDUP_SIMHASH_SQL = """
+WITH unioned AS ({union}),
+toks AS (
+  SELECT id, unnest(string_split_regex(t, '\\s+')) AS tok FROM unioned
+),
+bits AS (
+  SELECT id, g.i - 1 AS bit,
+         CASE WHEN substr(md5(tok), CAST(g.i AS INTEGER), 1)
+                   IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END AS vote
+  FROM (SELECT id, tok FROM toks WHERE tok <> '') x,
+       LATERAL unnest(generate_series(1, 32)) AS g(i)
+),
+votes AS (SELECT id, bit, sum(vote) AS v FROM bits GROUP BY id, bit)
+SELECT id,
+       CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INTEGER))
+                     ELSE 0 END) AS BIGINT) AS simhash
+FROM votes GROUP BY id ORDER BY id
+""".format(union=DUP_SQL_UNION)
+
+
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram (3-word shingle) Jaccard similarity join: candidate pairs
+    = any shared shingle (equi-join on shingle, no LSH), verified ≥ 0.5.
+    Subset (doc_id < 300 ∪ perturbed < 30) keeps the all-shared-pairs
+    blow-up bounded — the LSH variant is the scale path."""
+    corpus = _dup_corpus(spark, sf_dir).filter(
+        (F.col("id") < 300) | (F.col("id") >= 1000000)
+    )
+    shingled = dd.with_word_shingles(corpus, "id", "t", k=3)
+    sh_a = shingled.select(F.col("id").alias("id_a"), "shingle")
+    sh_b = shingled.select(F.col("id").alias("id_b"), "shingle")
+    pairs = (
+        sh_a.join(sh_b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return dd.jaccard_verify(shingled, pairs, "id", 0.5).orderBy("id_a", "id_b")
+
+
+DEDUP_NGRAM_SQL = f"""
+WITH unioned0 AS ({DUP_SQL_UNION}),
+unioned AS (SELECT * FROM unioned0 WHERE id < 300 OR id >= 1000000),
+toks AS (SELECT id, string_split_regex(t, '\\s+') AS tk FROM unioned),
+sh AS (
+  SELECT DISTINCT id, concat_ws(' ', tk[i], tk[i+1], tk[i+2]) AS shingle
+  FROM toks, LATERAL unnest(generate_series(1, greatest(len(tk) - 2, 1))) AS g(i)
+  WHERE concat_ws(' ', tk[i], tk[i+1], tk[i+2]) <> ''
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM sh a JOIN sh b USING (shingle) WHERE a.id < b.id
+),
+counts AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_inter
+  FROM cand c
+  JOIN sh sa ON sa.id = c.id_a
+  JOIN sh sb ON sb.id = c.id_b AND sb.shingle = sa.shingle
+  GROUP BY c.id_a, c.id_b
+),
+jac AS (
+  SELECT id_a, id_b,
+         round(n_inter / CAST(ca.n_sh + cb.n_sh - n_inter AS DOUBLE), 4) AS jaccard
+  FROM inter
+  JOIN counts ca ON ca.id = id_a
+  JOIN counts cb ON cb.id = id_b
+)
+SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.5 ORDER BY id_a, id_b
+"""
+
+
+def dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup pairs ≥ 0.99 over vec_id < 200 ∪ scaled
+    (×2) copies — scaled copies are exact cosine-duplicates of their source."""
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    base = e.select(
+        F.col("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    copies = e.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double") * 2.0).alias("embedding"),
+    )
+    return dd.embedding_near_dups(
+        base.unionByName(copies), "vec_id", "embedding", threshold=0.99
+    ).orderBy("id_a", "id_b")
+
+
+DEDUP_EMBEDDING_SQL = """
+WITH unioned AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id < 200
+  UNION ALL
+  SELECT vec_id + 1000000, list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2)
+  FROM embeddings WHERE vec_id < 200
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+               4) AS cos_sim
+  FROM unioned a CROSS JOIN unioned b WHERE a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.99 ORDER BY id_a, id_b
+"""
+
+
+# ------------------------------------------------------- similarity search --
+
+def ann_cosine_topk(spark, sf_dir):
+    """Exact cosine top-3 for query vectors vec_id < 5 against the corpus."""
+    e = _t(spark, sf_dir, "embeddings")
+    return brute_force_topk(e, e.filter(F.col("vec_id") < 5), k=3)
+
+
+ANN_TOPK_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 5
+),
+c AS (SELECT vec_id AS match_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, match_id,
+         round(list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))),
+               4) AS cos_sim
+  FROM c CROSS JOIN q WHERE match_id <> query_id
+)
+SELECT query_id, match_id, cos_sim,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, match_id) AS BIGINT) AS rnk
+FROM scored
+QUALIFY rnk <= 3
+ORDER BY query_id, rnk
+"""
+
+
+def ann_ivf_topk(spark, sf_dir):
+    """IVF-bucketed approximate top-3 (the 100 TB scale path). Deterministic
+    but intentionally approximate → rows-only driver check (no oracle)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(e, e.filter(F.col("vec_id") < 5), k=3, n_cells=16, nprobe=4)
+
+
+# ------------------------------------------------------------ text analysis --
+
+def langid_confusion(spark, sf_dir):
+    """Marker-word language-ID vs the labeled lang column (confusion matrix)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        with_lang_id(d, "text")
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("lang", "pred_lang")
+    )
+
+
+LANGID_SQL = """
+WITH hits AS (
+  SELECT lang,
+         len(list_filter(tk, x -> x IN ('der','die','und'))) AS h_de,
+         len(list_filter(tk, x -> x IN ('the','and','of'))) AS h_en,
+         len(list_filter(tk, x -> x IN ('el','la','de'))) AS h_es,
+         len(list_filter(tk, x -> x IN ('le','la','et'))) AS h_fr
+  FROM (SELECT lang, string_split_regex(lower(trim(text)), '\\s+') AS tk FROM documents)
+),
+pred AS (
+  SELECT lang,
+         CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'unk'
+              WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
+              WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+              WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+              ELSE 'fr' END AS pred_lang
+  FROM hits
+)
+SELECT lang, pred_lang, count(*) AS cnt FROM pred
+GROUP BY lang, pred_lang ORDER BY lang, pred_lang
+"""
+
+
+def quality_scores(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return with_quality_score(d, "text").select(
+        "doc_id",
+        F.col("n_chars").alias("q_chars"),
+        "n_tokens",
+        "mean_token_len",
+        "punct_ratio",
+        "stopword_ratio",
+        "quality_score",
+    ).orderBy("doc_id")
+
+
+QUALITY_SQL = """
+WITH base AS (
+  SELECT doc_id, trim(text) AS t,
+         string_split_regex(lower(trim(text)), '\\s+') AS tk
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         length(t) AS n_chars,
+         len(tk) AS n_tokens,
+         length(t) - length(regexp_replace(t, '[^\\w\\s]', '', 'g')) AS punct,
+         len(list_filter(tk, x -> x IN ('the','a','of','and','to'))) AS stop_hits
+  FROM base
+)
+SELECT doc_id,
+       CAST(n_chars AS BIGINT) AS q_chars,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(CASE WHEN n_tokens > 0 THEN n_chars / CAST(n_tokens AS DOUBLE) ELSE 0.0 END, 4) AS mean_token_len,
+       round(CASE WHEN n_chars > 0 THEN punct / CAST(n_chars AS DOUBLE) ELSE 0.0 END, 4) AS punct_ratio,
+       round(CASE WHEN n_tokens > 0 THEN stop_hits / CAST(n_tokens AS DOUBLE) ELSE 0.0 END, 4) AS stopword_ratio,
+       round(least(1.0, (least(n_tokens, 100) / 100.0) * 0.5
+                   + (CASE WHEN n_tokens > 0 THEN stop_hits / CAST(n_tokens AS DOUBLE) ELSE 0.0 END) * 0.5), 4)
+         AS quality_score
+FROM m ORDER BY doc_id
+"""
+
+
+def token_counts(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return with_token_counts(d, "text").select(
+        "doc_id", "ws_tokens", "bpe_tokens"
+    ).orderBy("doc_id")
+
+
+TOKEN_COUNT_SQL = """
+SELECT doc_id,
+       CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(lower(trim(text)), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS bpe_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
+def fingerprints(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return with_fingerprint(d, "text").select(
+        "doc_id", "fingerprint", "shape_fingerprint"
+    ).orderBy("doc_id")
+
+
+FINGERPRINT_SQL = """
+WITH n AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+  FROM documents
+)
+SELECT doc_id, md5(norm) AS fingerprint,
+       md5(array_to_string(list_sort(list_distinct(string_split(norm, ' '))), ' '))
+         AS shape_fingerprint
+FROM n ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------- multimodal --
+
+def multimodal_features(spark, sf_dir):
+    """Binary-column plumbing through Arrow/mapInPandas: documents.text is
+    encoded to bytes (stand-in for image/audio payloads), shipped through the
+    pandas feature extractor, and summarized. The oracle recomputes byte
+    length + md5 in SQL — verifying the Python round trip byte-for-byte."""
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("text/plain").alias("media_type"),
+        F.encode("text", "utf-8").alias("content"),
+    )
+    return (
+        extract_features(media, fake_decode=True)
+        .select("media_id", "media_type", "n_bytes", "content_hash")
+        .orderBy("media_id")
+    )
+
+
+MULTIMODAL_SQL = """
+SELECT doc_id AS media_id, 'text/plain' AS media_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS content_hash
+FROM documents ORDER BY media_id
+"""
+
+EXT: dict[str, tuple] = {
+    "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_SQL),
+    "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
+    "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
+    "dedup_embedding": (dedup_embedding, DEDUP_EMBEDDING_SQL),
+    "ann_cosine_topk": (ann_cosine_topk, ANN_TOPK_SQL),
+    "ann_ivf_topk": (ann_ivf_topk, None),
+    "langid_confusion": (langid_confusion, LANGID_SQL),
+    "quality_scores": (quality_scores, QUALITY_SQL),
+    "token_counts": (token_counts, TOKEN_COUNT_SQL),
+    "fingerprints": (fingerprints, FINGERPRINT_SQL),
+    "multimodal_features": (multimodal_features, MULTIMODAL_SQL),
+}

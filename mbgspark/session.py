@@ -1,0 +1,53 @@
+"""SparkSession factory.
+
+Centralizes the engine's execution configuration so every entry point (tests,
+bench, driver contract) runs with the same semantics:
+
+- UTC session timezone (the reference mixes naive utcnow and ISO-aware
+  datetimes; we normalize — SURVEY.md §7 risk register).
+- AQE on: runtime coalescing, skew-join handling — the 100 TB path relies on
+  it to re-plan shuffles from actual stats.
+- Arrow on: every pandas UDF / mapInPandas stage ships columnar batches
+  (replaces the reference's hand-rolled batch-of-50, utils.py:157).
+- Shuffle partitions sized from the env (local[32] testbed → 32; a real
+  cluster overrides via SPARK_GRAFT_SHUFFLE or spark-defaults).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "mbgspark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine SparkSession with engine defaults."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    shuffle = shuffle_partitions or int(os.environ.get("SPARK_GRAFT_SHUFFLE", cpus))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Small dims (nation/region/locations ≤ 456 rows) must broadcast;
+        # default 10 MB threshold covers them, stated here for visibility.
+        .config("spark.sql.autoBroadcastJoinThreshold", "10m")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
