@@ -1,0 +1,66 @@
+"""Benchmark runner — driver contract.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Execution is forced with the noop sink (full computation, no driver-side
+collect cost). Each query runs once after a session warm-up query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from mbgspark.plans.catalog import CATALOG
+from mbgspark.session import get_spark
+
+# Representative headline set: scan, equi-join, agg, rollup, multi-join agg,
+# top-k explode, calendar projection, regex chain, lexicon UDF-free model,
+# window dedup, then the training-data suite (exact + MinHash dedup, ANN).
+HEADLINE = [
+    "q1", "q9", "q12", "q14", "q17", "q18r", "q19", "q22", "q24", "q26",
+    "dedup_exact", "dedup_minhash_lsh", "ann_cosine_topk",
+]
+
+
+def run_one(spark, name: str, sf_dir: str) -> float:
+    builder, _ = CATALOG[name]
+    t0 = time.time()
+    df = builder(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    # warm-up: JVM + parquet footer caches
+    CATALOG["q14"][0](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        times[name] = round(run_one(spark, name, sf_dir), 3)
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -17,10 +17,15 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# Lexicon over the synthetic testdata vocabulary; swap for an Indonesian
-# lexicon (bagus/sehat/berhasil vs gagal/korupsi/buruk) on real tweet data.
+# Testdata-vocabulary lexicon (used by the oracle query set).
 POSITIVE = ("fast", "big", "vector", "spark")
 NEGATIVE = ("slow", "small", "dup", "error")
+
+# Indonesian lexicon for the tweet pipeline (FIXTURES.md §4).
+# note: "gratis" is deliberately absent — it's part of the program's own
+# name (Makan Bergizi Gratis), not a sentiment signal
+POSITIVE_ID = ("bagus", "sehat", "berhasil", "baik", "mantap")
+NEGATIVE_ID = ("gagal", "korupsi", "buruk", "basi", "keracunan", "rugi")
 
 
 def token_hits(tokens_col_name: str, words: tuple[str, ...]) -> Column:
@@ -29,7 +34,12 @@ def token_hits(tokens_col_name: str, words: tuple[str, ...]) -> Column:
     return F.expr(f"size(filter({tokens_col_name}, t -> t IN ({in_list})))")
 
 
-def with_lexicon_sentiment(df, text_col: str = "text"):
+def with_lexicon_sentiment(
+    df,
+    text_col: str = "text",
+    positive: tuple[str, ...] = POSITIVE,
+    negative: tuple[str, ...] = NEGATIVE,
+):
     """Add tokens/pos_hits/neg_hits/label/confidence_score columns.
 
     Truncation to 512 chars mirrors utils.py:85-86; empty → neutral/0.0
@@ -37,8 +47,8 @@ def with_lexicon_sentiment(df, text_col: str = "text"):
     """
     df = df.withColumn("__clean", F.lower(F.trim(F.substring(F.col(text_col), 1, 512))))
     df = df.withColumn("__tokens", F.split(F.col("__clean"), " "))
-    df = df.withColumn("pos_hits", token_hits("__tokens", POSITIVE).cast("bigint"))
-    df = df.withColumn("neg_hits", token_hits("__tokens", NEGATIVE).cast("bigint"))
+    df = df.withColumn("pos_hits", token_hits("__tokens", positive).cast("bigint"))
+    df = df.withColumn("neg_hits", token_hits("__tokens", negative).cast("bigint"))
     df = df.withColumn("total_tokens", F.size("__tokens").cast("bigint"))
     df = df.withColumn("label", lexicon_label())
     df = df.withColumn("confidence_score", lexicon_score())

@@ -43,10 +43,10 @@ def containment_join_first_match(
             b, F.array_contains(F.split(F.lower(F.col(text_col)), r"\s+"), F.col(term_col))
         )
     else:
+        # rlike with a column-valued pattern needs the SQL form (the Python
+        # Column.rlike only accepts a literal pattern string)
         joined = fact.crossJoin(b).filter(
-            F.lower(F.col(text_col)).rlike(
-                F.concat(F.lit(r"\b"), F.col(term_col), F.lit(r"\b"))
-            )
+            F.expr(f"lower({text_col}) rlike concat('\\\\b', {term_col}, '\\\\b')")
         )
     w = Window.partitionBy(fact_id).orderBy(F.col(order_col).asc())
     return (

@@ -1,0 +1,75 @@
+"""Ingest boundary — SURVEY.md §2.1 S5/S6, §3.2.
+
+The reference's extract stage (Selenium scroll loop,
+src/resilient_scraper.py:302-374) is external to the engine (north-star:
+scraping stays a non-Spark producer). The engine's ingest contract is the
+flat scrape record (S6, :376-502) landing as JSON/parquet micro-batch files;
+this module is the Spark-side parse + hygiene:
+
+- S6 record parse: ``from_json`` against TWEET_RAW_SCHEMA.
+- C11 metric parse: button text like "3 replies" → int
+  (resilient_scraper.py:467-477).
+- F3 min-length filter (:399), F7 noise filter (:410,544).
+- D1/D2 ingest dedup (:55-56,352-358).
+- T2/T8 timestamps: ISO parse; scraped_at defaulted to now (:451-455).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mbgspark.functions.cleaning import clean_at_ingest
+from mbgspark.schema import TWEET_RAW_SCHEMA
+
+
+def parse_metric_counts(raw: DataFrame, cols: tuple[str, ...]) -> DataFrame:
+    """C11: extract leading digits from metric button text → int, 0 default
+    (resilient_scraper.py:467-477)."""
+    for c in cols:
+        raw = raw.withColumn(
+            c,
+            F.coalesce(
+                F.expr(
+                    f"try_cast(regexp_extract(cast({c} as string), '\\\\d+', 0) as int)"
+                ),
+                F.lit(0),
+            ),
+        )
+    return raw
+
+
+def ingest_raw_records(json_lines: DataFrame, json_col: str = "value") -> DataFrame:
+    """Parse raw JSON-line scrape records into the typed flat schema and
+    apply the reference's ingest hygiene in declarative form.
+
+    Works identically on a batch DataFrame or a streaming source — it is a
+    pure column pipeline (usable under readStream)."""
+    parsed = json_lines.select(
+        F.from_json(F.col(json_col), TWEET_RAW_SCHEMA).alias("r")
+    ).select("r.*")
+    return (
+        parsed
+        # F3: drop too-short texts (resilient_scraper.py:399)
+        .filter(F.length(F.trim(F.col("text"))) >= 5)
+        # F7: drop photo/video permalinks misparsed as tweets (:410)
+        .filter(
+            F.col("tweet_url").isNull()
+            | ~F.col("tweet_url").rlike("/(photo|video)/")
+        )
+        # T8: scraped_at fallback to ingest time (:453-455)
+        .withColumn("scraped_at", F.coalesce("scraped_at", F.current_timestamp()))
+        # ingest-variant cleaning (C2/C4 keep-word, :868-889)
+        .withColumn("clean_text", F.lower(clean_at_ingest(F.col("text"))))
+    )
+
+
+def dedup_ingest_batch(df: DataFrame) -> DataFrame:
+    """D1 + D2 in one pass: first by id, then by normalized-text key, the
+    same cascade as resilient_scraper.py:352-358."""
+    return (
+        df.dropDuplicates(["_id"])
+        .withColumn("__tkey", F.xxhash64(F.lower(F.trim("text"))))
+        .dropDuplicates(["__tkey"])
+        .drop("__tkey")
+    )

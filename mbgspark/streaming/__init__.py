@@ -1,0 +1,88 @@
+"""Structured Streaming parity — SURVEY.md §2.10 X5–X8.
+
+The reference's "resilient continue-from-last" loop (resilient_etl.py:
+176-662) — skip-processed days, re-run upserts, recover from crashes — maps
+to Structured Streaming primitives:
+
+- X5 resumable ingest  = file source + checkpointing + idempotent
+  foreachBatch merge (exactly-once replaces retry-and-upsert).
+- X6 daily tumbling window = ``window(created_at, '1 day')``.
+- X7 late data = event-time columns + watermark bounding state, never
+  dropping data inside the `days_back` horizon (config/config.json:7).
+- X8 cross-batch dedup = ``dropDuplicatesWithinWatermark`` (state-store
+  backed analog of the session-lifetime seen-id sets,
+  resilient_scraper.py:55-56).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from mbgspark.io import merge_by_key, write_partitioned
+from mbgspark.schema import TWEET_RAW_SCHEMA
+
+
+def read_tweet_stream(spark: SparkSession, path: str, max_files_per_trigger: int | None = None) -> DataFrame:
+    """X5 ingest source: JSON micro-batch files of flat scrape records.
+    maxFilesPerTrigger is the pacing analog of the reference's per-page cap
+    (O3, max_per_page=50)."""
+    reader = spark.readStream.schema(TWEET_RAW_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.json(path)
+
+
+def dedup_stream(df: DataFrame, watermark: str = "30 days") -> DataFrame:
+    """X8: keyed dedup across micro-batches; watermark bounds the seen-key
+    state (≈ days_back horizon, config/config.json:7)."""
+    return df.withWatermark("created_at", watermark).dropDuplicatesWithinWatermark(["_id"])
+
+
+def daily_counts_stream(df: DataFrame, watermark: str | None = None) -> DataFrame:
+    """X6/X7: tumbling 1-day event-time window; late rows land in their
+    event-time day as long as they're inside the watermark horizon.
+
+    Pass ``watermark=None`` when the upstream (e.g. dedup_stream) already
+    set one — Spark disallows redefining it mid-pipeline."""
+    if watermark:
+        df = df.withWatermark("created_at", watermark)
+    return (
+        df.groupBy(F.window("created_at", "1 day").alias("w"))
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.start").alias("day_start"), "cnt")
+    )
+
+
+def start_merge_sink(
+    stream: DataFrame,
+    store_path: str,
+    checkpoint_path: str,
+    key: str = "_id",
+    available_now: bool = False,
+) -> StreamingQuery:
+    """X5 idempotent sink: per-micro-batch MERGE into the partitioned store.
+
+    foreachBatch + keep-latest merge + dynamic partition overwrite ⇒ replayed
+    batches (crash recovery) converge to the same store state — the
+    exactly-once analog of Mongo upsert (resilient_scraper.py:944-972)."""
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df = batch_df.withColumn(
+            "event_date", F.date_format("created_at", "yyyy-MM-dd")
+        )
+        try:
+            existing = spark.read.parquet(store_path)
+            merged = merge_by_key(existing, batch_df, key=key, order_col="scraped_at")
+        except Exception:
+            merged = batch_df
+        write_partitioned(merged, store_path, "event_date")
+
+    writer = stream.writeStream.foreachBatch(_merge).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

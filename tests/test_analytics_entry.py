@@ -1,0 +1,59 @@
+from pyspark.sql import functions as F
+
+from mbgspark.operators.analytics import (
+    conditional_rollup,
+    frequency,
+    top_k_tokens,
+)
+
+
+def test_frequency_deterministic_order(spark):
+    df = spark.createDataFrame([("a",), ("b",), ("b",), ("c",), ("c",)], "x string")
+    out = [(r["x"], r["cnt"]) for r in frequency(df, "x").collect()]
+    assert out == [("b", 2), ("c", 2), ("a", 1)]
+
+
+def test_conditional_rollup_single_pass(spark):
+    df = spark.createDataFrame([(1, None), (2, "x"), (None, "y")], "a int, b string")
+    row = conditional_rollup(
+        df, {"a_null": F.col("a").isNull(), "b_null": F.col("b").isNull()}
+    ).first()
+    assert (row["a_null"], row["b_null"]) == (1, 1)
+
+
+def test_top_k_tokens(spark):
+    df = spark.createDataFrame([("a b a",), ("b a",)], "t string")
+    out = [(r["token"], r["cnt"]) for r in top_k_tokens(df, "t", k=2).collect()]
+    assert out == [("a", 3), ("b", 2)]
+
+
+def test_entry_contract(spark):
+    import __spark_entry__ as E
+
+    qs, oracles = E.queries(), E.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert len(qs) >= 40
+    df = E.entry(spark)
+    assert df.count() > 0
+    assert df.columns == ["r_name", "order_cnt", "revenue"]
+
+
+def test_multimodal_stub_contract(spark):
+    """Real decode raises; fake decode is deterministic over bytes."""
+    import pytest
+
+    from mbgspark.operators.multimodal import binary_stats, decode_image, extract_features
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"abc")
+    assert decode_image(b"abc", fake=True) == decode_image(b"abc", fake=True)
+
+    df = spark.createDataFrame(
+        [(1, "image/png", bytearray(b"pixels"), 2, 2, None)],
+        "media_id bigint, media_type string, content binary, width int, height int, sample_rate int",
+    )
+    feats = extract_features(df).first()
+    assert feats["n_bytes"] == 6
+    assert len(feats["feat"]) == 8
+    stats = binary_stats(df).first()
+    assert stats["content_hash"] == feats["content_hash"]

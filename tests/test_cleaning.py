@@ -1,0 +1,51 @@
+"""Cleaning chain unit tests — the two variants must NOT be conflated
+(SURVEY §7 risk register): analytics removes URLs + tokenizes hashtags;
+ingest keeps a [LINK] token + unwraps hashtags."""
+
+from pyspark.sql import functions as F
+
+from mbgspark.functions.cleaning import (
+    clean_at_ingest,
+    clean_for_analysis,
+    normalize_separators,
+    normalized_text_key,
+)
+
+RAW = "Cek  #MBG   @user http://x.co/a dan www.b.c  Bagus!"
+
+
+def _one(spark, col):
+    return spark.createDataFrame([(RAW,)], "t string").select(col.alias("o")).first()["o"]
+
+
+def test_clean_for_analysis(spark):
+    assert (
+        _one(spark, clean_for_analysis(F.col("t")))
+        == "cek [hashtag] [mention] dan bagus!"
+    )
+
+
+def test_clean_at_ingest(spark):
+    # URLs → [LINK], hashtag keeps word, case preserved
+    assert (
+        _one(spark, clean_at_ingest(F.col("t")))
+        == "Cek MBG [MENTION] [LINK] dan [LINK] Bagus!"
+    )
+
+
+def test_normalize_separators(spark):
+    assert (
+        _one(
+            spark,
+            normalize_separators(F.lit("a-b/c|d_e,f;g.h")),
+        )
+        == "a b c d e f g h"
+    )
+
+
+def test_normalized_text_key_equal_for_case_space_variants(spark):
+    df = spark.createDataFrame(
+        [("  Hello World ",), ("hello world",)], "t string"
+    ).select(normalized_text_key(F.col("t")).alias("k"))
+    keys = [r["k"] for r in df.collect()]
+    assert keys[0] == keys[1]

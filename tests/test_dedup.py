@@ -1,0 +1,59 @@
+from pyspark.sql import functions as F
+
+from mbgspark.operators import dedup as dd
+from mbgspark.sources.ingest import dedup_ingest_batch
+
+
+def test_dedup_by_key(tweets_raw):
+    assert dd.dedup_by_key(tweets_raw, "_id").count() == 6  # 7 rows, one dup id
+
+
+def test_dedup_by_normalized_text(tweets_raw):
+    # after id-dedup: 6 rows, one exact-text dup pair (ids 1 & 5)
+    out = dd.dedup_by_normalized_text(dd.dedup_by_key(tweets_raw, "_id"), "text")
+    assert out.count() == 5
+
+
+def test_ingest_cascade_matches_reference_order(tweets_raw):
+    assert dedup_ingest_batch(tweets_raw).count() == 5
+
+
+def test_keep_latest_per_key(tweets_raw):
+    out = dd.keep_latest_per_key(tweets_raw, "_id", "scraped_at")
+    row = out.filter(F.col("_id") == "2").first()
+    assert row["like_count"] == 2  # the later-scraped duplicate wins
+
+
+def test_minhash_finds_planted_near_dup(spark):
+    base = " ".join(f"w{i}" for i in range(30))
+    near = " ".join(f"w{i}" for i in range(1, 30))  # first token dropped
+    other = " ".join(f"x{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], "id bigint, t string"
+    )
+    pairs = dd.minhash_near_dups(df, "id", "t", threshold=0.5).collect()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
+    assert pairs[0]["jaccard"] > 0.9
+
+
+def test_simhash_identical_for_identical_text(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e"), (3, "z y x w v")],
+        "id bigint, t string",
+    )
+    rows = {r["id"]: r["simhash"] for r in dd.simhash32(df, "id", "t").collect()}
+    assert rows[1] == rows[2]
+    assert rows[1] != rows[3]
+
+
+def test_embedding_near_dups_blocked_vs_exact(spark):
+    vecs = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id bigint, embedding array<double>")
+    exact = dd.embedding_near_dups(df, threshold=0.99)
+    assert [(r["id_a"], r["id_b"]) for r in exact.collect()] == [(1, 2)]
+    blocked = dd.embedding_near_dups(df, threshold=0.99, block_bits=2)
+    assert [(r["id_a"], r["id_b"]) for r in blocked.collect()] == [(1, 2)]

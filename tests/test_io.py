@@ -1,0 +1,54 @@
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from mbgspark.io import (
+    existing_partition_values,
+    merge_by_key,
+    write_partitioned,
+)
+
+
+def _store(spark, rows):
+    return spark.createDataFrame(
+        rows, "_id string, v int, scraped_at timestamp, event_date string"
+    )
+
+
+def test_merge_by_key_update_wins(spark):
+    ts = dt.datetime
+    existing = _store(spark, [("a", 1, ts(2025, 1, 1), "2025-01-01")])
+    updates = _store(spark, [("a", 2, ts(2025, 1, 1), "2025-01-01"),
+                             ("b", 3, ts(2025, 1, 2), "2025-01-02")])
+    out = merge_by_key(existing, updates).orderBy("_id").collect()
+    assert [(r["_id"], r["v"]) for r in out] == [("a", 2), ("b", 3)]
+
+
+def test_merge_idempotent(spark):
+    ts = dt.datetime
+    existing = _store(spark, [("a", 1, ts(2025, 1, 1), "2025-01-01")])
+    updates = _store(spark, [("a", 2, ts(2025, 1, 2), "2025-01-02")])
+    once = merge_by_key(existing, updates)
+    twice = merge_by_key(once, updates)
+    assert sorted(once.collect()) == sorted(twice.collect())
+    assert twice.count() == 1
+
+
+def test_partitioned_write_and_partition_listing(spark, tmp_path):
+    ts = dt.datetime
+    path = str(tmp_path / "store")
+    df = _store(
+        spark,
+        [("a", 1, ts(2025, 1, 1), "2025-01-01"), ("b", 2, ts(2025, 1, 2), "2025-01-02")],
+    )
+    write_partitioned(df, path)
+    # partition values round-trip through Spark's type inference (str → date)
+    vals = {str(r["event_date"]) for r in existing_partition_values(spark, path, "event_date").collect()}
+    assert vals == {"2025-01-01", "2025-01-02"}
+    # dynamic overwrite touches only the day it carries
+    write_partitioned(
+        _store(spark, [("a", 9, ts(2025, 1, 1), "2025-01-01")]), path, mode="overwrite"
+    )
+    back = spark.read.parquet(path)
+    assert back.count() == 2
+    assert back.filter(F.col("_id") == "a").first()["v"] == 9

@@ -1,0 +1,59 @@
+from pyspark.sql import functions as F
+
+from mbgspark.operators.locate import (
+    containment_join_first_match,
+    fuzzy_top1_join,
+    two_pass_locate,
+)
+from mbgspark.pipeline import locations_dim
+
+
+def test_first_match_respects_dict_order(spark):
+    dim = locations_dim(spark)
+    facts = spark.createDataFrame(
+        # mentions both surabaya (order 10) and jaksel (order 3): jaksel wins
+        [(1, "kunjungan ke surabaya dan jaksel hari ini")],
+        "id bigint, txt string",
+    )
+    out = containment_join_first_match(facts, dim, "id", "txt", "term").collect()
+    assert len(out) == 1
+    assert out[0]["city"] == "jakarta selatan"  # via the jaksel alias row
+
+
+def test_abbreviation_alias_matches(spark):
+    dim = locations_dim(spark)
+    facts = spark.createDataFrame([(1, "acara di sby besok")], "id bigint, txt string")
+    out = containment_join_first_match(facts, dim, "id", "txt", "term").first()
+    assert out["city"] == "surabaya"
+    assert out["province"] == "jawa timur"
+
+
+def test_regex_variant_word_bounded(spark):
+    dim = locations_dim(spark)
+    # 'bdgx' must NOT match the 'bdg' alias when word-bounded
+    facts = spark.createDataFrame([(1, "kata bdgx bukan kota")], "id bigint, txt string")
+    out = containment_join_first_match(
+        facts, dim, "id", "txt", "term", use_token_membership=False
+    )
+    assert out.count() == 0
+
+
+def test_fuzzy_top1(spark):
+    dim = locations_dim(spark).select("term", "city", "province").distinct()
+    facts = spark.createDataFrame([(1, "surabya")], "id bigint, tok string")
+    out = fuzzy_top1_join(facts, dim, "id", "tok", "term", max_distance=2).first()
+    assert out["city"] == "surabaya"
+    assert out["lev_dist"] == 1
+
+
+def test_two_pass_exact_then_fuzzy(spark):
+    dim = locations_dim(spark)
+    facts = spark.createDataFrame(
+        [(1, "di bandung kemarin"), (2, "di bandng kemarin"), (3, "tanpa kota")],
+        "id bigint, txt string",
+    )
+    out = two_pass_locate(facts, dim, "id", "txt", "term", fuzzy_max_distance=1)
+    rows = {r["id"]: (r["term"], r["match_kind"]) for r in out.collect()}
+    assert rows[1] == ("bandung", "exact")
+    assert rows[2] == ("bandung", "fuzzy")
+    assert 3 not in rows  # 'tanpa'→? nothing within distance 1
