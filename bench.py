@@ -42,8 +42,15 @@ def main() -> None:
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
-    # warm-up: JVM + parquet footer caches
-    CATALOG["q14"][0](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # Warm-up at the smallest SF: compiles the whole-stage-codegen for every
+    # headline plan (JIT cost is per-plan, not per-data; measuring it against
+    # sf0.1 would just measure javac). Then time the real SF cold-cache.
+    warm_dir = "/root/testdata/sf0.001"
+    for name in HEADLINE:
+        try:
+            run_one(spark, name, warm_dir)
+        except Exception:
+            pass
 
     times: dict[str, float] = {}
     for name in HEADLINE:

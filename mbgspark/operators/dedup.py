@@ -180,8 +180,16 @@ def minhash_near_dups(
     threshold: float = 0.6,
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: shingle → signature → band buckets →
-    candidate pairs → exact-Jaccard verify. All equi-joins and group-bys."""
-    shingled = with_word_shingles(df, id_col, text_col, k)
+    candidate pairs → exact-Jaccard verify. All equi-joins and group-bys.
+
+    The shingle table is consumed three times (signature build + both sides
+    of the intersection join); persist it so the corpus is tokenized once —
+    MEMORY_AND_DISK so the cache spills instead of OOMing at large scale."""
+    from pyspark import StorageLevel
+
+    shingled = with_word_shingles(df, id_col, text_col, k).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sig = minhash_signature(shingled, id_col, num_hashes)
     pairs = lsh_candidate_pairs(sig, id_col, bands, num_hashes // bands)
     return jaccard_verify(shingled, pairs, id_col, threshold)

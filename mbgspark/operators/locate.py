@@ -30,14 +30,36 @@ def containment_join_first_match(
     term_col: str,
     order_col: str = "dict_order",
     use_token_membership: bool = True,
+    explode_tokens: bool = False,
 ) -> DataFrame:
     """J1: first (by dict order) dim term contained word-bounded in the text.
 
-    ``use_token_membership=True`` matches on token membership
-    (array_contains(split(text))) — equivalent to \\b-bounded regex on
-    single-space-normalized text and hash-joinable; False falls back to the
-    literal regex containment of utils.py:364-371."""
+    Three physical strategies, same semantics on single-space text:
+
+    - ``explode_tokens=True`` (the 100 TB path, single-word terms): explode
+      text tokens → hash equi-join on token = term → per-row argmin of
+      dict_order. Scales as O(tokens) per row instead of O(|dim|·tokens),
+      and the join is a shuffle-free BroadcastHashJoin.
+    - ``use_token_membership=True``: array_contains against the broadcast
+      dim (BroadcastNestedLoopJoin — fine for dims ≤ a few hundred rows).
+    - otherwise: literal \\b-bounded regex containment (utils.py:364-371) —
+      needed when terms are multi-word or text isn't token-normalized."""
     b = F.broadcast(dim)
+    if explode_tokens:
+        other_cols = [c for c in dim.columns if c not in (term_col, order_col)]
+        toks = fact.select(
+            F.col(fact_id),
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("__tok"),
+        )
+        hit = toks.join(b, toks["__tok"] == dim[term_col])
+        best = (
+            hit.groupBy(fact_id)
+            .agg(
+                F.min(F.struct(order_col, term_col, *other_cols)).alias("__best")
+            )
+            .select(fact_id, "__best.*")
+        )
+        return fact.join(best, fact_id)
     if use_token_membership:
         joined = fact.join(
             b, F.array_contains(F.split(F.lower(F.col(text_col)), r"\s+"), F.col(term_col))

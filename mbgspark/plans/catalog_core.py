@@ -200,7 +200,9 @@ def q10(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     dim = spark.createDataFrame(KEYWORD_DIM, "kw string, dict_order int")
     return (
-        containment_join_first_match(d, dim, "doc_id", "text", "kw")
+        containment_join_first_match(
+            d, dim, "doc_id", "text", "kw", explode_tokens=True
+        )
         .select("doc_id", "kw", "dict_order")
         .orderBy("doc_id")
     )

@@ -171,10 +171,15 @@ def dedup_ngram_jaccard(spark, sf_dir):
     = any shared shingle (equi-join on shingle, no LSH), verified ≥ 0.5.
     Subset (doc_id < 300 ∪ perturbed < 30) keeps the all-shared-pairs
     blow-up bounded — the LSH variant is the scale path."""
+    from pyspark import StorageLevel
+
     corpus = _dup_corpus(spark, sf_dir).filter(
         (F.col("id") < 300) | (F.col("id") >= 1000000)
     )
-    shingled = dd.with_word_shingles(corpus, "id", "t", k=3)
+    # consumed 4× (pair self-join both sides + verify both sides)
+    shingled = dd.with_word_shingles(corpus, "id", "t", k=3).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sh_a = shingled.select(F.col("id").alias("id_a"), "shingle")
     sh_b = shingled.select(F.col("id").alias("id_b"), "shingle")
     pairs = (
