@@ -171,24 +171,38 @@ def dedup_ngram_jaccard(spark, sf_dir):
     = any shared shingle (equi-join on shingle, no LSH), verified ≥ 0.5.
     Subset (doc_id < 300 ∪ perturbed < 30) keeps the all-shared-pairs
     blow-up bounded — the LSH variant is the scale path."""
-    from pyspark import StorageLevel
-
     corpus = _dup_corpus(spark, sf_dir).filter(
         (F.col("id") < 300) | (F.col("id") >= 1000000)
     )
-    # consumed 4× (pair self-join both sides + verify both sides)
-    shingled = dd.with_word_shingles(corpus, "id", "t", k=3).persist(
-        StorageLevel.MEMORY_AND_DISK
+    # Array-native plan: shingle arrays stay per-row; only the candidate
+    # equi-join on exploded shingle shuffles, and the verify is a pair→doc
+    # join + array_intersect (no per-shingle intersection groupBy).
+    shingled = dd.with_shingle_array(corpus, "id", "t", k=3)
+    sh_a = shingled.select(
+        F.col("id").alias("id_a"), F.explode("shingles").alias("shingle")
     )
-    sh_a = shingled.select(F.col("id").alias("id_a"), "shingle")
-    sh_b = shingled.select(F.col("id").alias("id_b"), "shingle")
+    sh_b = shingled.select(
+        F.col("id").alias("id_b"), F.explode("shingles").alias("shingle")
+    )
     pairs = (
         sh_a.join(sh_b, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
     )
-    return dd.jaccard_verify(shingled, pairs, "id", 0.5).orderBy("id_a", "id_b")
+    arr_a = shingled.select(F.col("id").alias("id_a"), F.col("shingles").alias("sa"))
+    arr_b = shingled.select(F.col("id").alias("id_b"), F.col("shingles").alias("sb"))
+    n_inter = F.size(F.array_intersect("sa", "sb"))
+    return (
+        pairs.join(arr_a, "id_a")
+        .join(arr_b, "id_b")
+        .withColumn(
+            "jaccard", F.round(n_inter / (F.size("sa") + F.size("sb") - n_inter), 4)
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b", "jaccard")
+        .orderBy("id_a", "id_b")
+    )
 
 
 DEDUP_NGRAM_SQL = f"""
