@@ -45,7 +45,12 @@ def with_lexicon_sentiment(
     Truncation to 512 chars mirrors utils.py:85-86; empty → neutral/0.0
     mirrors utils.py:81-92.
     """
-    df = df.withColumn("__clean", F.lower(F.trim(F.substring(F.col(text_col), 1, 512))))
+    # null text → '' so size()/division guards see 1 empty token, not null
+    # (reference: missing text → ('NEUTRAL', 0.0), utils.py:81-92)
+    df = df.withColumn(
+        "__clean",
+        F.lower(F.trim(F.substring(F.coalesce(F.col(text_col), F.lit("")), 1, 512))),
+    )
     df = df.withColumn("__tokens", F.split(F.col("__clean"), " "))
     df = df.withColumn("pos_hits", token_hits("__tokens", positive).cast("bigint"))
     df = df.withColumn("neg_hits", token_hits("__tokens", negative).cast("bigint"))

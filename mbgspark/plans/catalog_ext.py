@@ -304,10 +304,63 @@ ORDER BY query_id, rnk
 
 
 def ann_ivf_topk(spark, sf_dir):
-    """IVF-bucketed approximate top-3 (the 100 TB scale path). Deterministic
-    but intentionally approximate → rows-only driver check (no oracle)."""
+    """IVF-bucketed approximate top-3 (the 100 TB scale path). Approximate
+    w.r.t. exact top-k, but fully deterministic — so the oracle replays the
+    same quantize→probe→rank plan in SQL and the driver gets a value-hash
+    check, not just rows-only."""
     e = _t(spark, sf_dir, "embeddings")
     return ivf_topk(e, e.filter(F.col("vec_id") < 5), k=3, n_cells=16, nprobe=4)
+
+
+_COS = (
+    "round(list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+    " * sqrt(list_dot_product({b}, {b}))), {nd})"
+)
+
+ANN_IVF_SQL = f"""
+WITH c AS (
+  SELECT vec_id AS match_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 5
+),
+cents AS (
+  SELECT vec_id AS cell_id, CAST(embedding AS DOUBLE[]) AS cent
+  FROM embeddings ORDER BY vec_id LIMIT 16
+),
+assigned AS (
+  SELECT match_id, cv, cell_id FROM (
+    SELECT c.match_id, c.cv, cents.cell_id,
+           row_number() OVER (
+             PARTITION BY c.match_id
+             ORDER BY {_COS.format(a='cv', b='cent', nd=6)} DESC, cents.cell_id
+           ) AS rn
+    FROM c CROSS JOIN cents
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, qv, cell_id FROM (
+    SELECT q.query_id, q.qv, cents.cell_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {_COS.format(a='qv', b='cent', nd=6)} DESC, cents.cell_id
+           ) AS rn
+    FROM q CROSS JOIN cents
+  ) WHERE rn <= 4
+),
+scored AS (
+  SELECT query_id, match_id, {_COS.format(a='qv', b='cv', nd=4)} AS cos_sim
+  FROM assigned JOIN probes USING (cell_id)
+  WHERE match_id <> query_id
+)
+SELECT query_id, match_id, cos_sim,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, match_id) AS BIGINT) AS rnk
+FROM scored
+QUALIFY rnk <= 3
+ORDER BY query_id, rnk
+"""
 
 
 # ------------------------------------------------------------ text analysis --
@@ -420,6 +473,25 @@ FROM n ORDER BY doc_id
 """
 
 
+def sentiment_pandas_udf(spark, sf_dir):
+    """X1 through the REAL UDF surface: the lexicon classifier strategy runs
+    as an Arrow-batched pandas UDF (same plumbing the HF model uses), then
+    the q26 label-distribution rollup. Oracle = the q26 SQL — both paths
+    must agree because the strategy semantics are identical."""
+    from mbgspark.functions.sentiment import with_sentiment_udf
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        with_sentiment_udf(d, "text")
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.avg("confidence_score"), 4).alias("avg_conf"),
+        )
+        .orderBy("label")
+    )
+
+
 # --------------------------------------------------------------- multimodal --
 
 def multimodal_features(spark, sf_dir):
@@ -454,10 +526,21 @@ EXT: dict[str, tuple] = {
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
     "dedup_embedding": (dedup_embedding, DEDUP_EMBEDDING_SQL),
     "ann_cosine_topk": (ann_cosine_topk, ANN_TOPK_SQL),
-    "ann_ivf_topk": (ann_ivf_topk, None),
+    "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),
     "langid_confusion": (langid_confusion, LANGID_SQL),
     "quality_scores": (quality_scores, QUALITY_SQL),
     "token_counts": (token_counts, TOKEN_COUNT_SQL),
     "fingerprints": (fingerprints, FINGERPRINT_SQL),
     "multimodal_features": (multimodal_features, MULTIMODAL_SQL),
+    "sentiment_pandas_udf": (sentiment_pandas_udf, None),  # SQL filled below
 }
+
+
+def _late_bind_sentiment_oracle() -> None:
+    # identical semantics to q26's column-expression lexicon → same oracle
+    from mbgspark.plans.catalog_core import Q26_SQL
+
+    EXT["sentiment_pandas_udf"] = (sentiment_pandas_udf, Q26_SQL)
+
+
+_late_bind_sentiment_oracle()
