@@ -1,0 +1,86 @@
+"""Physical-plan regression tests — the 100 TB design properties.
+
+Correctness says the query returns the right rows; these tests pin HOW:
+filters reach the parquet scan, projections prune the read schema, bounded
+dims broadcast instead of shuffling, and nothing degenerates into a
+cartesian product. A plan that silently regresses on any of these still
+passes the oracle at sf0.01 but falls over at cluster scale — this file is
+the guard. (Plans are inspected unexecuted; the whole file runs in seconds.)
+"""
+
+import pytest
+
+from mbgspark.plans.catalog import CATALOG
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = CATALOG[name][0](spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q2_date_filter_pushed_to_scan(spark):
+    plan = plan_of(spark, "q2")
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    assert "LessThan(o_orderdate" in plan
+
+
+def test_q1_scan_prunes_columns(spark):
+    plan = plan_of(spark, "q1")
+    assert "ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint,o_totalprice:double>" in plan
+
+
+def test_q12_equijoin_broadcasts_customer(spark):
+    plan = plan_of(spark, "q12")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q18r_multijoin_all_dims_broadcast(spark):
+    plan = plan_of(spark, "q18r")
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q10_containment_join_is_hash_not_nested_loop(spark):
+    # explode_tokens strategy: token equi-join, not a per-row dim scan
+    plan = plan_of(spark, "q10")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_minhash_stays_equijoin(spark):
+    # the whole point of LSH banding: candidate generation is an equi-join
+    plan = plan_of(spark, "dedup_minhash_lsh")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q14_aggregate_has_mapside_partial(spark):
+    # partial (map-side) aggregation before the shuffle
+    plan = plan_of(spark, "q14")
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_count" in plan
+
+
+def test_q26_lexicon_has_no_python_udf(spark):
+    # X1's fallback is pure column expressions — no Python round trip
+    plan = plan_of(spark, "q26")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_sentiment_udf_is_arrow_not_batch(spark):
+    # the model path must use Arrow-vectorized transfer, never row pickling
+    plan = plan_of(spark, "sentiment_pandas_udf")
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+
+
+@pytest.mark.parametrize("name", ["q21", "q20"])
+def test_set_ops_stay_hash_based(spark, name):
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan
