@@ -20,11 +20,12 @@ from mbgspark.plans.catalog import oracle_sql_map, query_map
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query: per-region order-count + revenue rollup
-    (region ⋈ nation ⋈ customer ⋈ orders, broadcast dims) on sf0.001."""
-    from mbgspark.plans.catalog_core import q18r
+    """Flagship query: the full §3.1 ETL lifecycle (clean → broadcast
+    containment locate → lexicon label → event-date rollup) on sf0.001 —
+    the reference's run_etl re-expressed as one declarative lineage."""
+    from mbgspark.plans.catalog_lifecycle import etl_lifecycle
 
-    return q18r(spark, "/root/testdata/sf0.001")
+    return etl_lifecycle(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

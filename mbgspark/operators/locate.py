@@ -78,6 +78,48 @@ def containment_join_first_match(
     )
 
 
+def first_match_case_expr(
+    dim_rows,
+    text: "F.Column",
+    term_field: str = "term",
+    order_field: str = "dict_order",
+    out_fields: tuple[str, ...] = ("province", "city"),
+) -> "F.Column":
+    """J1 compiled to a scalar expression: the dim (driver-small by the same
+    contract that makes it broadcast-able) becomes a priority-ordered
+    CASE WHEN rlike chain, evaluated as ONE codegen'd map over the fact —
+    zero joins, zero shuffles, single corpus scan. First match by
+    ``order_field`` wins, exactly like the join formulation.
+
+    Returns a struct column (null when nothing matches). This is the plan
+    the 100 TB lifecycle wants: the join version exists for dims too large
+    to collect()."""
+    import re as _re
+
+    null_struct = F.lit(None).cast(
+        "struct<" + ",".join(f"{f}:string" for f in out_fields) + ">"
+    )
+    expr = null_struct
+    for row in sorted(dim_rows, key=lambda r: r[order_field], reverse=True):
+        pattern = r"\b" + _re.escape(row[term_field]) + r"\b"
+        hit = F.struct(
+            *[F.lit(row[f]).alias(f) for f in out_fields]
+        )
+        expr = F.when(text.rlike(pattern), hit).otherwise(expr)
+    # single-alternation prefilter: rows that mention NO term (the common
+    # case on a real corpus) pay one regex instead of |dim| — the priority
+    # chain only runs on prefiltered hits, semantics unchanged
+    any_term = (
+        r"\b(?:"
+        + "|".join(
+            _re.escape(r[term_field])
+            for r in sorted(dim_rows, key=lambda r: r[order_field])
+        )
+        + r")\b"
+    )
+    return F.when(text.rlike(any_term), expr).otherwise(null_struct)
+
+
 def fuzzy_top1_join(
     fact: DataFrame,
     dim: DataFrame,

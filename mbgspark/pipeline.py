@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from mbgspark.functions.cleaning import clean_for_analysis
 from mbgspark.functions.lexicon import with_lexicon_sentiment
 from mbgspark.io import merge_by_key
-from mbgspark.operators.locate import containment_join_first_match
+from mbgspark.operators.locate import first_match_case_expr
 from mbgspark.schema import DEFAULT_LOCATIONS, LOCATIONS_DIM_SCHEMA
 
 
@@ -40,17 +40,18 @@ def detect_locations(df: DataFrame, dim: DataFrame, id_col: str = "_id") -> Data
     """J1 first-match containment join against text + author name
     (utils.py:336-437; author concat per :351-352). Left join semantics:
     unmatched tweets keep null province/city."""
-    searchable = df.withColumn(
-        "__search",
-        F.concat_ws(" ", F.col("clean_text"), F.lower(F.coalesce("author_name", F.lit("")))),
+    search = F.concat_ws(
+        " ", F.col("clean_text"), F.lower(F.coalesce("author_name", F.lit("")))
     )
     # regex containment (not token membership): city terms can be multi-word
-    # ("jakarta selatan") and sit next to punctuation in real text
-    matched = containment_join_first_match(
-        searchable, dim, id_col, "__search", "term", use_token_membership=False
-    ).select(id_col, "province", "city")
+    # ("jakarta selatan") and sit next to punctuation in real text. The dim
+    # is driver-small (456 rows at reference scale), so it compiles to a
+    # first-match CASE chain — one codegen'd pass, no join, no shuffle
+    # (containment_join_first_match is the fallback for unbounded dims).
+    hit = first_match_case_expr(dim.collect(), search)
     return (
-        df.join(matched, id_col, "left")
+        df.withColumn("province", hit["province"])
+        .withColumn("city", hit["city"])
         .withColumn("location_detected", F.col("city").isNotNull())
         # "attempted" marker — the analog of the field EXISTING in Mongo;
         # a tweet with no detectable location is still processed

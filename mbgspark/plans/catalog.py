@@ -14,10 +14,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 from mbgspark.plans.catalog_core import CORE
 from mbgspark.plans.catalog_ext import EXT
+from mbgspark.plans.catalog_lifecycle import LIFECYCLE
 
 CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     **CORE,
     **EXT,
+    **LIFECYCLE,
 }
 
 
