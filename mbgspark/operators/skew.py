@@ -1,0 +1,74 @@
+"""Skew mitigation for large-scale joins/aggregations.
+
+At 100 TB a handful of hot keys (one viral tweet id, one dominant date,
+one empty-string location) can pin a whole stage on one task. Two levers,
+complementary to AQE's runtime skew-join splitting
+(``spark.sql.adaptive.skewJoin.enabled``, on in session.py):
+
+- ``salted_join``: explicit salting for shuffle equi-joins where AQE can't
+  help (e.g. the build side is too large to broadcast but small enough to
+  replicate ×S). Fact rows get a deterministic salt in [0, S); the build
+  side is exploded ×S; the join key becomes (key, salt), spreading each hot
+  key over S tasks. Deterministic (hash of the row's own key column, never
+  rand()) so retries/replays stay idempotent.
+- ``salted_count_distinct``: two-stage distinct aggregation — partial
+  distinct per (key, salt) then re-aggregate per key — for skewed
+  count-distinct where a single reducer would otherwise hold the whole
+  hot key's value set. Plain count/sum/avg don't need this: Spark's
+  hash-aggregate already does map-side partials.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def with_salt(df: DataFrame, key: str, buckets: int, out: str = "__salt") -> DataFrame:
+    """Deterministic salt in [0, buckets) derived from the key value itself
+    (replay-safe, unlike rand())."""
+    return df.withColumn(out, F.pmod(F.xxhash64(F.col(key)), F.lit(buckets)).cast("int"))
+
+
+def explode_to_salts(df: DataFrame, buckets: int, out: str = "__salt") -> DataFrame:
+    """Replicate every row once per salt bucket (the build side of a salted
+    join). Row count multiplies by ``buckets`` — size the build side
+    accordingly."""
+    return df.withColumn(
+        out, F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
+    ).withColumn(out, F.col(out).cast("int"))
+
+
+def salted_join(
+    fact: DataFrame,
+    build: DataFrame,
+    on: str,
+    buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join ``fact ⋈ build ON fact.on = build.on`` with each fact key
+    spread over ``buckets`` shuffle partitions. Result is identical to the
+    plain join (salt columns are dropped); only the physical distribution
+    changes."""
+    f = with_salt(fact, on, buckets)
+    b = explode_to_salts(build, buckets)
+    return f.join(b, on=[on, "__salt"], how=how).drop("__salt")
+
+
+def salted_count_distinct(
+    df: DataFrame, group_col: str, distinct_col: str, buckets: int = 8
+) -> DataFrame:
+    """count(DISTINCT distinct_col) GROUP BY group_col, skew-resistant:
+    stage 1 dedups within (group, salt-of-value); stage 2 sums partial
+    distinct counts. Exact (each distinct value lands in exactly one salt
+    bucket because the salt is a hash of the value itself)."""
+    salted = with_salt(df, distinct_col, buckets)
+    partial = (
+        salted.select(group_col, "__salt", distinct_col)
+        .distinct()
+        .groupBy(group_col, "__salt")
+        .agg(F.count("*").alias("__partial"))
+    )
+    return partial.groupBy(group_col).agg(
+        F.sum("__partial").cast("bigint").alias(f"distinct_{distinct_col}")
+    )
