@@ -88,14 +88,17 @@ def with_word_shingles(
 def minhash_signature(
     shingled: DataFrame, id_col: str, num_hashes: int = 8, shingle_col: str = "shingle"
 ) -> DataFrame:
-    """Portable MinHash: for permutation i, sig_i = min(md5(i || ':' || shingle)).
-
-    Lexicographic min over md5 hex strings is a valid min-wise hash family for
-    dedup purposes and is bit-identical across Spark, DuckDB, and Python —
-    the property the correctness oracle needs. Output: (id, sig array<string>).
-    One shuffle (groupBy id)."""
+    """Portable MinHash: hash function i is the 16-hex-char window of
+    md5(shingle) starting at offset 2i, so ONE md5 per shingle yields all
+    ``num_hashes`` (≤ 9) functions — 8× less hashing than independent
+    md5(i || shingle) per permutation, measured the dominant cost of the
+    near-dup pipeline. sig_i = lexicographic min of window i over the doc's
+    shingles: a valid min-wise family for dedup purposes, and bit-identical
+    across Spark, DuckDB, and Python — the property the correctness oracle
+    needs. Output: (id, sig array<string>). One shuffle (groupBy id); the
+    md5 is computed once per input row under subexpression elimination."""
     aggs = [
-        F.min(F.md5(F.concat_ws(":", F.lit(str(i)), F.col(shingle_col)))).alias(f"h{i}")
+        F.min(F.substring(F.md5(F.col(shingle_col)), 2 * i + 1, 16)).alias(f"h{i}")
         for i in range(num_hashes)
     ]
     sig = shingled.groupBy(id_col).agg(*aggs)

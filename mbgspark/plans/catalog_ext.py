@@ -94,7 +94,7 @@ def dedup_minhash_lsh(spark, sf_dir):
 
 
 _MINHASH_SIG_COLS = ",\n         ".join(
-    f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(8)
+    f"min(substr(md5(shingle), {2 * i + 1}, 16)) AS h{i}" for i in range(8)
 )
 _MINHASH_BANDS = "\n  UNION ALL\n".join(
     f"  SELECT id, {b} AS band_idx, md5(h{2*b} || '|' || h{2*b+1}) AS band_key FROM sig"
