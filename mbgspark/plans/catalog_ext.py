@@ -473,6 +473,85 @@ FROM n ORDER BY doc_id
 """
 
 
+def locate_two_pass(spark, sf_dir):
+    """The reference's cheap-to-expensive location plan (utils.py:509-511):
+    exact token containment first; only the unmatched remainder pays the
+    fuzzy levenshtein pass. Oracle replays both passes in SQL."""
+    from mbgspark.operators.locate import two_pass_locate
+    from mbgspark.plans.catalog_core import KEYWORD_DIM
+
+    d = _t(spark, sf_dir, "documents")
+    dim = spark.createDataFrame(KEYWORD_DIM, "kw string, dict_order int")
+    return (
+        two_pass_locate(d, dim, "doc_id", "text", "kw", fuzzy_max_distance=2)
+        .orderBy("doc_id", "kw")
+    )
+
+
+def _two_pass_sql() -> str:
+    from mbgspark.plans.catalog_core import KEYWORD_DIM_SQL
+
+    return rf"""
+WITH dim AS (SELECT * FROM {KEYWORD_DIM_SQL}),
+exact AS (
+  SELECT doc_id, kw FROM documents CROSS JOIN dim
+  WHERE list_contains(string_split_regex(lower(text), '\s+'), kw)
+  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY dict_order) = 1
+),
+rem AS (
+  SELECT doc_id, text FROM documents
+  WHERE doc_id NOT IN (SELECT doc_id FROM exact)
+),
+remtok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok FROM rem
+),
+fuzzy AS (
+  SELECT doc_id, kw FROM (
+    SELECT r.doc_id, d.kw, levenshtein(r.tok, d.kw) AS lev
+    FROM (SELECT doc_id, tok FROM remtok WHERE tok <> '') r
+    CROSS JOIN dim d
+    WHERE levenshtein(r.tok, d.kw) <= 2
+  ) QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY lev, kw) = 1
+)
+SELECT doc_id, kw, 'exact' AS match_kind FROM exact
+UNION ALL
+SELECT doc_id, kw, 'fuzzy' AS match_kind FROM fuzzy
+ORDER BY doc_id, kw
+"""
+
+
+def salted_segment_revenue(spark, sf_dir):
+    """Hot-key-safe join in the graded gate: orders ⋈ customer through
+    operators.skew.salted_join (key spread over 8 salt buckets), then the
+    per-segment revenue rollup. Oracle is the PLAIN join — salting must be
+    result-invisible."""
+    from mbgspark.operators.skew import salted_join
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    return (
+        salted_join(o, c, "custkey", buckets=8)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("order_cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+SALTED_SEGMENT_SQL = """
+SELECT c_mktsegment, count(*) AS order_cnt,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
 def sentiment_pandas_udf(spark, sf_dir):
     """X1 through the REAL UDF surface: the lexicon classifier strategy runs
     as an Arrow-batched pandas UDF (same plumbing the HF model uses), then
@@ -533,6 +612,8 @@ EXT: dict[str, tuple] = {
     "fingerprints": (fingerprints, FINGERPRINT_SQL),
     "multimodal_features": (multimodal_features, MULTIMODAL_SQL),
     "sentiment_pandas_udf": (sentiment_pandas_udf, None),  # SQL filled below
+    "locate_two_pass": (locate_two_pass, None),  # SQL filled below
+    "salted_segment_revenue": (salted_segment_revenue, SALTED_SEGMENT_SQL),
 }
 
 
@@ -541,6 +622,7 @@ def _late_bind_sentiment_oracle() -> None:
     from mbgspark.plans.catalog_core import Q26_SQL
 
     EXT["sentiment_pandas_udf"] = (sentiment_pandas_udf, Q26_SQL)
+    EXT["locate_two_pass"] = (locate_two_pass, _two_pass_sql())
 
 
 _late_bind_sentiment_oracle()
