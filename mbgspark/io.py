@@ -44,7 +44,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     The events table stores ``ts`` as parquet TIMESTAMP(NANOS), which Spark
     only reads via the nanosAsLong legacy flag; rebuild a proper timestamp
-    (µs truncation — same as DuckDB's TIMESTAMP_NS → TIMESTAMP behavior)."""
+    (µs truncation — same as DuckDB's TIMESTAMP_NS → TIMESTAMP behavior).
+    Session conf is pinned here so this works on ANY session, not just
+    get_spark()'s (the driver brings its own)."""
+    from mbgspark.session import ensure_session_conf
+
+    ensure_session_conf(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for field in df.schema.fields:
         if field.name == "ts" and field.dataType.simpleString() == "bigint":

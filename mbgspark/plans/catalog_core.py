@@ -25,23 +25,8 @@ from mbgspark.operators.analytics import daily_trend, frequency, top_k_tokens
 from mbgspark.operators.locate import containment_join_first_match, fuzzy_top1_join
 
 
-def ensure_session_conf(spark: SparkSession) -> None:
-    """Pin semantics the oracle comparison depends on, regardless of how the
-    calling session was built: UTC timestamp<->date conversions and
-    non-ANSI (null-on-error) casts, matching DuckDB TRY_CAST behavior."""
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    try:
-        spark.conf.set("spark.sql.ansi.enabled", "false")
-    except Exception:
-        pass  # conf may be non-modifiable in exotic deployments; builders
-        # also avoid ANSI-sensitive expressions where feasible.
-    try:
-        # events.parquet stores TIMESTAMP(NANOS) which vanilla Spark rejects;
-        # read nanos as long, then io.load_table rebuilds a (µs-truncated)
-        # timestamp — matching DuckDB's own nanos→µs truncation.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
-        pass
+# re-exported for backward compatibility; implementation lives in session.py
+from mbgspark.session import ensure_session_conf  # noqa: E402,F401
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

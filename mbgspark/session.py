@@ -51,3 +51,24 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def ensure_session_conf(spark: SparkSession) -> None:
+    """Pin the semantics the engine (and its DuckDB oracle parity) depends
+    on, regardless of how the calling session was built — the driver runs
+    queries with ITS OWN default session, so every engine entry point calls
+    this rather than assuming get_spark() was used:
+
+    - UTC timestamp<->date conversions;
+    - non-ANSI (null-on-error) casts, matching DuckDB TRY_CAST;
+    - TIMESTAMP(NANOS) parquet read (events.ts) via nanosAsLong, rebuilt to
+      a µs timestamp in io.load_table."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    for k, v in (
+        ("spark.sql.ansi.enabled", "false"),
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # non-modifiable in exotic deployments
