@@ -1,0 +1,102 @@
+"""Scale-stress harness: run the heavy operators on a corpus scaled N×.
+
+The documents table is replicated ``n`` times with every token hash-rewritten
+per copy (substr(md5(token || copy), 1, 8)) so copies share NO vocabulary —
+cross-copy near-duplicate pairs cannot exist and pair counts stay linear in
+n, which is what separates "the operator scales" from "the planted-dup clique
+exploded". Each copy also plants 30 near-duplicates (first token dropped,
+same construction as the catalog's dup corpus), so MinHash recall is
+checkable: expect ≈ 30·n verified pairs.
+
+Usage: python tools/stress.py [n] [sf_dir]
+Prints one timing line per operator plus a JSON summary.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from mbgspark.io import load_table
+from mbgspark.operators import dedup as dd
+from mbgspark.operators.textstats import with_fingerprint, with_token_counts
+from mbgspark.session import get_spark
+
+
+def scaled_corpus(spark, sf_dir: str, n: int):
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = []
+    for i in range(n):
+        rewritten = F.array_join(
+            F.transform(
+                F.split(F.lower(F.trim("text")), r"\s+"),
+                lambda t, i=i: F.substring(F.md5(F.concat(t, F.lit(str(i)))), 1, 8),
+            ),
+            " ",
+        )
+        base = d.select(
+            (F.col("doc_id") + i * 10_000_000).alias("id"), rewritten.alias("t")
+        )
+        planted = base.filter(F.col("id") % 10_000_000 < 30).select(
+            (F.col("id") + 1_000_000).alias("id"),
+            F.expr("substring(t, instr(t, ' ') + 1)").alias("t"),
+        )
+        copies.append(base.unionByName(planted))
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    spark = get_spark("stress")
+    spark.sparkContext.setLogLevel("ERROR")
+    corpus = scaled_corpus(spark, sf_dir, n)
+    n_rows = corpus.count()
+    results: dict[str, dict] = {}
+
+    def run(name, df, count_col=None):
+        t0 = time.time()
+        if count_col is None:
+            out_rows = df.count()
+        else:
+            out_rows = df.agg(F.count(count_col)).first()[0]
+        dt = time.time() - t0
+        results[name] = {
+            "sec": round(dt, 2),
+            "out_rows": out_rows,
+            "rows_per_sec": int(n_rows / dt),
+        }
+        print(f"{name:24s} {dt:7.2f}s  out={out_rows}  ({int(n_rows/dt):,} rows/s)")
+
+    run("exact_dedup", corpus.groupBy(F.md5("t")).agg(F.min("id")))
+    run("minhash_lsh_neardup", dd.minhash_near_dups(corpus, "id", "t", 3, 8, 4, 0.5))
+    run("simhash", dd.simhash32(corpus, "id", "t"))
+    run("token_counts", with_token_counts(corpus, "t"))
+    run("fingerprints", with_fingerprint(corpus, "t"))
+
+    expected_pairs = 30 * n
+    found = results["minhash_lsh_neardup"]["out_rows"]
+    print(
+        json.dumps(
+            {
+                "corpus_rows": n_rows,
+                "scale_factor_n": n,
+                "planted_pairs": expected_pairs,
+                "minhash_pairs_found": found,
+                "ops": results,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
