@@ -552,6 +552,66 @@ GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
 
+def rollup_status_priority(spark, sf_dir):
+    """Hierarchical subtotal rollup (Spark's free built-in the reference's
+    dashboard layer would use — SURVEY §2.6 note): counts + revenue at
+    (status, priority), (status), and grand-total levels. Nulls from
+    aggregated-out levels are labeled so the hash compare is total."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("priority"),
+            "cnt",
+            "revenue",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+ROLLUP_SQL = """
+SELECT coalesce(o_orderstatus, '<all>') AS status,
+       coalesce(o_orderpriority, '<all>') AS priority,
+       count(*) AS cnt, round(sum(o_totalprice), 2) AS revenue
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY status, priority
+"""
+
+
+def trend_moving_avg(spark, sf_dir):
+    """A8 trend smoothing: daily order counts with a 7-day trailing moving
+    average over an ordered window frame (rows between 6 preceding and
+    current)."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count("*").alias("cnt")
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    return (
+        daily.withColumn("ma7", F.round(F.avg("cnt").over(w), 4))
+        .orderBy("day")
+        .limit(60)
+    )
+
+
+TREND_MA_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS cnt
+  FROM orders GROUP BY 1
+)
+SELECT day, cnt,
+       round(avg(cnt) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
+FROM daily ORDER BY day LIMIT 60
+"""
+
+
 def sentiment_pandas_udf(spark, sf_dir):
     """X1 through the REAL UDF surface: the lexicon classifier strategy runs
     as an Arrow-batched pandas UDF (same plumbing the HF model uses), then
@@ -614,6 +674,8 @@ EXT: dict[str, tuple] = {
     "sentiment_pandas_udf": (sentiment_pandas_udf, None),  # SQL filled below
     "locate_two_pass": (locate_two_pass, None),  # SQL filled below
     "salted_segment_revenue": (salted_segment_revenue, SALTED_SEGMENT_SQL),
+    "rollup_status_priority": (rollup_status_priority, ROLLUP_SQL),
+    "trend_moving_avg": (trend_moving_avg, TREND_MA_SQL),
 }
 
 
