@@ -15,7 +15,18 @@ Layout (SURVEY.md §7):
   pipeline   — end-to-end lifecycles (clean → locate → label → merge)
 """
 
-from mbgspark.session import get_spark
+from mbgspark.io import load_table, merge_by_key, register_views, write_partitioned
+from mbgspark.pipeline import reprocess, run_etl
+from mbgspark.session import ensure_session_conf, get_spark
 
-__all__ = ["get_spark"]
+__all__ = [
+    "ensure_session_conf",
+    "get_spark",
+    "load_table",
+    "merge_by_key",
+    "register_views",
+    "reprocess",
+    "run_etl",
+    "write_partitioned",
+]
 __version__ = "0.1.0"
