@@ -127,6 +127,26 @@ def merge_by_key(
     )
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    num_buckets: int = 32,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table for repeated co-located joins (the 100 TB
+    lever the reference's per-key upsert loop maps to): two tables bucketed
+    AND sorted on the same key with the same bucket count join with NO
+    shuffle and NO sort — the exchange the plain join would pay on every
+    run is paid once at write time. Spark only honors bucketing through the
+    catalog, hence saveAsTable rather than a path write."""
+    writer = df.write.mode(mode).bucketBy(num_buckets, bucket_col)
+    if sort:
+        writer = writer.sortBy(bucket_col)
+    writer.saveAsTable(table)
+
+
 def existing_partition_values(spark: SparkSession, path: str, partition_col: str) -> DataFrame:
     """F6 skip-scan support: list partition values already materialized, for
     the incremental loader's anti-join (resilient_etl.py:304-318)."""

@@ -55,6 +55,54 @@ def daily_counts_stream(df: DataFrame, watermark: str | None = None) -> DataFram
     )
 
 
+def stateful_author_counts(
+    stream: DataFrame,
+    key_col: str = "author_handle",
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState`` — the
+    Spark-native version of the reference's session-lifetime per-author
+    accumulators (A6 running totals, resilient_scraper.py:1272-1274), but
+    with durable state: counts survive micro-batch boundaries AND query
+    restarts through the checkpoint's state store.
+
+    State per key: (total count, like sum). Each micro-batch emits the
+    updated running totals for the keys it touched (update semantics).
+    Uses NoTimeout — the key space is bounded (authors); swap in
+    ProcessingTimeTimeout for unbounded keys needing TTL eviction."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = f"{key_col} string, total_cnt bigint, total_likes bigint"
+    state_schema = "cnt bigint, likes bigint"
+
+    def update(key, pdfs, state: GroupState):
+        rows = 0
+        likes = 0
+        for pdf in pdfs:
+            rows += len(pdf)
+            likes += int(pd.to_numeric(pdf["like_count"], errors="coerce").fillna(0).sum())
+        if state.exists:
+            (cnt0, likes0) = state.get
+        else:
+            cnt0, likes0 = 0, 0
+        state.update((cnt0 + rows, likes0 + likes))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "total_cnt": [cnt0 + rows],
+                "total_likes": [likes0 + likes],
+            }
+        )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def start_merge_sink(
     stream: DataFrame,
     store_path: str,

@@ -71,3 +71,38 @@ def test_foreachbatch_merge_sink_idempotent(spark, tmp_path):
     back = spark.read.parquet(store)
     assert back.count() == 2
     assert back.filter(F.col("_id") == "1").first()["like_count"] == 5
+
+
+def test_stateful_counts_survive_restart(spark, tmp_path):
+    from mbgspark.streaming import stateful_author_counts
+
+    src = tmp_path / "src3"
+    ckpt = str(tmp_path / "ck3")
+
+    def run_once(name):
+        # memory sink can't recover from a checkpoint; foreachBatch can
+        got = {}
+
+        def collect(batch_df, batch_id):
+            for r in batch_df.collect():
+                got[r["author_handle"]] = (r["total_cnt"], r["total_likes"])
+
+        q = (
+            stateful_author_counts(read_tweet_stream(spark, str(src)))
+            .writeStream.foreachBatch(collect)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return got
+
+    _write_batch(src, [R1, R2])  # handle h: 2 rows, 2 likes
+    got1 = run_once("state_run1")
+    assert got1 == {"h": (2, 2)}
+
+    # restart from the same checkpoint: state must carry over
+    _write_batch(src, [R1B])  # 1 more row, 5 likes
+    got2 = run_once("state_run2")
+    assert got2 == {"h": (3, 7)}
