@@ -1,0 +1,82 @@
+"""Property-based tests (SURVEY §5): invariants that must hold for ANY
+input, not just fixtures. Spark round trips are expensive, so each property
+runs a bounded number of hypothesis examples with batched evaluation —
+every example is a whole column, not a separate Spark job.
+"""
+
+import string
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from mbgspark.functions.cleaning import clean_for_analysis, normalized_text_key
+from mbgspark.io import merge_by_key
+from mbgspark.operators.dedup import dedup_by_key
+
+TEXT = st.text(
+    alphabet=string.ascii_letters + string.digits + " \t\n#@.:/-_",
+    max_size=80,
+)
+SETTINGS = settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(texts=st.lists(TEXT, min_size=1, max_size=8))
+@SETTINGS
+def test_clean_for_analysis_idempotent(spark, texts):
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    out = df.select(
+        clean_for_analysis(F.col("t")).alias("once")
+    ).withColumn("twice", clean_for_analysis(F.col("once")))
+    for r in out.collect():
+        assert r["twice"] == r["once"]
+
+
+@given(texts=st.lists(TEXT, min_size=1, max_size=8))
+@SETTINGS
+def test_normalized_key_case_and_pad_invariant(spark, texts):
+    rows = [(t, "  " + t.upper() + " ") for t in texts]
+    df = spark.createDataFrame(rows, "a string, b string")
+    out = df.select(
+        (normalized_text_key(F.col("a")) == normalized_text_key(F.col("b"))).alias("eq")
+    )
+    assert all(r["eq"] for r in out.collect())
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 100)), min_size=1, max_size=12
+    )
+)
+@SETTINGS
+def test_dedup_by_key_unique_and_subset(spark, rows):
+    df = spark.createDataFrame(rows, "k int, v int")
+    out = dedup_by_key(df, "k").collect()
+    keys = [r["k"] for r in out]
+    assert len(keys) == len(set(keys)) == len({k for k, _ in rows})
+    assert all((r["k"], r["v"]) in rows for r in out)
+
+
+@given(
+    base=st.lists(st.tuples(st.integers(0, 4), st.integers(0, 50)), max_size=8),
+    upd=st.lists(st.tuples(st.integers(0, 4), st.integers(51, 99)), max_size=8),
+)
+@SETTINGS
+def test_merge_by_key_idempotent_and_update_wins(spark, base, upd):
+    schema = "_id int, scraped_at int"
+    s = spark.createDataFrame(base, schema) if base else spark.createDataFrame([], schema)
+    u = spark.createDataFrame(upd, schema) if upd else spark.createDataFrame([], schema)
+    once = merge_by_key(s, u, key="_id", order_col="scraped_at")
+    twice = merge_by_key(once, u, key="_id", order_col="scraped_at")
+    got_once = sorted((r["_id"], r["scraped_at"]) for r in once.collect())
+    got_twice = sorted((r["_id"], r["scraped_at"]) for r in twice.collect())
+    assert got_once == got_twice  # replay converges (D3 upsert semantics)
+    upd_keys = {k for k, _ in upd}
+    latest_upd = {k: max(v for kk, v in upd if kk == k) for k in upd_keys}
+    for k, v in got_once:
+        if k in upd_keys:
+            assert v == latest_upd[k]  # update side wins over store
