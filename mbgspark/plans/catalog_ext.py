@@ -273,6 +273,51 @@ SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.99 ORDER BY id_a, id_b
 """
 
 
+def dedup_embedding_blocked(spark, sf_dir):
+    """The embeddings scale path in the gate: sign-hyperplane blocking
+    (block_bits=2) turns the all-pairs cosine into a bucket equi-join; only
+    same-bucket pairs are compared. Same planted duplicates as
+    dedup_embedding — scaled copies share their source's bucket by
+    construction (scaling preserves signs), so recall on the planted pairs
+    is exact and the oracle replays the bucketing in SQL."""
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    base = e.select(
+        F.col("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    copies = e.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double") * 2.0).alias("embedding"),
+    )
+    return dd.embedding_near_dups(
+        base.unionByName(copies), "vec_id", "embedding",
+        threshold=0.99, block_bits=2,
+    ).orderBy("id_a", "id_b")
+
+
+DEDUP_EMBEDDING_BLOCKED_SQL = """
+WITH unioned AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id < 200
+  UNION ALL
+  SELECT vec_id + 1000000, list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2)
+  FROM embeddings WHERE vec_id < 200
+),
+bucketed AS (
+  SELECT *, CAST(v[1] >= 0 AS INTEGER) || CAST(v[2] >= 0 AS INTEGER) AS bk
+  FROM unioned
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+               4) AS cos_sim
+  FROM bucketed a JOIN bucketed b USING (bk) WHERE a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.99 ORDER BY id_a, id_b
+"""
+
+
 # ------------------------------------------------------- similarity search --
 
 def ann_cosine_topk(spark, sf_dir):
@@ -664,6 +709,7 @@ EXT: dict[str, tuple] = {
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
     "dedup_embedding": (dedup_embedding, DEDUP_EMBEDDING_SQL),
+    "dedup_embedding_blocked": (dedup_embedding_blocked, DEDUP_EMBEDDING_BLOCKED_SQL),
     "ann_cosine_topk": (ann_cosine_topk, ANN_TOPK_SQL),
     "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),
     "langid_confusion": (langid_confusion, LANGID_SQL),
