@@ -36,10 +36,14 @@ def apply_cleaning(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def detect_locations(df: DataFrame, dim: DataFrame, id_col: str = "_id") -> DataFrame:
+def detect_locations(df: DataFrame, dim, id_col: str = "_id") -> DataFrame:
     """J1 first-match containment join against text + author name
     (utils.py:336-437; author concat per :351-352). Left join semantics:
-    unmatched tweets keep null province/city."""
+    unmatched tweets keep null province/city.
+
+    ``dim`` is a DataFrame (collected — it's driver-small by the same
+    contract that makes it broadcast-able) or an already-materialized list
+    of rows/tuples, which skips the collect job entirely."""
     search = F.concat_ws(
         " ", F.col("clean_text"), F.lower(F.coalesce("author_name", F.lit("")))
     )
@@ -48,7 +52,10 @@ def detect_locations(df: DataFrame, dim: DataFrame, id_col: str = "_id") -> Data
     # is driver-small (456 rows at reference scale), so it compiles to a
     # first-match CASE chain — one codegen'd pass, no join, no shuffle
     # (containment_join_first_match is the fallback for unbounded dims).
-    hit = first_match_case_expr(dim.collect(), search)
+    rows = dim.collect() if isinstance(dim, DataFrame) else dim
+    fields = ("province", "city", "dict_order", "term")
+    rows = [dict(zip(fields, r)) if isinstance(r, tuple) else r for r in rows]
+    hit = first_match_case_expr(rows, search)
     return (
         df.withColumn("province", hit["province"])
         .withColumn("city", hit["city"])

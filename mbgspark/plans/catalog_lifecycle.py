@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from mbgspark.pipeline import locations_dim, run_etl
+from mbgspark.pipeline import run_etl
 from mbgspark.plans.catalog_core import _t
 from mbgspark.schema import DEFAULT_LOCATIONS
 
@@ -45,7 +45,9 @@ def etl_lifecycle(spark, sf_dir):
             " timestamp'2025-01-01 00:00:00')"
         ).alias("created_at"),
     )
-    out = run_etl(raw, locations_dim(spark), id_col="_id", event_ts_col="created_at")
+    # pass the dim as plain rows: the CASE-chain compiler needs driver-side
+    # values anyway, so skip the createDataFrame+collect round trip
+    out = run_etl(raw, DEFAULT_LOCATIONS, id_col="_id", event_ts_col="created_at")
     return (
         out.groupBy(
             F.coalesce("province", F.lit("unknown")).alias("province"),
