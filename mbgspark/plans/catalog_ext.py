@@ -597,6 +597,44 @@ GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
 
+def asof_click_view(spark, sf_dir):
+    """As-of join in the gate: each click event enriched with the timestamp
+    of the same user's most recent at-or-before view event, plus the gap in
+    seconds. Oracle: DuckDB's native ASOF LEFT JOIN. Output carries view_ts
+    (not the view's id) so exact-tie right rows — impossible in this data,
+    but theoretically ambiguous — would still hash identically."""
+    from mbgspark.operators.asof import as_of_join
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("ts").alias("view_ts")
+    )
+    joined = as_of_join(clicks, views, "user_id", "ts", "ts", ["view_ts"])
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.round(
+            (F.unix_micros("ts") - F.unix_micros("asof_view_ts")) / 1e6, 3
+        ).alias("gap_sec"),
+    ).orderBy("event_id")
+
+
+ASOF_SQL = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+views AS (SELECT user_id, ts FROM events WHERE event_type = 'view')
+SELECT c.event_id, c.user_id,
+       round(epoch(c.ts) - epoch(v.ts), 3) AS gap_sec
+FROM clicks c ASOF LEFT JOIN views v
+  ON c.user_id = v.user_id AND c.ts >= v.ts
+ORDER BY c.event_id
+"""
+
+
 def rollup_status_priority(spark, sf_dir):
     """Hierarchical subtotal rollup (Spark's free built-in the reference's
     dashboard layer would use — SURVEY §2.6 note): counts + revenue at
@@ -722,6 +760,7 @@ EXT: dict[str, tuple] = {
     "salted_segment_revenue": (salted_segment_revenue, SALTED_SEGMENT_SQL),
     "rollup_status_priority": (rollup_status_priority, ROLLUP_SQL),
     "trend_moving_avg": (trend_moving_avg, TREND_MA_SQL),
+    "asof_click_view": (asof_click_view, ASOF_SQL),
 }
 
 

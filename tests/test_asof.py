@@ -1,0 +1,32 @@
+"""As-of join semantics: at-or-before matching, exact-timestamp ties match,
+no-prior-row yields null, and keys never cross."""
+
+import datetime as dt
+
+from mbgspark.operators.asof import as_of_join
+
+T = dt.datetime
+
+
+def test_asof_semantics(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 10, T(2025, 1, 1, 12, 0, 0)),   # after r2 → matches r2
+            (2, 10, T(2025, 1, 1, 10, 0, 0)),   # exact tie with r1 → matches r1
+            (3, 10, T(2025, 1, 1, 9, 0, 0)),    # before all → null
+            (4, 20, T(2025, 1, 1, 12, 0, 0)),   # other key, no rights → null
+        ],
+        "event_id int, user_id int, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, T(2025, 1, 1, 10, 0, 0), 100.0),  # r1
+            (10, T(2025, 1, 1, 11, 0, 0), 200.0),  # r2
+        ],
+        "user_id int, ts timestamp, price double",
+    )
+    out = {
+        r["event_id"]: r["asof_price"]
+        for r in as_of_join(left, right, "user_id", "ts", "ts", ["price"]).collect()
+    }
+    assert out == {1: 200.0, 2: 100.0, 3: None, 4: None}
