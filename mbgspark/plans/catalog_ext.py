@@ -635,6 +635,48 @@ ORDER BY c.event_id
 """
 
 
+# value tiers for the range join — inclusive bounds, deterministic
+VALUE_TIERS = [
+    (0.0, 5.0, "tiny"),
+    (5.0, 25.0, "small"),
+    (25.0, 100.0, "medium"),
+    (100.0, 1000.0, "large"),
+]
+VALUE_TIERS_SQL = (
+    "(VALUES "
+    + ", ".join(f"({lo}, {hi}, '{t}')" for lo, hi, t in VALUE_TIERS)
+    + ") AS tiers(lo, hi, tier)"
+)
+
+
+def range_join_value_tiers(spark, sf_dir):
+    """Banded range join in the gate: events.value joined to inclusive
+    [lo, hi] tiers through the band-bucket equi-join (operators/rangejoin),
+    rolled up per (event_type, tier). Boundary values (e.g. 5.0) match BOTH
+    adjacent tiers — identically in the SQL oracle's plain theta-join."""
+    from mbgspark.operators.rangejoin import banded_range_join
+
+    e = _t(spark, sf_dir, "events").select("event_type", "value")
+    tiers = spark.createDataFrame(VALUE_TIERS, "lo double, hi double, tier string")
+    return (
+        banded_range_join(e, tiers, "value", "lo", "hi", band_width=25.0)
+        .groupBy("event_type", "tier")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("event_type", "tier")
+    )
+
+
+RANGE_JOIN_SQL = f"""
+SELECT event_type, tier, count(*) AS cnt, round(sum(value), 2) AS sum_value
+FROM events JOIN {VALUE_TIERS_SQL}
+  ON value >= lo AND value <= hi
+GROUP BY event_type, tier ORDER BY event_type, tier
+"""
+
+
 def rollup_status_priority(spark, sf_dir):
     """Hierarchical subtotal rollup (Spark's free built-in the reference's
     dashboard layer would use — SURVEY §2.6 note): counts + revenue at
@@ -761,6 +803,7 @@ EXT: dict[str, tuple] = {
     "rollup_status_priority": (rollup_status_priority, ROLLUP_SQL),
     "trend_moving_avg": (trend_moving_avg, TREND_MA_SQL),
     "asof_click_view": (asof_click_view, ASOF_SQL),
+    "range_join_value_tiers": (range_join_value_tiers, RANGE_JOIN_SQL),
 }
 
 
