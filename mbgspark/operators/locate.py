@@ -143,6 +143,74 @@ def fuzzy_top1_join(
     )
 
 
+def partial_ratio_top1(
+    fact: DataFrame,
+    fact_id: str,
+    text_col: str,
+    terms: list[tuple[str, str, str]],
+    threshold: int = 70,
+) -> DataFrame:
+    """J2 with the reference's ACTUAL similarity measure: fuzz.partial_ratio
+    (utils.py:440-492) — best SequenceMatcher ratio of the term against any
+    equal-length window of the text, scored 0-100, arg-max per row with
+    ≥ threshold cutoff and (score desc, term asc) tie-break.
+
+    rapidfuzz isn't in this environment, so the measure is implemented on
+    stdlib difflib inside an Arrow-batched pandas UDF; ``terms`` is a
+    driver-small list of (term, province, city) closed over by the UDF —
+    the same bounded-dim contract as the broadcast joins. The scan is a
+    single map (no join, no shuffle); levenshtein-based fuzzy_top1_join
+    remains the JVM-only alternative."""
+    import pandas as pd
+    from difflib import SequenceMatcher
+
+    from pyspark.sql.functions import pandas_udf
+
+    term_list = sorted(terms)  # deterministic tie-break order
+
+    def partial_ratio(term: str, text: str) -> int:
+        if not term or not text:
+            return 0
+        if len(term) > len(text):
+            term, text = text, term
+        n = len(term)
+        best = 0.0
+        for start in range(0, len(text) - n + 1):
+            r = SequenceMatcher(None, term, text[start : start + n]).ratio()
+            if r > best:
+                best = r
+                if best == 1.0:
+                    break
+        return int(round(best * 100))
+
+    # no type hints: with `from __future__ import annotations` they become
+    # forward refs pyspark can't resolve against this module's globals
+    @pandas_udf("term string, province string, city string, score int")
+    def _best(texts):
+        out = []
+        for t in texts.fillna(""):
+            t = t.lower()
+            best = None
+            for term, prov, city in term_list:
+                s = partial_ratio(term, t)
+                if s >= threshold and (best is None or s > best[3]):
+                    best = (term, prov, city, s)
+            out.append(best or (None, None, None, None))
+        return pd.DataFrame(out, columns=["term", "province", "city", "score"])
+
+    hit = _best(F.col(text_col))
+    return (
+        fact.withColumn("__hit", hit)
+        .select(
+            fact_id,
+            F.col("__hit.term").alias("term"),
+            F.col("__hit.province").alias("province"),
+            F.col("__hit.city").alias("city"),
+            F.col("__hit.score").alias("score"),
+        )
+    )
+
+
 def two_pass_locate(
     fact: DataFrame,
     dim: DataFrame,

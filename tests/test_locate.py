@@ -57,3 +57,28 @@ def test_two_pass_exact_then_fuzzy(spark):
     assert rows[1] == ("bandung", "exact")
     assert rows[2] == ("bandung", "fuzzy")
     assert 3 not in rows  # 'tanpa'→? nothing within distance 1
+
+
+def test_partial_ratio_top1_matches_reference_semantics(spark):
+    from mbgspark.operators.locate import partial_ratio_top1
+
+    terms = [
+        ("jakarta selatan", "dki jakarta", "jakarta selatan"),
+        ("bandung", "jawa barat", "bandung"),
+        ("surabaya", "jawa timur", "surabaya"),
+    ]
+    df = spark.createDataFrame(
+        [
+            (1, "tinggal di jakrta selatan sekarang"),   # 1-char typo → high partial
+            (2, "kota bandung juara"),                   # exact substring → 100
+            (3, "tidak ada kota disini"),                # below threshold → nulls
+        ],
+        "id int, text string",
+    )
+    got = {
+        r["id"]: (r["city"], r["score"])
+        for r in partial_ratio_top1(df, "id", "text", terms, threshold=70).collect()
+    }
+    assert got[2] == ("bandung", 100)
+    assert got[1][0] == "jakarta selatan" and got[1][1] >= 90
+    assert got[3] == (None, None)
