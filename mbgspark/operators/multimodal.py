@@ -69,6 +69,38 @@ def extract_features(df: DataFrame, fake_decode: bool = True) -> DataFrame:
     return df.mapInPandas(_extract, FEATURE_SCHEMA)
 
 
+def resize_media(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize plumbing via mapInPandas: output binary is exactly
+    width·height bytes per row. The resample itself is stubbed (real codecs
+    absent — bytes are cycled/truncated deterministically), but the batch
+    shape, binary-in/binary-out signature, and metadata columns are the
+    real contract a decoder plugs into."""
+    out_schema = "media_id bigint, media_type string, content binary, width int, height int"
+    n = width * height
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            def cycle(b: bytes | None) -> bytes | None:
+                if b is None:
+                    return None
+                if not b:
+                    return bytes(n)
+                reps = (n + len(b) - 1) // len(b)
+                return (b * reps)[:n]
+
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "content": pdf["content"].map(cycle),
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return df.mapInPandas(_resize, out_schema)
+
+
 def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame-sampling plumbing: one row per sampled frame index.
     Frame decode is stubbed (NotImplementedError path in decode_image); the

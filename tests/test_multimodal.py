@@ -49,3 +49,15 @@ def test_binary_stats_matches_python_path(spark):
     }
     assert jvm == py
     assert jvm[2][0] == 5
+
+
+def test_resize_media_exact_output_size(spark):
+    from mbgspark.operators.multimodal import resize_media
+
+    out = {
+        r["media_id"]: r
+        for r in resize_media(_media(spark), width=4, height=3).collect()
+    }
+    assert len(out[1]["content"]) == 12 and len(out[2]["content"]) == 12
+    assert out[2]["content"] == (b"hello" * 3)[:12]  # deterministic cycle
+    assert (out[1]["width"], out[1]["height"]) == (4, 3)
