@@ -628,7 +628,10 @@ WITH clicks AS (
 ),
 views AS (SELECT user_id, ts FROM events WHERE event_type = 'view')
 SELECT c.event_id, c.user_id,
-       round(epoch(c.ts) - epoch(v.ts), 3) AS gap_sec
+       -- integer-microsecond diff, then divide: epoch(ts) doubles lose the
+       -- last milli digit at 1e9-second magnitudes (matches Spark's
+       -- unix_micros arithmetic exactly)
+       round((epoch_us(c.ts) - epoch_us(v.ts)) / 1000000.0, 3) AS gap_sec
 FROM clicks c ASOF LEFT JOIN views v
   ON c.user_id = v.user_id AND c.ts >= v.ts
 ORDER BY c.event_id
