@@ -106,3 +106,25 @@ def test_stateful_counts_survive_restart(spark, tmp_path):
     _write_batch(src, [R1B])  # 1 more row, 5 likes
     got2 = run_once("state_run2")
     assert got2 == {"h": (3, 7)}
+
+
+def test_max_files_per_trigger_paces_batches(spark, tmp_path):
+    # O3 pacing analog (max_per_page=50): 3 source files with
+    # maxFilesPerTrigger=1 must process as 3 distinct micro-batches
+    src = tmp_path / "src4"
+    for r in (R1, R1B, R2):
+        _write_batch(src, [r])
+    batches = []
+
+    def collect(batch_df, batch_id):
+        batches.append(batch_df.count())
+
+    q = (
+        read_tweet_stream(spark, str(src), max_files_per_trigger=1)
+        .writeStream.foreachBatch(collect)
+        .option("checkpointLocation", str(tmp_path / "ck4"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert batches == [1, 1, 1]
