@@ -638,6 +638,54 @@ ORDER BY c.event_id
 """
 
 
+def percentile_by_status(spark, sf_dir):
+    """Exact interpolated percentiles (median + p90) of order totals per
+    status — Spark's percentile() and DuckDB's quantile_cont share the
+    linear-interpolation definition, so values hash-match after rounding."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+            F.count("*").alias("cnt"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+PERCENTILE_SQL = """
+SELECT o_orderstatus,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+       count(*) AS cnt
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+def grouped_string_agg(spark, sf_dir):
+    """Ordered string aggregation: per region, the sorted nation roster as
+    one delimited string (collect_list → array_sort → array_join ≙
+    string_agg ORDER BY)."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations")
+        )
+        .orderBy("r_name")
+    )
+
+
+STRING_AGG_SQL = """
+SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name
+"""
+
+
 # value tiers for the range join — inclusive bounds, deterministic
 VALUE_TIERS = [
     (0.0, 5.0, "tiny"),
@@ -807,6 +855,8 @@ EXT: dict[str, tuple] = {
     "trend_moving_avg": (trend_moving_avg, TREND_MA_SQL),
     "asof_click_view": (asof_click_view, ASOF_SQL),
     "range_join_value_tiers": (range_join_value_tiers, RANGE_JOIN_SQL),
+    "percentile_by_status": (percentile_by_status, PERCENTILE_SQL),
+    "grouped_string_agg": (grouped_string_agg, STRING_AGG_SQL),
 }
 
 
