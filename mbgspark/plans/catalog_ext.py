@@ -638,6 +638,51 @@ ORDER BY c.event_id
 """
 
 
+def sessionize_events(spark, sf_dir):
+    """Event-time sessionization: per-user sessions split at 3-day
+    inactivity gaps, via Spark's built-in session_window (state-store
+    backed in streaming; plain aggregation in batch). Oracle replays the
+    classic gaps-and-islands formulation (lag → new-session flag →
+    running sum) — same session boundaries by construction."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "3 days").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("sess_start"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("user_id", "sess_start")
+    )
+
+
+SESSIONIZE_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 3 DAY
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+),
+numbered AS (
+  SELECT user_id, ts, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM flagged
+)
+SELECT user_id, min(ts) AS sess_start, count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM numbered GROUP BY user_id, sess_id
+ORDER BY user_id, sess_start
+"""
+
+
 def percentile_by_status(spark, sf_dir):
     """Exact interpolated percentiles (median + p90) of order totals per
     status — Spark's percentile() and DuckDB's quantile_cont share the
@@ -857,6 +902,7 @@ EXT: dict[str, tuple] = {
     "range_join_value_tiers": (range_join_value_tiers, RANGE_JOIN_SQL),
     "percentile_by_status": (percentile_by_status, PERCENTILE_SQL),
     "grouped_string_agg": (grouped_string_agg, STRING_AGG_SQL),
+    "sessionize_events": (sessionize_events, SESSIONIZE_SQL),
 }
 
 

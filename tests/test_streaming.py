@@ -128,3 +128,32 @@ def test_max_files_per_trigger_paces_batches(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert batches == [1, 1, 1]
+
+
+def test_stream_static_broadcast_enrichment(spark, tmp_path):
+    # stream-static join: micro-batches enrich against a broadcast dim
+    # without stopping the stream (the streaming analog of J1's bounded-dim
+    # contract)
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "src5"
+    _write_batch(src, [R1, R2])
+    dim = spark.createDataFrame(
+        [("h", "verified")], "author_handle string, badge string"
+    )
+    stream = read_tweet_stream(spark, str(src)).join(
+        F.broadcast(dim), "author_handle", "left"
+    )
+    rows = []
+
+    def collect(batch_df, batch_id):
+        rows.extend(batch_df.select("_id", "badge").collect())
+
+    q = (
+        stream.writeStream.foreachBatch(collect)
+        .option("checkpointLocation", str(tmp_path / "ck5"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert {(r["_id"], r["badge"]) for r in rows} == {("1", "verified"), ("2", "verified")}
