@@ -638,6 +638,62 @@ ORDER BY c.event_id
 """
 
 
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def pivot_event_types(spark, sf_dir):
+    """Wide pivot: per-user event counts, one column per event type. The
+    pivot value list is pinned (never inferred) — at scale inference is an
+    extra job over the whole input; the oracle is plain conditional
+    aggregation."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .count()
+        .na.fill(0, EVENT_TYPES)
+        .orderBy("user_id")
+    )
+
+
+PIVOT_SQL = """
+SELECT user_id,
+       {cols}
+FROM events GROUP BY user_id ORDER BY user_id
+""".format(
+    cols=",\n       ".join(
+        f"sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS {t}"
+        for t in EVENT_TYPES
+    )
+)
+
+
+def json_props_extract(spark, sf_dir):
+    """JSON column parsing (the real S6 mechanism — raw scrape records land
+    as JSON and are schematized with from_json): extract props.k, aggregate
+    per event type. Malformed/missing keys become nulls, not errors."""
+    e = _t(spark, sf_dir, "events")
+    parsed = e.withColumn("p", F.from_json("props", "k int"))
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count("p.k").alias("n_with_k"),
+            F.sum("p.k").cast("bigint").alias("sum_k"),
+            F.max("p.k").cast("bigint").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+JSON_PROPS_SQL = """
+SELECT event_type,
+       count(CAST(json_extract(props, '$.k') AS INTEGER)) AS n_with_k,
+       CAST(sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+       CAST(max(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS max_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def sessionize_events(spark, sf_dir):
     """Event-time sessionization: per-user sessions split at 3-day
     inactivity gaps, via Spark's built-in session_window (state-store
@@ -903,6 +959,8 @@ EXT: dict[str, tuple] = {
     "percentile_by_status": (percentile_by_status, PERCENTILE_SQL),
     "grouped_string_agg": (grouped_string_agg, STRING_AGG_SQL),
     "sessionize_events": (sessionize_events, SESSIONIZE_SQL),
+    "pivot_event_types": (pivot_event_types, PIVOT_SQL),
+    "json_props_extract": (json_props_extract, JSON_PROPS_SQL),
 }
 
 

@@ -57,3 +57,18 @@ def test_multimodal_stub_contract(spark):
     assert len(feats["feat"]) == 8
     stats = binary_stats(df).first()
     assert stats["content_hash"] == feats["content_hash"]
+
+
+def test_approx_count_distinct_within_tolerance(spark):
+    # HLL++ approx aggregate: the scale path for distincts where exact
+    # count(DISTINCT) would shuffle the full value set; default rsd 5%
+    from mbgspark.io import load_table
+    from pyspark.sql import functions as F
+
+    o = load_table(spark, "/root/testdata/sf0.01", "orders")
+    row = o.agg(
+        F.approx_count_distinct("o_custkey", 0.02).alias("approx"),
+        F.countDistinct("o_custkey").alias("exact"),
+    ).first()
+    # rsd is a standard deviation, not a bound — allow a few sigma
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.1
