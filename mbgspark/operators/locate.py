@@ -46,6 +46,15 @@ def containment_join_first_match(
       needed when terms are multi-word or text isn't token-normalized."""
     b = F.broadcast(dim)
     if explode_tokens:
+        # token equi-join can only match single-word terms; a multi-word
+        # term ("jakarta selatan") would be silently unmatched — fail loud
+        # so callers pick the regex/membership strategy instead
+        bad = dim.filter(F.col(term_col).rlike(r"\s")).limit(1).count()
+        if bad:
+            raise ValueError(
+                "explode_tokens=True requires single-word terms; dim contains "
+                "multi-word terms — use use_token_membership/regex instead"
+            )
         other_cols = [c for c in dim.columns if c not in (term_col, order_col)]
         toks = fact.select(
             F.col(fact_id),
@@ -99,23 +108,23 @@ def first_match_case_expr(
     null_struct = F.lit(None).cast(
         "struct<" + ",".join(f"{f}:string" for f in out_fields) + ">"
     )
-    expr = null_struct
-    for row in sorted(dim_rows, key=lambda r: r[order_field], reverse=True):
+    ordered = sorted(dim_rows, key=lambda r: r[order_field])
+    # FLAT when-chaining (one CaseWhen node with N branches, first TRUE
+    # branch wins = lowest dict_order). Nesting N CaseWhens via otherwise()
+    # instead overflows the analyzer stack at the reference's real dim size
+    # (456 terms) — found by the 500-term regression test.
+    expr = None
+    for row in ordered:
         pattern = r"\b" + _re.escape(row[term_field]) + r"\b"
-        hit = F.struct(
-            *[F.lit(row[f]).alias(f) for f in out_fields]
-        )
-        expr = F.when(text.rlike(pattern), hit).otherwise(expr)
+        hit = F.struct(*[F.lit(row[f]).alias(f) for f in out_fields])
+        cond = text.rlike(pattern)
+        expr = F.when(cond, hit) if expr is None else expr.when(cond, hit)
+    expr = expr.otherwise(null_struct) if expr is not None else null_struct
     # single-alternation prefilter: rows that mention NO term (the common
     # case on a real corpus) pay one regex instead of |dim| — the priority
     # chain only runs on prefiltered hits, semantics unchanged
     any_term = (
-        r"\b(?:"
-        + "|".join(
-            _re.escape(r[term_field])
-            for r in sorted(dim_rows, key=lambda r: r[order_field])
-        )
-        + r")\b"
+        r"\b(?:" + "|".join(_re.escape(r[term_field]) for r in ordered) + r")\b"
     )
     return F.when(text.rlike(any_term), expr).otherwise(null_struct)
 

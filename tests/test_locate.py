@@ -82,3 +82,41 @@ def test_partial_ratio_top1_matches_reference_semantics(spark):
     assert got[2] == ("bandung", 100)
     assert got[1][0] == "jakarta selatan" and got[1][1] >= 90
     assert got[3] == (None, None)
+
+
+def test_explode_tokens_rejects_multiword_terms(spark):
+    import pytest
+    from mbgspark.operators.locate import containment_join_first_match
+
+    fact = spark.createDataFrame([(1, "di jakarta selatan")], "id int, text string")
+    dim = spark.createDataFrame(
+        [("jakarta selatan", 1)], "term string, dict_order int"
+    )
+    with pytest.raises(ValueError, match="single-word"):
+        containment_join_first_match(
+            fact, dim, "id", "text", "term", explode_tokens=True
+        )
+
+
+def test_case_chain_compiles_at_reference_dim_size(spark):
+    # the reference dim is 456 (province, city) pairs + aliases; a 500-term
+    # CASE chain must survive codegen (or its interpreted fallback) and
+    # still return the right first match
+    from mbgspark.operators.locate import first_match_case_expr
+    from pyspark.sql import functions as F
+
+    rows = [
+        {"province": f"prov{i:03d}", "city": f"city{i:03d}",
+         "dict_order": i, "term": f"city{i:03d}"}
+        for i in range(1, 501)
+    ]
+    df = spark.createDataFrame(
+        [(1, "visiting city450 and city007 today"), (2, "no city here")],
+        "id int, text string",
+    )
+    hit = first_match_case_expr(rows, F.col("text"))
+    got = {
+        r["id"]: r["c"]
+        for r in df.select("id", hit["city"].alias("c")).collect()
+    }
+    assert got == {1: "city007", 2: None}  # lowest dict_order wins
