@@ -100,9 +100,14 @@ def first_match_case_expr(
     zero joins, zero shuffles, single corpus scan. First match by
     ``order_field`` wins, exactly like the join formulation.
 
-    Returns a struct column (null when nothing matches). This is the plan
-    the 100 TB lifecycle wants: the join version exists for dims too large
-    to collect()."""
+    Returns a struct column (null when nothing matches).
+
+    Strategy guidance (measured at sf0.1, 5k docs): at 500 terms the
+    compiled chain runs ~1.6 s vs ~0.6 s for the token equi-join
+    (containment_join_first_match(explode_tokens=True)) — so prefer the
+    token join when ALL terms are single words; the CASE chain is the
+    right plan for multi-word terms (regex containment is unavoidable
+    there) and for small dims where it folds into the surrounding map."""
     import re as _re
 
     null_struct = F.lit(None).cast(
