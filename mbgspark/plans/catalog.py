@@ -14,11 +14,13 @@ from pyspark.sql import DataFrame, SparkSession
 
 from mbgspark.plans.catalog_core import CORE
 from mbgspark.plans.catalog_ext import EXT
+from mbgspark.plans.catalog_joins import JOINS
 from mbgspark.plans.catalog_lifecycle import LIFECYCLE
 
 CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     **CORE,
     **EXT,
+    **JOINS,
     **LIFECYCLE,
 }
 

@@ -1,0 +1,277 @@
+"""Multi-join / set-op / windowed analytics gate queries.
+
+These go beyond the reference's single-fact lineage to prove the engine
+handles the plans a 100 TB warehouse actually runs: star-schema multi-joins
+where Catalyst must broadcast the dimension chain and shuffle only the
+facts, CUBE subtotal lattices, lag/lead deltas, INTERSECT/EXCEPT set
+algebra, and scalar-subquery (cross-join-broadcast) comparisons.
+
+Shapes modeled on TPC-H Q3/Q5 (public spec) restated over the driver's
+TPC-H-ish testdata. Reference parity anchor: these generalize the
+dashboard aggregations of SURVEY §2.6 A8 (`README.md:84-94` per-region /
+trend rollups) from 2-table to full snowflake depth.
+
+Same contract rules as catalog_core: identical aliases both engines, total
+ORDER BY, floats rounded (2 dp money), counts left as native BIGINT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from mbgspark.plans.catalog_core import _t
+
+def _revenue():
+    return F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+
+
+# ------------------------------------------------------------ TPC-H Q3 ----
+def shipping_priority_top10(spark, sf_dir):
+    """TPC-H Q3 shape: customer ⋈ orders ⋈ lineitem, segment + date window
+    filters pushed below the joins, per-order revenue, global top-10.
+    customer is broadcast; only orders⋈lineitem shuffles on orderkey."""
+    CUT = "1997-06-01"
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit(CUT))
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit(CUT))
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+SHIPPING_PRIORITY_SQL = """
+SELECT l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < '1997-06-01'
+  AND l_shipdate  > '1997-06-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
+# ------------------------------------------------------------ TPC-H Q5 ----
+def region_nation_revenue(spark, sf_dir):
+    """TPC-H Q5 shape: 6-table snowflake (region→nation→customer/supplier →
+    orders→lineitem) with the local-supplier constraint
+    c_nationkey = s_nationkey. All four dimension hops broadcast; the
+    single shuffle is orders⋈lineitem."""
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+REGION_NATION_SQL = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+# ------------------------------------------------------- CUBE lattice -----
+def cube_flag_status(spark, sf_dir):
+    """Full CUBE over (l_returnflag, l_linestatus): every subtotal level in
+    one pass (Spark Expand + single hash agg — no N re-scans). grouping_id
+    disambiguates the lattice level; null group cells mapped to 'ALL' so
+    null-ordering dialects can't skew the hash."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("cnt"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .select(
+            F.col("gid").cast("bigint").alias("gid"),
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "cnt",
+            "sum_qty",
+        )
+        .orderBy("gid", "returnflag", "linestatus")
+    )
+
+
+CUBE_SQL = """
+SELECT CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT)
+         AS gid,
+       coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       count(*) AS cnt,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY gid, returnflag, linestatus
+"""
+
+
+# ------------------------------------------------- lag/lead day deltas ----
+def dod_order_delta(spark, sf_dir):
+    """Day-over-day delta of daily order counts via lag(), plus the next
+    day's count via lead() — the trend-dashboard derivative (SURVEY A8)
+    as window functions over one sorted pass."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day")
+    ).agg(F.count("*").alias("cnt"))
+    w = Window.orderBy("day")
+    return (
+        daily.select(
+            "day",
+            "cnt",
+            (F.col("cnt") - F.lag("cnt", 1).over(w)).alias("dod_delta"),
+            F.lead("cnt", 1).over(w).alias("next_cnt"),
+        )
+        .orderBy("day")
+        .limit(120)
+    )
+
+
+DOD_DELTA_SQL = """
+WITH daily AS (
+  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day, count(*) AS cnt
+  FROM orders GROUP BY 1
+)
+SELECT day, cnt,
+       cnt - lag(cnt, 1) OVER (ORDER BY day) AS dod_delta,
+       lead(cnt, 1) OVER (ORDER BY day) AS next_cnt
+FROM daily ORDER BY day LIMIT 120
+"""
+
+
+# ------------------------------------------- INTERSECT / EXCEPT algebra ---
+def customer_period_sets(spark, sf_dir):
+    """Customer-retention set algebra: buyers active in both 1996 and 1997
+    (INTERSECT) vs churned (EXCEPT) vs acquired (reverse EXCEPT), counted.
+    Spark plans these as left-semi / left-anti joins over the distinct
+    key sets — no driver-side materialization."""
+    o = _t(spark, sf_dir, "orders")
+
+    def buyers(y0: str, y1: str):
+        return (
+            o.filter(
+                (F.col("o_orderdate") >= F.lit(y0))
+                & (F.col("o_orderdate") < F.lit(y1))
+            )
+            .select("o_custkey")
+            .distinct()
+        )
+
+    a = buyers("1996-01-01", "1997-01-01")
+    b = buyers("1997-01-01", "1998-01-01")
+    rows = [
+        ("acquired_1997", b.subtract(a)),
+        ("churned_after_1996", a.subtract(b)),
+        ("retained_both", a.intersect(b)),
+    ]
+    out = None
+    for name, df in rows:
+        piece = df.agg(F.count("*").alias("cnt")).select(
+            F.lit(name).alias("segment"), "cnt"
+        )
+        out = piece if out is None else out.unionByName(piece)
+    return out.orderBy("segment")
+
+
+PERIOD_SETS_SQL = """
+WITH a AS (SELECT DISTINCT o_custkey FROM orders
+           WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'),
+     b AS (SELECT DISTINCT o_custkey FROM orders
+           WHERE o_orderdate >= '1997-01-01' AND o_orderdate < '1998-01-01')
+SELECT 'acquired_1997' AS segment,
+       (SELECT count(*) FROM (SELECT * FROM b EXCEPT SELECT * FROM a)) AS cnt
+UNION ALL
+SELECT 'churned_after_1996',
+       (SELECT count(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b))
+UNION ALL
+SELECT 'retained_both',
+       (SELECT count(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b))
+ORDER BY segment
+"""
+
+
+# ----------------------------------------- scalar-subquery comparison -----
+def big_spenders_vs_avg(spark, sf_dir):
+    """Customers whose lifetime spend beats the average customer's: scalar
+    aggregate broadcast against the per-customer rollup (the Spark plan is
+    a 1-row broadcast nested-loop — no second scan of orders). Spend is
+    rounded to cents in BOTH engines before the knife-edge comparison so
+    fp summation order can't flip a membership."""
+    o = _t(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("spend")
+    )
+    thr = spend.agg(F.round(F.avg("spend"), 2).alias("thr"))
+    return (
+        spend.join(F.broadcast(thr))
+        .filter(F.col("spend") > F.col("thr"))
+        .agg(
+            F.count("*").alias("n_above"),
+            F.round(F.sum("spend"), 2).alias("spend_above"),
+            F.min("o_custkey").alias("first_custkey"),
+        )
+    )
+
+
+BIG_SPENDERS_SQL = """
+WITH spend AS (
+  SELECT o_custkey, round(sum(o_totalprice), 2) AS spend
+  FROM orders GROUP BY o_custkey
+),
+thr AS (SELECT round(avg(spend), 2) AS thr FROM spend)
+SELECT count(*) AS n_above, round(sum(spend), 2) AS spend_above,
+       min(o_custkey) AS first_custkey
+FROM spend, thr WHERE spend > thr
+"""
+
+
+JOINS: dict[str, tuple] = {
+    "shipping_priority_top10": (shipping_priority_top10, SHIPPING_PRIORITY_SQL),
+    "region_nation_revenue": (region_nation_revenue, REGION_NATION_SQL),
+    "cube_flag_status": (cube_flag_status, CUBE_SQL),
+    "dod_order_delta": (dod_order_delta, DOD_DELTA_SQL),
+    "customer_period_sets": (customer_period_sets, PERIOD_SETS_SQL),
+    "big_spenders_vs_avg": (big_spenders_vs_avg, BIG_SPENDERS_SQL),
+}

@@ -84,3 +84,35 @@ def test_sentiment_udf_is_arrow_not_batch(spark):
 def test_set_ops_stay_hash_based(spark, name):
     plan = plan_of(spark, name)
     assert "CartesianProduct" not in plan
+
+
+def test_tpch_q3_broadcasts_customer_shuffles_fact(spark):
+    # the only shuffle join allowed is orders⋈lineitem on orderkey; the
+    # filtered customer dim must broadcast
+    plan = plan_of(spark, "shipping_priority_top10")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # segment filter pushed to the customer scan, not evaluated post-join
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+
+
+def test_tpch_q5_snowflake_dims_all_broadcast(spark):
+    # 5 joins total; the 4 dimension hops (customer, supplier, nation,
+    # region) broadcast — at most one non-broadcast (fact⋈fact) join
+    plan = plan_of(spark, "region_nation_revenue")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cube_is_single_pass_expand(spark):
+    # CUBE must plan as one scan + Expand, not a union of re-scans
+    plan = plan_of(spark, "cube_flag_status")
+    assert "Expand" in plan
+    assert plan.count("FileScan") == 1
+
+
+def test_period_sets_use_hash_joins_not_cartesian(spark):
+    plan = plan_of(spark, "customer_period_sets")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
