@@ -267,6 +267,172 @@ FROM spend, thr WHERE spend > thr
 """
 
 
+# ------------------------------------------------- correlated EXISTS -----
+def exists_shipped_priority(spark, sf_dir):
+    """TPC-H Q4 shape: orders in a quarter having at least one lineitem
+    shipped after the order date (correlated EXISTS), counted per priority.
+    Spark plans the EXISTS as a LEFT SEMI join on the orderkey with the
+    non-equi ship-date predicate evaluated inside the join — one pass over
+    each side, no duplicate-order inflation, map-side combine on the agg.
+    Parity anchor: SURVEY §2.8 U3 generalized from anti- to semi-join."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01"))
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            l,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+EXISTS_PRIORITY_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= '1996-07-01' AND o_orderdate < '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# ------------------------------------------- order-count distribution ----
+def cust_order_histogram(spark, sf_dir):
+    """TPC-H Q13 shape: distribution of customers by how many orders they
+    placed, INCLUDING zero-order customers (left outer join, count of the
+    nullable side). Two cascaded aggregations; the second one's input is
+    one row per customer, so the re-shuffle is tiny regardless of fact
+    size — the shape that survives 100 TB is exactly this two-level agg."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+CUST_HISTOGRAM_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+) per_cust
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+# ------------------------------------------------- ntile spend tiers -----
+def spend_quartiles(spark, sf_dir):
+    """Customer-spend quartiles: per-customer rollup, ntile(4) over a
+    deterministic total order (spend DESC, custkey tiebreak), then
+    per-quartile stats. The global window runs on the per-customer rollup
+    (|customers| rows, not |orders|), so the single-partition sort stays
+    bounded; at 100 TB swap the exact ntile for approxQuantile cutpoints
+    + a broadcast range assignment (same output contract)."""
+    o = _t(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("spend")
+    )
+    w = Window.orderBy(F.desc("spend"), "o_custkey")
+    return (
+        spend.select("o_custkey", "spend", F.ntile(4).over(w).alias("quartile"))
+        .groupBy("quartile")
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.round(F.sum("spend"), 2).alias("total_spend"),
+            F.round(F.min("spend"), 2).alias("min_spend"),
+        )
+        .orderBy("quartile")
+    )
+
+
+SPEND_QUARTILES_SQL = """
+WITH spend AS (
+  SELECT o_custkey, round(sum(o_totalprice), 2) AS spend
+  FROM orders GROUP BY o_custkey
+),
+tiers AS (
+  SELECT o_custkey, spend,
+         ntile(4) OVER (ORDER BY spend DESC, o_custkey) AS quartile
+  FROM spend
+)
+SELECT quartile, count(*) AS n_cust,
+       round(sum(spend), 2) AS total_spend,
+       round(min(spend), 2) AS min_spend
+FROM tiers GROUP BY quartile ORDER BY quartile
+"""
+
+
+# ------------------------------------------------- date-spine gap-fill ---
+def daily_gapfill(spark, sf_dir):
+    """Gap-filled daily revenue series: a date spine generated from the
+    data's own min/max (sequence + explode — never a driver-side loop),
+    left-joined against the daily rollup, gaps coalesced to zero. This is
+    the trend dashboard (SURVEY §2.6 A8) made safe for charting: days with
+    no orders appear as 0 instead of vanishing. The spine is one row per
+    day (~thousands) so Spark broadcasts it against the rollup."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count("*").alias("cnt"),
+        F.round(F.sum("o_totalprice"), 2).alias("rev"),
+    )
+    spine = (
+        o.agg(
+            F.min(F.to_date("o_orderdate")).alias("d0"),
+            F.max(F.to_date("o_orderdate")).alias("d1"),
+        )
+        .select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    )
+    return (
+        spine.join(daily, "day", "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("cnt", F.lit(0)).alias("cnt"),
+            F.coalesce("rev", F.lit(0.0)).alias("rev"),
+        )
+        .orderBy("day")
+    )
+
+
+DAILY_GAPFILL_SQL = """
+WITH b AS (
+  SELECT min(CAST(o_orderdate AS DATE)) AS d0,
+         max(CAST(o_orderdate AS DATE)) AS d1
+  FROM orders
+),
+spine AS (
+  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM b
+),
+daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS cnt,
+         round(sum(o_totalprice), 2) AS rev
+  FROM orders GROUP BY 1
+)
+SELECT strftime(spine.day, '%Y-%m-%d') AS day,
+       coalesce(daily.cnt, 0) AS cnt,
+       coalesce(daily.rev, 0.0) AS rev
+FROM spine LEFT JOIN daily ON spine.day = daily.day
+ORDER BY day
+"""
+
+
 JOINS: dict[str, tuple] = {
     "shipping_priority_top10": (shipping_priority_top10, SHIPPING_PRIORITY_SQL),
     "region_nation_revenue": (region_nation_revenue, REGION_NATION_SQL),
@@ -274,4 +440,8 @@ JOINS: dict[str, tuple] = {
     "dod_order_delta": (dod_order_delta, DOD_DELTA_SQL),
     "customer_period_sets": (customer_period_sets, PERIOD_SETS_SQL),
     "big_spenders_vs_avg": (big_spenders_vs_avg, BIG_SPENDERS_SQL),
+    "exists_shipped_priority": (exists_shipped_priority, EXISTS_PRIORITY_SQL),
+    "cust_order_histogram": (cust_order_histogram, CUST_HISTOGRAM_SQL),
+    "spend_quartiles": (spend_quartiles, SPEND_QUARTILES_SQL),
+    "daily_gapfill": (daily_gapfill, DAILY_GAPFILL_SQL),
 }

@@ -116,3 +116,29 @@ def test_period_sets_use_hash_joins_not_cartesian(spark):
     plan = plan_of(spark, "customer_period_sets")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_exists_plans_as_semi_join_with_date_pushdown(spark):
+    # correlated EXISTS must become a LEFT SEMI join (no duplicate-order
+    # inflation, no subquery re-execution); the quarter filter reaches the
+    # orders scan
+    plan = plan_of(spark, "exists_shipped_priority")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_order_histogram_two_level_agg_single_fact_scan(spark):
+    # Q13 shape: each table scanned once; both aggregation levels get a
+    # map-side partial
+    plan = plan_of(spark, "cust_order_histogram")
+    assert plan.count("FileScan") == 2
+    assert plan.count("HashAggregate") >= 4  # 2 levels x partial+final
+
+
+def test_gapfill_spine_joins_without_cartesian(spark):
+    # the 1-row min/max agg -> sequence/explode spine must join the daily
+    # rollup via a hash join, not a nested loop over the fact
+    plan = plan_of(spark, "daily_gapfill")
+    assert "CartesianProduct" not in plan
+    assert "Generate explode" in plan
