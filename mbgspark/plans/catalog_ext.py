@@ -935,7 +935,103 @@ SELECT doc_id AS media_id, 'text/plain' AS media_type,
 FROM documents ORDER BY media_id
 """
 
+def curate_corpus(spark, sf_dir):
+    """End-to-end training-data curation over `documents` in ONE lineage:
+    quality gate (min tokens + composite score) → marker-word language ID,
+    dropping unidentifiable docs → exact dedup keeping the lowest doc_id per
+    normalized-text fingerprint → per-language corpus stats (docs, token
+    budget, mean quality). This is the pipeline a 100 TB pretraining corpus
+    runs nightly; every stage is a pure column expression or a keyed window,
+    so the only shuffles are the fingerprint partition and the final tiny
+    per-language agg. Generalizes SURVEY §2.10 X4 (per-doc enrichment,
+    `utils.py:95-154`) + §2.4 dedup to corpus curation."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    d = with_quality_score(d, "text")
+    d = with_lang_id(d, "text")
+    d = with_token_counts(d, "text")
+    d = with_fingerprint(d, "text")
+    kept = d.filter(
+        (F.col("n_tokens") >= 5)
+        & (F.col("quality_score") >= 0.2)
+        & (F.col("pred_lang") != "unk")
+    )
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    uniq = kept.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        uniq.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("ws_tokens").alias("total_ws_tokens"),
+            F.sum("bpe_tokens").alias("total_bpe_tokens"),
+            F.round(F.avg("quality_score"), 4).alias("avg_quality"),
+            F.sum(
+                F.when(F.col("pred_lang") == F.col("lang"), 1).otherwise(0)
+            ).alias("langid_agree"),
+        )
+        .orderBy("lang")
+    )
+
+
+CURATE_SQL = """
+WITH base AS (
+  SELECT doc_id, lang, trim(text) AS t,
+         string_split_regex(lower(trim(text)), '\\s+') AS tk,
+         regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+  FROM documents
+),
+m AS (
+  SELECT doc_id, lang, norm,
+         length(t) AS n_chars,
+         len(tk) AS n_tokens,
+         len(list_filter(tk, x -> x IN ('the','a','of','and','to'))) AS stop_hits,
+         len(list_filter(tk, x -> x IN ('der','die','und'))) AS h_de,
+         len(list_filter(tk, x -> x IN ('the','and','of'))) AS h_en,
+         len(list_filter(tk, x -> x IN ('el','la','de'))) AS h_es,
+         len(list_filter(tk, x -> x IN ('le','la','et'))) AS h_fr,
+         len(regexp_extract_all(lower(t), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
+           AS bpe_tokens
+  FROM base
+),
+scored AS (
+  SELECT doc_id, lang, norm,
+         CAST(n_tokens AS BIGINT) AS ws_tokens,
+         CAST(bpe_tokens AS BIGINT) AS bpe_tokens,
+         round(least(1.0, (least(n_tokens, 100) / 100.0) * 0.5
+               + (CASE WHEN n_tokens > 0
+                       THEN stop_hits / CAST(n_tokens AS DOUBLE)
+                       ELSE 0.0 END) * 0.5), 4) AS quality_score,
+         CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'unk'
+              WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
+              WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+              WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+              ELSE 'fr' END AS pred_lang,
+         md5(norm) AS fingerprint,
+         n_tokens
+  FROM m
+),
+kept AS (
+  SELECT * FROM scored
+  WHERE n_tokens >= 5 AND quality_score >= 0.2 AND pred_lang <> 'unk'
+),
+uniq AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+    FROM kept
+  ) WHERE rn = 1
+)
+SELECT lang, count(*) AS n_docs,
+       sum(ws_tokens) AS total_ws_tokens,
+       sum(bpe_tokens) AS total_bpe_tokens,
+       round(avg(quality_score), 4) AS avg_quality,
+       sum(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END) AS langid_agree
+FROM uniq GROUP BY lang ORDER BY lang
+"""
+
+
 EXT: dict[str, tuple] = {
+    "curate_corpus": (curate_corpus, CURATE_SQL),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_SQL),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),

@@ -142,3 +142,12 @@ def test_gapfill_spine_joins_without_cartesian(spark):
     plan = plan_of(spark, "daily_gapfill")
     assert "CartesianProduct" not in plan
     assert "Generate explode" in plan
+
+
+def test_curate_corpus_single_scan_no_python(spark):
+    # the whole curation lineage (quality + langid + tokens + fingerprint +
+    # dedup window + agg) must stay JVM-side over ONE scan of documents
+    plan = plan_of(spark, "curate_corpus")
+    assert plan.count("FileScan") == 1
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
