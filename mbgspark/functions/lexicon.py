@@ -46,18 +46,33 @@ def with_lexicon_sentiment(
     mirrors utils.py:81-92.
     """
     # null text → '' so size()/division guards see 1 empty token, not null
-    # (reference: missing text → ('NEUTRAL', 0.0), utils.py:81-92)
-    df = df.withColumn(
-        "__clean",
-        F.lower(F.trim(F.substring(F.coalesce(F.col(text_col), F.lit("")), 1, 512))),
+    # (reference: missing text → ('NEUTRAL', 0.0), utils.py:81-92).
+    # Three staged selects, not 8 withColumns: every Dataset creation
+    # re-runs the analyzer over the whole upstream plan, so batching the
+    # column additions cuts the driver-side build cost of callers that
+    # stack this onto an already-wide lineage.
+    cols = df.columns
+    toks = df.select(
+        "*",
+        F.split(
+            F.lower(F.trim(F.substring(F.coalesce(F.col(text_col), F.lit("")), 1, 512))),
+            " ",
+        ).alias("__tokens"),
     )
-    df = df.withColumn("__tokens", F.split(F.col("__clean"), " "))
-    df = df.withColumn("pos_hits", token_hits("__tokens", positive).cast("bigint"))
-    df = df.withColumn("neg_hits", token_hits("__tokens", negative).cast("bigint"))
-    df = df.withColumn("total_tokens", F.size("__tokens").cast("bigint"))
-    df = df.withColumn("label", lexicon_label())
-    df = df.withColumn("confidence_score", lexicon_score())
-    return df.drop("__clean", "__tokens")
+    hits = toks.select(
+        "*",
+        token_hits("__tokens", positive).cast("bigint").alias("pos_hits"),
+        token_hits("__tokens", negative).cast("bigint").alias("neg_hits"),
+        F.size("__tokens").cast("bigint").alias("total_tokens"),
+    )
+    return hits.select(
+        *cols,
+        "pos_hits",
+        "neg_hits",
+        "total_tokens",
+        lexicon_label().alias("label"),
+        lexicon_score().alias("confidence_score"),
+    )
 
 
 def lexicon_label() -> Column:

@@ -37,6 +37,18 @@ TESTDATA_TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Per-session plan cache: a DataFrame is an immutable logical plan, so the
+# (session, dir, table) triple can be built once — every cache hit skips a
+# parquet-footer schema read (~0.1 s of driver time per table per query
+# build). Keyed weakly so a stopped session's plans can't be resurrected by
+# CPython id reuse.
+try:
+    from weakref import WeakKeyDictionary
+
+    _TABLE_CACHE: "WeakKeyDictionary" = WeakKeyDictionary()
+except Exception:  # pragma: no cover - weakref always available in practice
+    _TABLE_CACHE = {}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """S3 full scan: one parquet file per table. Column pruning + predicate
@@ -49,6 +61,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     get_spark()'s (the driver brings its own)."""
     from mbgspark.session import ensure_session_conf
 
+    try:
+        per_session = _TABLE_CACHE.setdefault(spark, {})
+    except TypeError:  # session not weak-referenceable
+        per_session = {}
+    key = (sf_dir, name)
+    cached = per_session.get(key)
+    if cached is not None:
+        return cached
     ensure_session_conf(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for field in df.schema.fields:
@@ -56,6 +76,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # integer div, not `/`: double division loses precision at
             # nanosecond-epoch magnitudes (~1.7e18 > 2^53)
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    per_session[key] = df
     return df
 
 

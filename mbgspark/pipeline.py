@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from mbgspark.functions.cleaning import clean_for_analysis
 from mbgspark.functions.lexicon import with_lexicon_sentiment
 from mbgspark.io import merge_by_key
-from mbgspark.operators.locate import first_match_case_expr
+from mbgspark.operators.locate import first_match_case_sql
 from mbgspark.schema import DEFAULT_LOCATIONS, LOCATIONS_DIM_SCHEMA
 
 
@@ -44,9 +44,7 @@ def detect_locations(df: DataFrame, dim, id_col: str = "_id") -> DataFrame:
     ``dim`` is a DataFrame (collected — it's driver-small by the same
     contract that makes it broadcast-able) or an already-materialized list
     of rows/tuples, which skips the collect job entirely."""
-    search = F.concat_ws(
-        " ", F.col("clean_text"), F.lower(F.coalesce("author_name", F.lit("")))
-    )
+    search = "concat_ws(' ', clean_text, lower(coalesce(author_name, '')))"
     # regex containment (not token membership): city terms can be multi-word
     # ("jakarta selatan") and sit next to punctuation in real text. The dim
     # is driver-small (456 rows at reference scale), so it compiles to a
@@ -55,14 +53,21 @@ def detect_locations(df: DataFrame, dim, id_col: str = "_id") -> DataFrame:
     rows = dim.collect() if isinstance(dim, DataFrame) else dim
     fields = ("province", "city", "dict_order", "term")
     rows = [dict(zip(fields, r)) if isinstance(r, tuple) else r for r in rows]
-    hit = first_match_case_expr(rows, search)
-    return (
-        df.withColumn("province", hit["province"])
-        .withColumn("city", hit["city"])
-        .withColumn("location_detected", F.col("city").isNotNull())
-        # "attempted" marker — the analog of the field EXISTING in Mongo;
-        # a tweet with no detectable location is still processed
-        .withColumn("location_checked", F.lit(True))
+    hit = first_match_case_sql(rows, search)
+    # embed the wide CASE tree ONCE (as a struct), then expand by field:
+    # every later Dataset creation re-runs the analyzer over the plan, so a
+    # plan carrying two copies of a 456-branch CaseWhen doubles every
+    # downstream withColumn's analysis cost (measured: ~0.45 s of driver
+    # time on the lifecycle build). "location_checked" is the analog of the
+    # field EXISTING in Mongo; a tweet with no detectable location is still
+    # processed.
+    base = df.select("*", hit.alias("__loc"))
+    return base.select(
+        *df.columns,
+        F.col("__loc.province").alias("province"),
+        F.col("__loc.city").alias("city"),
+        F.col("__loc.city").isNotNull().alias("location_detected"),
+        F.lit(True).alias("location_checked"),
     )
 
 
@@ -98,10 +103,13 @@ def run_etl(
     """§3.1 transform lineage on ingested flat records: clean → locate →
     label → event_date partition column. Caller writes via
     io.write_partitioned / io.merge_by_key."""
+    # locate runs LAST: its compiled dictionary expression is by far the
+    # widest tree in the plan, and every Dataset created after it re-pays
+    # analyzer time over that tree — so all narrow stages go first
     out = apply_cleaning(raw)
-    out = detect_locations(out, dim, id_col)
     out = label_sentiment(out)
-    return out.withColumn("event_date", F.date_format(event_ts_col, "yyyy-MM-dd"))
+    out = out.withColumn("event_date", F.date_format(event_ts_col, "yyyy-MM-dd"))
+    return detect_locations(out, dim, id_col)
 
 
 def reprocess(
