@@ -55,6 +55,31 @@ def daily_counts_stream(df: DataFrame, watermark: str | None = None) -> DataFram
     )
 
 
+def session_counts_stream(
+    df: DataFrame,
+    key_col: str = "author_handle",
+    gap: str = "30 minutes",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Event-time sessionization on a live stream: per-key activity bursts
+    separated by ``gap`` of silence become one session row (the streaming
+    twin of the batch ``sessionize_events`` gaps-and-islands query).
+    ``session_window`` merges overlapping state across micro-batches; the
+    watermark both bounds that state and decides when a session is final
+    (append mode emits a session only once it can no longer grow)."""
+    return (
+        df.withWatermark("created_at", watermark)
+        .groupBy(F.col(key_col), F.session_window("created_at", gap).alias("w"))
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            key_col,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "cnt",
+        )
+    )
+
+
 def stateful_author_counts(
     stream: DataFrame,
     key_col: str = "author_handle",

@@ -9,6 +9,7 @@ from mbgspark.streaming import (
     daily_counts_stream,
     dedup_stream,
     read_tweet_stream,
+    session_counts_stream,
     start_merge_sink,
 )
 
@@ -157,3 +158,37 @@ def test_stream_static_broadcast_enrichment(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert {(r["_id"], r["badge"]) for r in rows} == {("1", "verified"), ("2", "verified")}
+
+
+def test_stream_session_windows_merge_across_batches(spark, tmp_path):
+    # one event in batch 1, two in batch 2; the 10:20 event is within the
+    # 30-min gap of 10:00, so session_window must MERGE state across
+    # micro-batches (maxFilesPerTrigger=1 forces separate batches); 12:00
+    # starts a fresh session. end = last event + gap.
+    src = tmp_path / "sess_src"
+    _write_batch(src, [R1])
+    _write_batch(
+        src,
+        [
+            {**R1, "_id": "s2", "created_at": "2025-01-01T10:20:00Z"},
+            {**R1, "_id": "s3", "created_at": "2025-01-01T12:00:00Z"},
+        ],
+    )
+    stream = read_tweet_stream(spark, str(src), max_files_per_trigger=1)
+    q = (
+        session_counts_stream(stream)
+        .writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (str(r["session_start"]), str(r["session_end"])): r["cnt"]
+        for r in spark.sql("select * from sessions").collect()
+    }
+    assert got == {
+        ("2025-01-01 10:00:00", "2025-01-01 10:50:00"): 2,
+        ("2025-01-01 12:00:00", "2025-01-01 12:30:00"): 1,
+    }
