@@ -433,6 +433,77 @@ ORDER BY day
 """
 
 
+# ------------------------------------------------- top-N per group -------
+def top3_orders_per_segment(spark, sf_dir):
+    """Top-3 orders by value within each market segment: the per-group
+    top-N window (row_number over a partition, deterministic orderkey
+    tiebreak). Unlike a global ORDER BY + LIMIT, the sort is partitioned
+    by segment so no single task ever sees the full fact."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("o_totalprice"), "o_orderkey"
+    )
+    return (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .withColumn("rank_in_seg", F.row_number().over(w))
+        .filter(F.col("rank_in_seg") <= 3)
+        .select(
+            "c_mktsegment",
+            "rank_in_seg",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("price"),
+        )
+        .orderBy("c_mktsegment", "rank_in_seg")
+    )
+
+
+TOP3_PER_SEGMENT_SQL = """
+SELECT c_mktsegment, rank_in_seg, o_orderkey, round(o_totalprice, 2) AS price
+FROM (
+  SELECT c_mktsegment, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rank_in_seg
+  FROM orders JOIN customer ON o_custkey = c_custkey
+) ranked
+WHERE rank_in_seg <= 3
+ORDER BY c_mktsegment, rank_in_seg
+"""
+
+
+# --------------------------------------------- percent-of-total window ---
+def segment_revenue_share(spark, sf_dir):
+    """Each segment's share of total revenue: aggregate first (5 rows),
+    then a whole-frame window sum for the denominator — the window runs
+    over the GROUPED result, never the fact, so the unpartitioned frame
+    is 5 rows regardless of data scale."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    seg = (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    )
+    total = Window.partitionBy()
+    return seg.select(
+        "c_mktsegment",
+        "rev",
+        F.round(F.col("rev") / F.sum("rev").over(total), 6).alias("share"),
+    ).orderBy("c_mktsegment")
+
+
+SEGMENT_SHARE_SQL = """
+WITH seg AS (
+  SELECT c_mktsegment, round(sum(o_totalprice), 2) AS rev
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_mktsegment
+)
+SELECT c_mktsegment, rev,
+       round(rev / sum(rev) OVER (), 6) AS share
+FROM seg ORDER BY c_mktsegment
+"""
+
+
 JOINS: dict[str, tuple] = {
     "shipping_priority_top10": (shipping_priority_top10, SHIPPING_PRIORITY_SQL),
     "region_nation_revenue": (region_nation_revenue, REGION_NATION_SQL),
@@ -444,4 +515,6 @@ JOINS: dict[str, tuple] = {
     "cust_order_histogram": (cust_order_histogram, CUST_HISTOGRAM_SQL),
     "spend_quartiles": (spend_quartiles, SPEND_QUARTILES_SQL),
     "daily_gapfill": (daily_gapfill, DAILY_GAPFILL_SQL),
+    "top3_orders_per_segment": (top3_orders_per_segment, TOP3_PER_SEGMENT_SQL),
+    "segment_revenue_share": (segment_revenue_share, SEGMENT_SHARE_SQL),
 }
