@@ -83,6 +83,21 @@ def main() -> None:
     run("token_counts", with_token_counts(corpus, "t"))
     run("fingerprints", with_fingerprint(corpus, "t"))
 
+    # curation composite (quality gate + fingerprint dedup keep-first):
+    # the catalog's curate_corpus minus langid, on the scaled corpus
+    from pyspark.sql import Window
+
+    from mbgspark.operators.textstats import with_quality_score
+
+    cur = with_fingerprint(with_quality_score(corpus, "t"), "t")
+    w = Window.partitionBy("fingerprint").orderBy("id")
+    uniq = (
+        cur.filter(F.col("n_tokens") >= 5)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    run("curation_pipeline", uniq)
+
     expected_pairs = 30 * n
     found = results["minhash_lsh_neardup"]["out_rows"]
     print(
