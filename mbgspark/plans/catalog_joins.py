@@ -504,6 +504,81 @@ FROM seg ORDER BY c_mktsegment
 """
 
 
+# ------------------------------------------------------------ TPC-H Q1 ----
+def pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: the canonical wide aggregate — 8 aggregates over 2
+    group keys in ONE hash-agg pass (sum/avg/count share the partial-agg
+    buffers; no re-scan per aggregate). The ship-date filter reaches the
+    parquet scan."""
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-01"))
+    disc = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc * (F.lit(1) + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+PRICING_SUMMARY_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# ------------------------------------------------------------ TPC-H Q6 ----
+def forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: scan-dominated filter + single global aggregate.
+    All three predicates (date window, discount band, quantity cap) are
+    pushable — at 100 TB this query is pure I/O, and the plan must show
+    PushedFilters on every column it touches."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+FORECAST_REVENUE_SQL = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+"""
+
+
 JOINS: dict[str, tuple] = {
     "shipping_priority_top10": (shipping_priority_top10, SHIPPING_PRIORITY_SQL),
     "region_nation_revenue": (region_nation_revenue, REGION_NATION_SQL),
@@ -517,4 +592,6 @@ JOINS: dict[str, tuple] = {
     "daily_gapfill": (daily_gapfill, DAILY_GAPFILL_SQL),
     "top3_orders_per_segment": (top3_orders_per_segment, TOP3_PER_SEGMENT_SQL),
     "segment_revenue_share": (segment_revenue_share, SEGMENT_SHARE_SQL),
+    "pricing_summary": (pricing_summary, PRICING_SUMMARY_SQL),
+    "forecast_revenue": (forecast_revenue, FORECAST_REVENUE_SQL),
 }

@@ -151,3 +151,26 @@ def test_curate_corpus_single_scan_no_python(spark):
     assert plan.count("FileScan") == 1
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_q6_all_predicates_pushed_to_scan(spark):
+    # scan-dominated query: pushdown active on all 3 filter columns and the
+    # read schema pruned to exactly the 4 touched columns. (PushedFilters
+    # lines are TRUNCATED with '…' in plan strings, so assert on the head
+    # of the list + the untruncated ReadSchema, not the full filter list.)
+    plan = plan_of(spark, "forecast_revenue")
+    assert (
+        "PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount), "
+        "IsNotNull(l_quantity)" in plan
+    )
+    assert (
+        "ReadSchema: struct<l_quantity:double,l_extendedprice:double,"
+        "l_discount:double,l_shipdate:timestamp" in plan
+    )
+
+
+def test_q1_wide_agg_single_pass(spark):
+    # 8 aggregates, ONE scan, one partial+final hash agg — no re-scans
+    plan = plan_of(spark, "pricing_summary")
+    assert plan.count("FileScan") == 1
+    assert plan.count("HashAggregate") == 2
