@@ -101,6 +101,50 @@ def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 20,
+    stride: int = 15,
+) -> DataFrame:
+    """Split documents into overlapping token windows (chunk_tokens wide,
+    advancing by stride) — the context-window chunking step of a
+    pretraining-data pipeline. Distributed shape: tokens are materialized
+    ONCE per row (never inside a per-element lambda — see
+    with_word_shingles), chunk offsets come from sequence()+explode, and
+    the slice/join stay JVM-side; no shuffle at all until a consumer
+    aggregates. Emits (id, chunk_idx, chunk_text, chunk_len)."""
+    toks = df.select(
+        F.col(id_col),
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("__toks"),
+    ).withColumn("__n", F.size("__toks"))
+    # number of chunks: 1 + ceil(max(0, n - chunk) / stride); last window may
+    # be short but never empty
+    n_chunks = (
+        F.lit(1)
+        + F.ceil(F.greatest(F.col("__n") - chunk_tokens, F.lit(0)) / stride)
+    ).cast("int")
+    return (
+        toks.withColumn(
+            "chunk_idx", F.explode(F.sequence(F.lit(0), n_chunks - 1))
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            F.array_join(
+                F.slice(
+                    "__toks", F.col("chunk_idx") * stride + 1, chunk_tokens
+                ),
+                " ",
+            ).alias("chunk_text"),
+            F.least(
+                F.lit(chunk_tokens), F.col("__n") - F.col("chunk_idx") * stride
+            ).cast("bigint").alias("chunk_len"),
+        )
+    )
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint: md5 of whitespace-normalized lowercase text
     (portable across engines), plus a sorted-unique-token "shape" fingerprint

@@ -22,6 +22,7 @@ from mbgspark.operators import dedup as dd
 from mbgspark.operators.multimodal import extract_features
 from mbgspark.operators.similarity import brute_force_topk, ivf_topk
 from mbgspark.operators.textstats import (
+    chunk_documents,
     with_fingerprint,
     with_lang_id,
     with_quality_score,
@@ -1030,8 +1031,42 @@ FROM uniq GROUP BY lang ORDER BY lang
 """
 
 
+def chunk_windows(spark, sf_dir):
+    """Sliding-window chunking (20-token windows, stride 15) of documents —
+    the context-window prep stage of a pretraining pipeline, as pure
+    sequence/explode/slice column work (no UDF, no shuffle)."""
+    d = _t(spark, sf_dir, "documents")
+    return chunk_documents(d, "doc_id", "text", 20, 15).orderBy(
+        "doc_id", "chunk_idx"
+    )
+
+
+CHUNK_WINDOWS_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk
+  FROM documents
+),
+n AS (SELECT doc_id, tk, len(tk) AS n FROM t),
+c AS (
+  SELECT doc_id, tk, n,
+         unnest(generate_series(
+           0,
+           CAST(1 + ceil(greatest(n - 20, 0) / 15.0) AS INT) - 1
+         )) AS chunk_idx
+  FROM n
+)
+SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+       array_to_string(list_slice(tk, chunk_idx * 15 + 1, chunk_idx * 15 + 20), ' ')
+         AS chunk_text,
+       CAST(least(20, n - chunk_idx * 15) AS BIGINT) AS chunk_len
+FROM c
+ORDER BY doc_id, chunk_idx
+"""
+
+
 EXT: dict[str, tuple] = {
     "curate_corpus": (curate_corpus, CURATE_SQL),
+    "chunk_windows": (chunk_windows, CHUNK_WINDOWS_SQL),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_SQL),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),

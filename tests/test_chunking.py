@@ -1,0 +1,33 @@
+"""chunk_documents edge semantics: short docs, exact boundaries, overlap."""
+
+from mbgspark.operators.textstats import chunk_documents
+
+
+def _chunks(spark, text, chunk=5, stride=3):
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = (
+        chunk_documents(df, "doc_id", "text", chunk, stride)
+        .orderBy("chunk_idx")
+        .collect()
+    )
+    return [(r["chunk_idx"], r["chunk_text"], r["chunk_len"]) for r in rows]
+
+
+def test_short_doc_single_chunk(spark):
+    assert _chunks(spark, "a b c") == [(0, "a b c", 3)]
+
+
+def test_exact_window_no_extra_chunk(spark):
+    # exactly chunk_tokens tokens → one chunk, not a trailing empty one
+    assert _chunks(spark, "a b c d e") == [(0, "a b c d e", 5)]
+
+
+def test_overlap_and_tail(spark):
+    # 8 tokens, chunk 5 stride 3: [0..4], [3..7] — the windows overlap by 2
+    got = _chunks(spark, "a b c d e f g h")
+    assert got == [(0, "a b c d e", 5), (1, "d e f g h", 5)]
+
+
+def test_empty_text_one_empty_chunk(spark):
+    # split('') yields one empty token — mirrors the oracle's semantics
+    assert _chunks(spark, "") == [(0, "", 1)]
