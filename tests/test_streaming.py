@@ -192,3 +192,49 @@ def test_stream_session_windows_merge_across_batches(spark, tmp_path):
         ("2025-01-01 10:00:00", "2025-01-01 10:50:00"): 2,
         ("2025-01-01 12:00:00", "2025-01-01 12:30:00"): 1,
     }
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    # stream-stream inner join with an event-time interval condition: a
+    # "view" stream joins the "click" stream for the same _id within
+    # [view, view + 1h]. Both sides carry watermarks so Spark can bound the
+    # buffered state; availableNow drains both sources.
+    views_src = tmp_path / "ss_views"
+    clicks_src = tmp_path / "ss_clicks"
+    _write_batch(views_src, [R1, R2])  # views at 10:00 (id 1), 09:00 day2 (id 2)
+    _write_batch(
+        clicks_src,
+        [
+            {**R1, "created_at": "2025-01-01T10:30:00Z"},  # within 1h of view 1
+            {**R2, "created_at": "2025-01-02T11:00:00Z"},  # 2h after view 2: out
+        ],
+    )
+    views = (
+        read_tweet_stream(spark, str(views_src))
+        .select("_id", F.col("created_at").alias("view_ts"))
+        .withWatermark("view_ts", "1 hour")
+    )
+    clicks = (
+        read_tweet_stream(spark, str(clicks_src))
+        .select(F.col("_id").alias("c_id"), F.col("created_at").alias("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+    )
+    joined = views.join(
+        clicks,
+        (F.col("_id") == F.col("c_id"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (F.col("click_ts") <= F.col("view_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    rows = []
+
+    def collect(batch_df, batch_id):
+        rows.extend(batch_df.select("_id").collect())
+
+    q = (
+        joined.writeStream.foreachBatch(collect)
+        .option("checkpointLocation", str(tmp_path / "ss_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert [r["_id"] for r in rows] == ["1"]
