@@ -1064,9 +1064,37 @@ ORDER BY doc_id, chunk_idx
 """
 
 
+def label_centroids(spark, sf_dir):
+    """Per-label embedding centroids, the distributed way: posexplode the
+    vector to (label, dim_idx, value) rows and hash-aggregate per
+    (label, idx) — the mean over EVERY dimension is computed in one
+    shuffle whose width is |labels|·dims, independent of corpus size
+    (the k-means/update-step shape). Output trimmed to the first 4 dims
+    for a compact deterministic check; the aggregation runs over all of
+    them."""
+    e = _t(spark, sf_dir, "embeddings")
+    pos = e.select("label", F.posexplode("embedding").alias("idx", "v"))
+    return (
+        pos.groupBy("label", "idx")
+        .agg(F.round(F.avg("v"), 4).alias("m"), F.count("*").alias("n"))
+        .filter(F.col("idx") < 4)
+        .orderBy("label", "idx")
+    )
+
+
+LABEL_CENTROIDS_SQL = """
+SELECT label, CAST(i.idx AS INT) AS idx,
+       round(avg(embedding[i.idx + 1]), 4) AS m,
+       count(*) AS n
+FROM embeddings, (VALUES (0), (1), (2), (3)) AS i(idx)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 EXT: dict[str, tuple] = {
     "curate_corpus": (curate_corpus, CURATE_SQL),
     "chunk_windows": (chunk_windows, CHUNK_WINDOWS_SQL),
+    "label_centroids": (label_centroids, LABEL_CENTROIDS_SQL),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_SQL),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
