@@ -579,6 +579,45 @@ WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
 """
 
 
+# -------------------------------------------- explicit GROUPING SETS -----
+def grouping_sets_status(spark, sf_dir):
+    """Explicit GROUPING SETS — the asymmetric subtotal lattice CUBE can't
+    express: (status, priority) detail + per-status subtotal + grand total,
+    but NO per-priority slice. Driven through the spark.sql frontend over
+    the registered views (one Expand + single hash agg, same physical shape
+    as cube_flag_status)."""
+    from mbgspark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
+                    AS BIGINT) AS gid,
+               coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               count(*) AS cnt,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+        ORDER BY gid, status, priority
+        """
+    )
+
+
+GROUPING_SETS_SQL = """
+SELECT CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT)
+         AS gid,
+       coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*) AS cnt,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+ORDER BY gid, status, priority
+"""
+
+
 JOINS: dict[str, tuple] = {
     "shipping_priority_top10": (shipping_priority_top10, SHIPPING_PRIORITY_SQL),
     "region_nation_revenue": (region_nation_revenue, REGION_NATION_SQL),
@@ -594,4 +633,5 @@ JOINS: dict[str, tuple] = {
     "segment_revenue_share": (segment_revenue_share, SEGMENT_SHARE_SQL),
     "pricing_summary": (pricing_summary, PRICING_SUMMARY_SQL),
     "forecast_revenue": (forecast_revenue, FORECAST_REVENUE_SQL),
+    "grouping_sets_status": (grouping_sets_status, GROUPING_SETS_SQL),
 }
