@@ -109,13 +109,26 @@ def write_partitioned(
     path: str,
     partition_col: str = "event_date",
     mode: str = "overwrite",
+    compact: bool = True,
+    max_records_per_file: int = 5_000_000,
 ) -> None:
     """Canonical store writer: per-day collections (utils.py:583-584) become
     partitions. Dynamic partition overwrite so a re-run replaces only the days
-    it touched — the batch analog of the reference's per-day upsert loop."""
+    it touched — the batch analog of the reference's per-day upsert loop.
+
+    ``compact=True`` repartitions by the partition column before writing, so
+    each partition directory gets ONE file instead of one-per-upstream-task
+    (the small-files problem: a 32-task day writes 32 shards; across years of
+    daily partitions that's metadata pressure every reader pays forever).
+    ``maxRecordsPerFile`` re-splits oversized days so a single hot date
+    can't become one giant file — the two options together bound file
+    count from BOTH sides."""
+    if compact:
+        df = df.repartition(partition_col)
     (
         df.write.mode(mode)
         .option("partitionOverwriteMode", "dynamic")
+        .option("maxRecordsPerFile", str(max_records_per_file))
         .partitionBy(partition_col)
         .parquet(path)
     )

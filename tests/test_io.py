@@ -52,3 +52,27 @@ def test_partitioned_write_and_partition_listing(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == 2
     assert back.filter(F.col("_id") == "a").first()["v"] == 9
+
+
+def test_write_partitioned_compacts_small_files(spark, tmp_path):
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from mbgspark.io import write_partitioned
+
+    df = (
+        spark.range(1000)
+        .withColumn("event_date", F.concat(F.lit("2025-01-0"), (F.col("id") % 3 + 1)))
+        .repartition(8)  # simulate many upstream tasks
+    )
+    compacted = str(tmp_path / "compacted")
+    sharded = str(tmp_path / "sharded")
+    write_partitioned(df, compacted, "event_date")
+    write_partitioned(df, sharded, "event_date", compact=False)
+    n_compact = len(glob.glob(f"{compacted}/event_date=*/*.parquet"))
+    n_shard = len(glob.glob(f"{sharded}/event_date=*/*.parquet"))
+    # one file per day vs one per (task, day)
+    assert n_compact == 3
+    assert n_shard > n_compact
+    assert spark.read.parquet(compacted).count() == 1000
