@@ -103,3 +103,63 @@ def ivf_topk(
         .select("query_id", "match_id", "cos_sim", F.col("rnk").cast("bigint").alias("rnk"))
         .orderBy("query_id", "rnk")
     )
+
+
+def _sq_dist_sql(vec_col: str, centroid: list[float]) -> str:
+    arr = "array(" + ", ".join(f"{float(x)!r}D" for x in centroid) + ")"
+    return (
+        f"aggregate(zip_with({vec_col}, {arr}, (a, b) -> (a - b) * (a - b)), "
+        "0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def assign_clusters(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid assignment as ONE compiled expression: per-centroid
+    squared-L2 via zip_with/aggregate, argmin with ties to the lowest
+    cluster id (array_position returns the first occurrence). The centroid
+    list is a bounded model parameter baked into the plan — the data side
+    never leaves the executors."""
+    dists = "array(" + ", ".join(_sq_dist_sql(vec_col, c) for c in centroids) + ")"
+    return df.withColumn("__dists", F.expr(dists)).withColumn(
+        "cluster",
+        (F.expr("array_position(__dists, array_min(__dists))") - 1).cast("int"),
+    ).withColumn("dist", F.expr("array_min(__dists)")).drop("__dists")
+
+
+def kmeans_assignments(
+    df: DataFrame,
+    k: int = 8,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic Lloyd's k-means, the Spark-iterative way: seeds are the
+    first k vectors by id (reproducible, no RNG), each iteration is
+    assign (compiled expression) → per-(cluster, dim) hash aggregate via
+    posexplode → collect ONLY the k·dims centroid matrix to the driver
+    (model parameters, not data — same contract as a broadcast dim). The
+    corpus itself is never collected, so the loop scales with executors;
+    iteration count is the only driver-side state."""
+    seeds = [list(r[vec_col]) for r in df.orderBy(id_col).limit(k).collect()]
+    dim = len(seeds[0])
+    centroids = seeds
+    for _ in range(iterations):
+        assigned = assign_clusters(df, centroids, vec_col)
+        rows = (
+            assigned.select("cluster", F.posexplode(vec_col).alias("idx", "v"))
+            .groupBy("cluster", "idx")
+            .agg(F.avg("v").alias("m"))
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_cluster.setdefault(r["cluster"], {})[r["idx"]] = r["m"]
+        centroids = [
+            [by_cluster[c][i] for i in range(dim)] if c in by_cluster else centroids[c]
+            for c in range(k)
+        ]
+    return assign_clusters(df, centroids, vec_col)

@@ -20,7 +20,11 @@ from pyspark.sql import functions as F
 
 from mbgspark.operators import dedup as dd
 from mbgspark.operators.multimodal import extract_features
-from mbgspark.operators.similarity import brute_force_topk, ivf_topk
+from mbgspark.operators.similarity import (
+    brute_force_topk,
+    ivf_topk,
+    kmeans_assignments,
+)
 from mbgspark.operators.textstats import (
     chunk_documents,
     with_fingerprint,
@@ -1091,10 +1095,32 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def _kmeans_clusters(spark, sf_dir):
+    """Deterministic Lloyd's k-means (k=8, 3 iterations, first-k seeds) on
+    the embeddings table; output = per-cluster size + inertia. Iterative —
+    no single SQL twin exists, so the driver records a rows-only check
+    (SURVEY §2.11 carve-out for iterative algorithms). Only the k·dims
+    centroid matrix ever reaches the driver."""
+    e = _t(spark, sf_dir, "embeddings")
+    out = kmeans_assignments(e, k=8, iterations=3)
+    return (
+        out.groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.round(F.sum("dist"), 2).alias("inertia"),
+        )
+        .orderBy("cluster")
+    )
+
+
 EXT: dict[str, tuple] = {
     "curate_corpus": (curate_corpus, CURATE_SQL),
     "chunk_windows": (chunk_windows, CHUNK_WINDOWS_SQL),
     "label_centroids": (label_centroids, LABEL_CENTROIDS_SQL),
+    "kmeans_clusters": (
+        lambda spark, sf_dir: _kmeans_clusters(spark, sf_dir),
+        None,  # iterative algorithm — rows-only check by design
+    ),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_SQL),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
