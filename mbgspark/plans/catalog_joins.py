@@ -618,6 +618,88 @@ ORDER BY gid, status, priority
 """
 
 
+# ----------------------------------------------------------- TPC-H Q10 ---
+def returned_item_customers(spark, sf_dir):
+    """TPC-H Q10 shape: customers who returned the most revenue in a
+    quarter — orders date-windowed, lineitem filtered to returnflag='R'
+    BEFORE the join, customer+nation broadcast, global top-20 with key
+    tiebreak. The only shuffle is orders⋈lineitem + the final agg."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+        .select(
+            "c_custkey",
+            "c_name",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            "n_name",
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+RETURNED_CUSTOMERS_SQL = """
+SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= '1996-10-01' AND o_orderdate < '1997-01-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+# ----------------------------------------------------------- TPC-H Q14 ---
+def promo_revenue_share(spark, sf_dir):
+    """TPC-H Q14 shape: promo revenue as a % of all revenue in one month —
+    conditional aggregation over a fact⋈dim join (part broadcast), both
+    numerator and denominator in a single pass."""
+    p = _t(spark, sf_dir, "part")
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01"))
+    )
+    rev = _revenue()
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_pct"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+PROMO_SHARE_SQL = """
+SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= '1996-09-01' AND l_shipdate < '1996-10-01'
+"""
+
+
 JOINS: dict[str, tuple] = {
     "shipping_priority_top10": (shipping_priority_top10, SHIPPING_PRIORITY_SQL),
     "region_nation_revenue": (region_nation_revenue, REGION_NATION_SQL),
@@ -634,4 +716,6 @@ JOINS: dict[str, tuple] = {
     "pricing_summary": (pricing_summary, PRICING_SUMMARY_SQL),
     "forecast_revenue": (forecast_revenue, FORECAST_REVENUE_SQL),
     "grouping_sets_status": (grouping_sets_status, GROUPING_SETS_SQL),
+    "returned_item_customers": (returned_item_customers, RETURNED_CUSTOMERS_SQL),
+    "promo_revenue_share": (promo_revenue_share, PROMO_SHARE_SQL),
 }
