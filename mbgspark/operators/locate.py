@@ -223,7 +223,10 @@ def partial_ratio_top1(
 
     from pyspark.sql.functions import pandas_udf
 
-    term_list = sorted(terms)  # deterministic tie-break order
+    # lowercase terms up front: the text is lowercased before scoring, and
+    # the reference lowercases both sides (utils.py:446-447) — a mixed-case
+    # dictionary term must not silently score 0 against every row
+    term_list = sorted((t.lower(), p, c) for (t, p, c) in terms)
 
     def partial_ratio(term: str, text: str) -> int:
         if not term or not text:

@@ -34,8 +34,16 @@ def banded_range_join(
 ) -> DataFrame:
     """Join every point row to interval rows with lo ≤ point ≤ hi, via a
     band-bucket equi-join. ``how='left'`` keeps pointless points with null
-    interval columns."""
-    p = points.withColumn("__band", _band(F.col(point_col), band_width))
+    interval columns.
+
+    Points carry a surrogate row id through the band join so the left-mode
+    anti-join matches on identity, not on all payload columns — null-unsafe
+    column equality would re-emit any matched row containing a NULL payload
+    value."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"unsupported how={how!r} (inner|left)")
+    p0 = points.withColumn("__pid", F.monotonically_increasing_id())
+    p = p0.withColumn("__band", _band(F.col(point_col), band_width))
     i = intervals.withColumn(
         "__band",
         F.explode(
@@ -48,10 +56,7 @@ def banded_range_join(
         (F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) <= F.col(hi_col))
     ).drop("__band")
     if how == "inner":
-        return joined
-    if how == "left":
-        # re-attach points that matched no interval
-        matched = joined.select(*points.columns)
-        missing = points.join(matched, points.columns, "left_anti")
-        return joined.unionByName(missing, allowMissingColumns=True)
-    raise ValueError(f"unsupported how={how!r} (inner|left)")
+        return joined.drop("__pid")
+    # re-attach points that matched no interval, by surrogate id
+    missing = p0.join(joined.select("__pid"), "__pid", "left_anti")
+    return joined.unionByName(missing, allowMissingColumns=True).drop("__pid")

@@ -144,6 +144,8 @@ def kmeans_assignments(
     (model parameters, not data — same contract as a broadcast dim). The
     corpus itself is never collected, so the loop scales with executors;
     iteration count is the only driver-side state."""
+    import math
+
     seeds = [list(r[vec_col]) for r in df.orderBy(id_col).limit(k).collect()]
     dim = len(seeds[0])
     centroids = seeds
@@ -157,7 +159,13 @@ def kmeans_assignments(
         )
         by_cluster: dict[int, dict[int, float]] = {}
         for r in rows:
-            by_cluster.setdefault(r["cluster"], {})[r["idx"]] = r["m"]
+            # quantize each centroid component to 6dp (floor(m·10⁶+0.5)/10⁶,
+            # the same expression the DuckDB oracle runs) so cross-engine /
+            # cross-partitioning fp summation-order noise in the mean cannot
+            # propagate into the next iteration's assignments
+            by_cluster.setdefault(r["cluster"], {})[r["idx"]] = (
+                math.floor(r["m"] * 1_000_000 + 0.5) / 1_000_000
+            )
         centroids = [
             [by_cluster[c][i] for i in range(dim)] if c in by_cluster else centroids[c]
             for c in range(k)

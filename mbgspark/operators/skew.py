@@ -47,9 +47,19 @@ def salted_join(
     how: str = "inner",
 ) -> DataFrame:
     """Equi-join ``fact ⋈ build ON fact.on = build.on`` with each fact key
-    spread over ``buckets`` shuffle partitions. Result is identical to the
-    plain join (salt columns are dropped); only the physical distribution
-    changes."""
+    spread over ``buckets`` shuffle partitions. For the supported join types
+    the result is identical to the plain join (salt columns are dropped);
+    only the physical distribution changes.
+
+    Fact-preserving joins only: the build side is replicated once per salt
+    bucket, so right/full outer would emit every unmatched build row
+    ``buckets`` times — rejected rather than silently wrong."""
+    allowed = {"inner", "left", "left_outer", "left_semi", "left_anti", "cross"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} would duplicate unmatched build rows "
+            f"x{buckets}; supported: {sorted(allowed)}"
+        )
     f = with_salt(fact, on, buckets)
     b = explode_to_salts(build, buckets)
     return f.join(b, on=[on, "__salt"], how=how).drop("__salt")

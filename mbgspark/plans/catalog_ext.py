@@ -618,12 +618,14 @@ def asof_click_view(spark, sf_dir):
         "user_id", "ts", F.col("ts").alias("view_ts")
     )
     joined = as_of_join(clicks, views, "user_id", "ts", "ts", ["view_ts"])
+    # gap in exact integer microseconds: no float division/rounding can
+    # reach the hashed surface, so ms-aligned gaps can't tie at a boundary
     return joined.select(
         "event_id",
         "user_id",
-        F.round(
-            (F.unix_micros("ts") - F.unix_micros("asof_view_ts")) / 1e6, 3
-        ).alias("gap_sec"),
+        (F.unix_micros("ts") - F.unix_micros("asof_view_ts"))
+        .cast("bigint")
+        .alias("gap_us"),
     ).orderBy("event_id")
 
 
@@ -633,10 +635,9 @@ WITH clicks AS (
 ),
 views AS (SELECT user_id, ts FROM events WHERE event_type = 'view')
 SELECT c.event_id, c.user_id,
-       -- integer-microsecond diff, then divide: epoch(ts) doubles lose the
-       -- last milli digit at 1e9-second magnitudes (matches Spark's
-       -- unix_micros arithmetic exactly)
-       round((epoch_us(c.ts) - epoch_us(v.ts)) / 1000000.0, 3) AS gap_sec
+       -- exact integer-microsecond diff: same arithmetic as Spark's
+       -- unix_micros subtraction, no float on the hashed surface
+       CAST(epoch_us(c.ts) - epoch_us(v.ts) AS BIGINT) AS gap_us
 FROM clicks c ASOF LEFT JOIN views v
   ON c.user_id = v.user_id AND c.ts >= v.ts
 ORDER BY c.event_id
@@ -964,16 +965,35 @@ def curate_corpus(spark, sf_dir):
     )
     w = Window.partitionBy("fingerprint").orderBy("doc_id")
     uniq = kept.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    # avg quality in exact integer ten-thousandths: quality_score is a
+    # 4dp-rounded value, so avg() of it ties at the 4dp half boundary —
+    # Spark HALF_UP vs DuckDB fp-rounding flipped the round-1 driver hash.
+    # Per-row floor(q·10⁴ + 0.5) → exact BIGINT sum → half-up integer
+    # division keeps every hashed bit engine-independent.
     return (
         uniq.groupBy("lang")
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("ws_tokens").alias("total_ws_tokens"),
             F.sum("bpe_tokens").alias("total_bpe_tokens"),
-            F.round(F.avg("quality_score"), 4).alias("avg_quality"),
+            F.sum(
+                F.floor(F.col("quality_score") * 10000 + F.lit(0.5)).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("__sum_q_e4"),
             F.sum(
                 F.when(F.col("pred_lang") == F.col("lang"), 1).otherwise(0)
             ).alias("langid_agree"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "total_ws_tokens",
+            "total_bpe_tokens",
+            F.expr("(2 * __sum_q_e4 + n_docs) div (2 * n_docs)")
+            .cast("bigint")
+            .alias("avg_quality_e4"),
+            "langid_agree",
         )
         .orderBy("lang")
     )
@@ -1029,7 +1049,8 @@ uniq AS (
 SELECT lang, count(*) AS n_docs,
        sum(ws_tokens) AS total_ws_tokens,
        sum(bpe_tokens) AS total_bpe_tokens,
-       round(avg(quality_score), 4) AS avg_quality,
+       CAST((2 * sum(CAST(floor(quality_score * 10000 + 0.5) AS BIGINT))
+             + count(*)) // (2 * count(*)) AS BIGINT) AS avg_quality_e4,
        sum(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END) AS langid_agree
 FROM uniq GROUP BY lang ORDER BY lang
 """
@@ -1097,20 +1118,106 @@ GROUP BY 1, 2 ORDER BY 1, 2
 
 def _kmeans_clusters(spark, sf_dir):
     """Deterministic Lloyd's k-means (k=8, 3 iterations, first-k seeds) on
-    the embeddings table; output = per-cluster size + inertia. Iterative —
-    no single SQL twin exists, so the driver records a rows-only check
-    (SURVEY §2.11 carve-out for iterative algorithms). Only the k·dims
-    centroid matrix ever reaches the driver."""
+    the embeddings table; output = per-cluster size + exact-integer inertia.
+    Iterative, but every source of nondeterminism is pinned — first-k seeds,
+    fixed iteration count, centroids quantized to 6dp after each update,
+    argmin ties to the lowest cluster id — so a DuckDB twin exists: the
+    3 iterations unrolled as a generated CTE chain (see _kmeans_sql) whose
+    per-row distance uses list_reduce, the same left-fold Spark's
+    aggregate() expression compiles to. Only the k·dims centroid matrix
+    ever reaches the driver; the corpus itself is never collected."""
     e = _t(spark, sf_dir, "embeddings")
     out = kmeans_assignments(e, k=8, iterations=3)
     return (
         out.groupBy("cluster")
         .agg(
             F.count("*").alias("n_vectors"),
-            F.round(F.sum("dist"), 2).alias("inertia"),
+            # inertia in exact e4 integers: per-row floor(dist·10⁴+0.5) is
+            # bit-identical across engines (same fold over the same doubles),
+            # and the BIGINT sum is order-independent
+            F.sum(F.floor(F.col("dist") * 10000 + F.lit(0.5)).cast("bigint"))
+            .cast("bigint")
+            .alias("inertia_e4"),
+        )
+        .select(
+            F.col("cluster").cast("bigint").alias("cluster"),
+            "n_vectors",
+            "inertia_e4",
         )
         .orderBy("cluster")
     )
+
+
+def _kmeans_sql(k: int = 8, iterations: int = 3, dims: int = 64) -> str:
+    """The DuckDB twin of kmeans_assignments: the fixed iteration count is
+    unrolled into a generated CTE chain (assign → quantized centroid update,
+    repeated), then the final assignment is rolled up. Mirrors the Spark
+    side op for op: same first-k seeds, same left-fold distance, same
+    floor(·10⁶+0.5)/10⁶ centroid quantization, same lowest-id argmin
+    tie-break, same empty-cluster carry-forward."""
+    dist_expr = (
+        f"list_reduce(list_transform(range(1, {dims + 1}), "
+        "j -> (e.v[j] - cc.cent[j]) * (e.v[j] - cc.cent[j])), "
+        "(a, b) -> a + b)"
+    )
+    parts = [
+        "WITH e AS (",
+        "  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v",
+        "  FROM embeddings",
+        "),",
+        "c0 AS (",
+        "  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v AS cent",
+        f"  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {k})",
+        "),",
+    ]
+    for i in range(1, iterations + 1):
+        prev = f"c{i - 1}"
+        parts += [
+            f"d{i} AS (",
+            f"  SELECT e.vec_id, cc.c, {dist_expr} AS dist",
+            f"  FROM e CROSS JOIN {prev} cc",
+            "),",
+            f"a{i} AS (",
+            "  SELECT vec_id, c AS cluster FROM (",
+            "    SELECT vec_id, c, row_number() OVER (",
+            "      PARTITION BY vec_id ORDER BY dist, c) AS rn",
+            f"    FROM d{i}) WHERE rn = 1",
+            "),",
+            f"m{i} AS (",
+            "  SELECT a.cluster AS c, j.j AS idx,",
+            "         floor(avg(e.v[j.j]) * 1000000 + 0.5) / 1000000 AS m",
+            f"  FROM a{i} a JOIN e USING (vec_id)",
+            f"  CROSS JOIN (SELECT unnest(range(1, {dims + 1})) AS j) j",
+            "  GROUP BY 1, 2",
+            "),",
+            f"c{i} AS (",
+            "  SELECT prev.c, coalesce(nc.cent, prev.cent) AS cent",
+            f"  FROM {prev} prev LEFT JOIN (",
+            f"    SELECT c, list(m ORDER BY idx) AS cent FROM m{i} GROUP BY c",
+            "  ) nc USING (c)",
+            "),",
+        ]
+    fin = iterations + 1
+    parts += [
+        f"d{fin} AS (",
+        f"  SELECT e.vec_id, cc.c, {dist_expr} AS dist",
+        f"  FROM e CROSS JOIN c{iterations} cc",
+        "),",
+        f"a{fin} AS (",
+        "  SELECT vec_id, c AS cluster, dist FROM (",
+        "    SELECT vec_id, c, dist, row_number() OVER (",
+        "      PARTITION BY vec_id ORDER BY dist, c) AS rn",
+        f"    FROM d{fin}) WHERE rn = 1",
+        ")",
+        "SELECT CAST(cluster AS BIGINT) AS cluster, count(*) AS n_vectors,",
+        "       CAST(sum(CAST(floor(dist * 10000 + 0.5) AS BIGINT)) AS BIGINT)",
+        "         AS inertia_e4",
+        f"FROM a{fin} GROUP BY cluster ORDER BY cluster",
+    ]
+    return "\n".join(parts)
+
+
+KMEANS_SQL = _kmeans_sql()
 
 
 EXT: dict[str, tuple] = {
@@ -1119,7 +1226,7 @@ EXT: dict[str, tuple] = {
     "label_centroids": (label_centroids, LABEL_CENTROIDS_SQL),
     "kmeans_clusters": (
         lambda spark, sf_dir: _kmeans_clusters(spark, sf_dir),
-        None,  # iterative algorithm — rows-only check by design
+        KMEANS_SQL,  # unrolled deterministic twin — full hash oracle
     ),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_SQL),

@@ -236,20 +236,29 @@ ORDER BY segment
 def big_spenders_vs_avg(spark, sf_dir):
     """Customers whose lifetime spend beats the average customer's: scalar
     aggregate broadcast against the per-customer rollup (the Spark plan is
-    a 1-row broadcast nested-loop — no second scan of orders). Spend is
-    rounded to cents in BOTH engines before the knife-edge comparison so
-    fp summation order can't flip a membership."""
+    a 1-row broadcast nested-loop — no second scan of orders). The whole
+    knife-edge comparison runs in exact integer cents: per-row
+    floor(price·100 + 0.5) → exact BIGINT sums, threshold = half-up integer
+    division — fp summation order can't flip a membership, and the
+    avg-of-rounded-values tie (the curate_corpus round-1 failure mode)
+    can't occur because no float reaches the comparison or the hash."""
     o = _t(spark, sf_dir, "orders")
     spend = o.groupBy("o_custkey").agg(
-        F.round(F.sum("o_totalprice"), 2).alias("spend")
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("spend_c")
     )
-    thr = spend.agg(F.round(F.avg("spend"), 2).alias("thr"))
+    thr = spend.agg(
+        F.expr("(2 * sum(spend_c) + count(*)) div (2 * count(*))")
+        .cast("bigint")
+        .alias("thr_c")
+    )
     return (
         spend.join(F.broadcast(thr))
-        .filter(F.col("spend") > F.col("thr"))
+        .filter(F.col("spend_c") > F.col("thr_c"))
         .agg(
             F.count("*").alias("n_above"),
-            F.round(F.sum("spend"), 2).alias("spend_above"),
+            F.sum("spend_c").cast("bigint").alias("spend_above_c"),
             F.min("o_custkey").alias("first_custkey"),
         )
     )
@@ -257,13 +266,20 @@ def big_spenders_vs_avg(spark, sf_dir):
 
 BIG_SPENDERS_SQL = """
 WITH spend AS (
-  SELECT o_custkey, round(sum(o_totalprice), 2) AS spend
+  SELECT o_custkey,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS spend_c
   FROM orders GROUP BY o_custkey
 ),
-thr AS (SELECT round(avg(spend), 2) AS thr FROM spend)
-SELECT count(*) AS n_above, round(sum(spend), 2) AS spend_above,
+thr AS (
+  SELECT CAST((2 * sum(spend_c) + count(*)) // (2 * count(*)) AS BIGINT)
+           AS thr_c
+  FROM spend
+)
+SELECT count(*) AS n_above,
+       CAST(sum(spend_c) AS BIGINT) AS spend_above_c,
        min(o_custkey) AS first_custkey
-FROM spend, thr WHERE spend > thr
+FROM spend, thr WHERE spend_c > thr_c
 """
 
 
@@ -509,38 +525,85 @@ def pricing_summary(spark, sf_dir):
     """TPC-H Q1 shape: the canonical wide aggregate — 8 aggregates over 2
     group keys in ONE hash-agg pass (sum/avg/count share the partial-agg
     buffers; no re-scan per aggregate). The ship-date filter reaches the
-    parquet scan."""
+    parquet scan.
+
+    Hashed surface is exact-integer: every per-row term is a fixed-decimal
+    value (qty int, price 2dp, disc 2dp ⇒ disc_price 4dp, charge 6dp), so it
+    is scaled to a BIGINT per row (floor(v·10^d + 0.5) — identical IEEE ops
+    in both engines) and summed exactly; averages are half-up integer
+    division of those exact sums. No float ever reaches the hash, so fp
+    summation order and engine rounding rules can't flip a value — the
+    failure mode that bit curate_corpus in round 1."""
     l = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-01"))
     disc = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    charge = disc * (F.lit(1) + F.col("l_tax"))
+
+    def e(col, d):  # exact scaled integer of a fixed-decimal double
+        return F.floor(col * F.lit(10**d) + F.lit(0.5)).cast("bigint")
+
     return (
         l.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc * (F.lit(1) + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.sum(e(F.col("l_quantity"), 0)).cast("bigint").alias("sum_qty"),
+            F.sum(e(F.col("l_extendedprice"), 2)).cast("bigint").alias("sum_base_price_c"),
+            F.sum(e(disc, 4)).cast("bigint").alias("sum_disc_price_e4"),
+            F.sum(e(charge, 6)).cast("bigint").alias("sum_charge_e6"),
+            F.sum(e(F.col("l_discount"), 2)).cast("bigint").alias("__sum_disc_c"),
             F.count("*").alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "sum_qty",
+            "sum_base_price_c",
+            "sum_disc_price_e4",
+            "sum_charge_e6",
+            # half-up integer division: round(10^d * sum / cnt)
+            F.expr("(2 * 10000 * sum_qty + count_order) div (2 * count_order)")
+            .cast("bigint")
+            .alias("avg_qty_e4"),
+            F.expr(
+                "(2 * 100 * sum_base_price_c + count_order) div (2 * count_order)"
+            )
+            .cast("bigint")
+            .alias("avg_price_e4"),
+            F.expr("(2 * 10000 * __sum_disc_c + count_order) div (2 * count_order)")
+            .cast("bigint")
+            .alias("avg_disc_e6"),
+            "count_order",
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
 
 
 PRICING_SUMMARY_SQL = """
+WITH s AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty,
+         CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_base_price_c,
+         CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+                       AS BIGINT)) AS BIGINT) AS sum_disc_price_e4,
+         CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                             * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_charge_e6,
+         CAST(sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_disc_c,
+         count(*) AS count_order
+  FROM lineitem
+  WHERE l_shipdate <= '1998-09-01'
+  GROUP BY l_returnflag, l_linestatus
+)
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-       round(avg(l_quantity), 4) AS avg_qty,
-       round(avg(l_extendedprice), 4) AS avg_price,
-       round(avg(l_discount), 6) AS avg_disc,
-       count(*) AS count_order
-FROM lineitem
-WHERE l_shipdate <= '1998-09-01'
-GROUP BY l_returnflag, l_linestatus
+       sum_qty, sum_base_price_c, sum_disc_price_e4, sum_charge_e6,
+       CAST((2 * 10000 * sum_qty + count_order) // (2 * count_order) AS BIGINT)
+         AS avg_qty_e4,
+       CAST((2 * 100 * sum_base_price_c + count_order) // (2 * count_order)
+            AS BIGINT) AS avg_price_e4,
+       CAST((2 * 10000 * sum_disc_c + count_order) // (2 * count_order)
+            AS BIGINT) AS avg_disc_e6,
+       count_order
+FROM s
 ORDER BY l_returnflag, l_linestatus
 """
 

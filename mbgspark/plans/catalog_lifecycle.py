@@ -55,8 +55,28 @@ def etl_lifecycle(spark, sf_dir):
         )
         .agg(
             F.count("*").alias("cnt"),
-            F.round(F.avg("confidence_score"), 4).alias("avg_conf"),
+            # confidence_score is a 4dp-rounded value — avg() of it can tie
+            # exactly at the 4dp half boundary, where Spark HALF_UP and
+            # DuckDB fp-rounding disagree (the curate_corpus round-1 driver
+            # failure). Exact integer surface instead: per-row
+            # floor(c·10⁴+0.5) → BIGINT sum → half-up integer division.
+            F.sum(
+                F.floor(F.col("confidence_score") * 10000 + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            )
+            .cast("bigint")
+            .alias("__sum_conf_e4"),
             F.countDistinct("event_date").cast("bigint").alias("n_days"),
+        )
+        .select(
+            "province",
+            "sentiment_label",
+            "cnt",
+            F.expr("(2 * __sum_conf_e4 + cnt) div (2 * cnt)")
+            .cast("bigint")
+            .alias("avg_conf_e4"),
+            "n_days",
         )
         .orderBy("province", "sentiment_label")
     )
@@ -127,7 +147,9 @@ scored AS (
   FROM labeled
 )
 SELECT coalesce(province, 'unknown') AS province, sentiment_label,
-       count(*) AS cnt, round(avg(confidence_score), 4) AS avg_conf,
+       count(*) AS cnt,
+       CAST((2 * sum(CAST(floor(confidence_score * 10000 + 0.5) AS BIGINT))
+             + count(*)) // (2 * count(*)) AS BIGINT) AS avg_conf_e4,
        CAST(count(DISTINCT strftime(created_at, '%Y-%m-%d')) AS BIGINT) AS n_days
 FROM scored
 GROUP BY 1, 2 ORDER BY 1, 2

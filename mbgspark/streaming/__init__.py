@@ -21,7 +21,17 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from mbgspark.io import merge_by_key, write_partitioned
+from mbgspark.operators.dedup import keep_latest_per_key
 from mbgspark.schema import TWEET_RAW_SCHEMA
+
+
+def _store_exists(spark: SparkSession, path: str) -> bool:
+    """True iff the store path exists on the session's Hadoop filesystem —
+    the explicit check that replaces catch-any-exception-as-missing."""
+    jvm = spark._jvm
+    hadoop_path = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hadoop_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hadoop_path))
 
 
 def read_tweet_stream(spark: SparkSession, path: str, max_files_per_trigger: int | None = None) -> DataFrame:
@@ -146,11 +156,27 @@ def start_merge_sink(
         batch_df = batch_df.withColumn(
             "event_date", F.date_format("created_at", "yyyy-MM-dd")
         )
-        try:
+        # Only a genuinely-missing store means "first batch"; any other read
+        # failure (transient FS error, corrupt footer) must surface, not
+        # silently drop previously stored rows via the overwrite below.
+        if _store_exists(spark, store_path):
             existing = spark.read.parquet(store_path)
+            # Partition-scoped merge: the window only needs to see store rows
+            # in the partitions this batch touches (a re-delivered key keeps
+            # its created_at, hence its partition — same contract as the
+            # reference's per-day collections, utils.py:583-584). The isin
+            # filter prunes at the store scan, so merge cost tracks touched
+            # days, not store size; dynamic partition overwrite then replaces
+            # only those same days.
+            touched = [
+                r["event_date"]
+                for r in batch_df.select("event_date").distinct().collect()
+            ]
+            existing = existing.filter(F.col("event_date").isin(touched))
             merged = merge_by_key(existing, batch_df, key=key, order_col="scraped_at")
-        except Exception:
-            merged = batch_df
+        else:
+            # no store yet — still dedup re-delivered keys within the batch
+            merged = keep_latest_per_key(batch_df, key=key, order_col="scraped_at")
         write_partitioned(merged, store_path, "event_date")
 
     writer = stream.writeStream.foreachBatch(_merge).option(

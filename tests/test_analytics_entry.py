@@ -35,7 +35,7 @@ def test_entry_contract(spark):
     assert len(qs) >= 40
     df = E.entry(spark)
     assert df.count() > 0
-    assert df.columns == ["province", "sentiment_label", "cnt", "avg_conf", "n_days"]
+    assert df.columns == ["province", "sentiment_label", "cnt", "avg_conf_e4", "n_days"]
 
 
 def test_multimodal_stub_contract(spark):
