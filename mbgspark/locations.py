@@ -1,0 +1,175 @@
+"""Full-dictionary location detection — the reference's real dim at scale.
+
+Round 1 shipped the matching MECHANISM (operators/locate.py) over a 12-row
+sample dim; this module ships the reference's actual 38-province / 456-city
+dictionary (``mbgspark.locations_data``, from ``config/indonesia_locations
+.json``) flattened into one priority-ordered term table, plus a hybrid
+containment strategy that stays scalable at that dim size:
+
+- single-word terms (~85% of the table) match by token equi-join — explode
+  the text's tokens once, hash-join against the broadcast dim, O(tokens)
+  per row regardless of dim size;
+- multi-word terms match by JVM substring containment (`' '||s||' '` LIKE
+  `'% term %'` on space-normalized text) against the broadcast remainder —
+  a BroadcastNestedLoopJoin over only the ~100 multi-word rows;
+- first-match-wins = global min(dict_order) over both candidate sets, then
+  one broadcast join back to the dim for (province, city).
+
+This replaces the 456-branch CASE chain for the full dictionary: the chain
+is O(|dim|) regexes per row (fine at 12 terms, the lifecycle's dim), the
+hybrid is O(tokens + |multiword|) with the heavy part a hash join.
+
+Matching semantics flattened from ``detect_location_from_text``
+(utils.py:336-437) — see ``build_full_locations_dim``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mbgspark.locations_data import INDONESIA_LOCATIONS
+
+# Case 3 abbreviation map (utils.py:384-394). The reference's guard
+# (`province in full_name`, original-case vs lowercase) can never be true, so
+# the branch is dead code there; we ship the map as working alias rows — the
+# documented intent, and what round 1's DEFAULT_LOCATIONS already did.
+CITY_ABBREVIATIONS: dict[str, str] = {
+    "jaksel": "jakarta selatan",
+    "jaktim": "jakarta timur",
+    "jakbar": "jakarta barat",
+    "jakut": "jakarta utara",
+    "jakselpusat": "jakarta pusat",
+    "sby": "surabaya",
+    "bdg": "bandung",
+    "smg": "semarang",
+    "ygy": "yogyakarta",
+}
+
+# location separators normalized to spaces before matching (utils.py:358-361)
+LOCATION_SEPARATORS = ["-", "/", "\\", "|", "_", ",", ";", "."]
+
+
+def province_variations(p_lower: str) -> list[str]:
+    """The reference's province variation forms, verbatim order
+    (utils.py:414-424) — including the odd contractions ('nusa tenggara
+    barat' → 'nt b'); they are part of the surface, harmless, and cheap."""
+    return [
+        p_lower.replace(" ", ""),
+        p_lower.replace("dki ", ""),
+        p_lower.replace("di ", ""),
+        p_lower.replace("provinsi ", ""),
+        p_lower.replace("nusa tenggara", "nt").replace("barat", "b"),
+        p_lower.replace("nusa tenggara", "nt").replace("timur", "t"),
+        p_lower.replace("kalimantan", "kalt"),
+        p_lower.replace("sulawesi", "sul"),
+        p_lower.replace("maluku", "mal"),
+    ]
+
+
+def build_full_locations_dim() -> list[tuple[str, str | None, int, str]]:
+    """Flatten detect_location_from_text's strategy loop (utils.py:363-432)
+    into (province, city, dict_order, term) rows under first-match-wins:
+
+    per city, in dict iteration order: exact name (Case 1), then each
+    whitespace part > 2 chars (Case 2 — 'jakarta' alone resolves to the
+    first city carrying that part, exactly like the reference's loop), then
+    its abbreviations (Case 3). Then, below EVERY city row, the province
+    fallback (utils.py:404-432): the province name, then its variation
+    forms — province rows carry city=None and can only win when no city
+    term matched, because all city rows order lower.
+
+    A term that already appeared keeps only its first (lowest-order) row:
+    later duplicates are unreachable under min(dict_order), so pruning is
+    semantics-preserving."""
+    abbrev_by_city: dict[str, list[str]] = {}
+    for abbrev, full in CITY_ABBREVIATIONS.items():
+        abbrev_by_city.setdefault(full, []).append(abbrev)
+
+    rows: list[tuple[str, str | None, int, str]] = []
+    seen: set[str] = set()
+    order = 0
+    for prov, cities in INDONESIA_LOCATIONS.items():
+        p = prov.lower()
+        for city in cities:
+            c = city.lower()
+            terms = [c]
+            terms += [t for t in c.split() if len(t) > 2 and t != c]
+            terms += abbrev_by_city.get(c, [])
+            for t in terms:
+                if t in seen:
+                    continue
+                seen.add(t)
+                order += 1
+                rows.append((p, c, order, t))
+    for prov in INDONESIA_LOCATIONS:
+        p = prov.lower()
+        for t in [p, *province_variations(p)]:
+            if not t or t in seen:
+                continue
+            seen.add(t)
+            order += 1
+            rows.append((p, None, order, t))
+    return rows
+
+
+def prep_location_text(col: F.Column) -> F.Column:
+    """Lowercase + separators→spaces + whitespace collapse + trim — the
+    text_for_matching prep of utils.py:355-361, as one regex pass."""
+    sep_class = "[" + "".join("\\" + s for s in LOCATION_SEPARATORS) + "\\s]+"
+    return F.trim(F.regexp_replace(F.lower(col), sep_class, " "))
+
+
+def locate_hybrid(
+    fact: DataFrame,
+    dim_rows: list[tuple[str, str | None, int, str]],
+    fact_id: str,
+    text_col: str,
+) -> DataFrame:
+    """First-match location detection against an arbitrary-size dim via the
+    hybrid token-join + multiword-containment strategy (module docstring).
+    Returns fact columns + (province, city) — null when nothing matched."""
+    spark = fact.sparkSession
+    dim = spark.createDataFrame(
+        dim_rows, "province string, city string, dict_order int, term string"
+    )
+    single = F.broadcast(dim.filter(~F.col("term").contains(" ")))
+    multi = F.broadcast(dim.filter(F.col("term").contains(" ")))
+
+    prepped = fact.select(
+        F.col(fact_id), prep_location_text(F.col(text_col)).alias("__s")
+    )
+    toks = prepped.select(
+        fact_id, F.explode(F.split(F.col("__s"), " ")).alias("__tok")
+    )
+    hits_single = toks.join(single, toks["__tok"] == single["term"]).select(
+        fact_id, "dict_order"
+    )
+    padded = prepped.select(
+        fact_id, F.concat(F.lit(" "), F.col("__s"), F.lit(" ")).alias("__p")
+    )
+    hits_multi = padded.join(
+        multi,
+        F.col("__p").contains(F.concat(F.lit(" "), multi["term"], F.lit(" "))),
+    ).select(fact_id, "dict_order")
+
+    best = (
+        hits_single.unionByName(hits_multi)
+        .groupBy(fact_id)
+        .agg(F.min("dict_order").alias("dict_order"))
+        .join(F.broadcast(dim.select("dict_order", "province", "city")), "dict_order")
+        .drop("dict_order")
+    )
+    return fact.join(best, fact_id, "left")
+
+
+def default_locations_dim(spark: SparkSession) -> DataFrame:
+    """The full dictionary as the DEFAULT dim DataFrame (VERDICT r1 item 4);
+    the 12-row sample in schema.DEFAULT_LOCATIONS remains available for
+    small-dim paths (e.g. the lifecycle's compiled CASE chain)."""
+    from mbgspark.schema import LOCATIONS_DIM_SCHEMA  # noqa: F401  (shape doc)
+
+    return spark.createDataFrame(
+        build_full_locations_dim(),
+        "province string, city string, dict_order int, term string",
+    )

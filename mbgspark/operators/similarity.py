@@ -22,6 +22,15 @@ from pyspark.sql import functions as F
 from mbgspark.operators.dedup import cosine_sim
 
 
+def similarity_topk(*args, **kwargs) -> DataFrame:
+    """Default similarity-search entry point = the scale path (``ivf_topk``).
+    The exact scan is available only by explicitly calling
+    ``brute_force_topk`` — a user reaching for "top-k similar vectors"
+    should land on the cell-bucketed plan, not an accidental corpus-sized
+    nested loop (VERDICT r1 item 6)."""
+    return ivf_topk(*args, **kwargs)
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,

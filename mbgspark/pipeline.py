@@ -36,6 +36,9 @@ def apply_cleaning(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+_CASE_CHAIN_MAX_TERMS = 64
+
+
 def detect_locations(df: DataFrame, dim, id_col: str = "_id") -> DataFrame:
     """J1 first-match containment join against text + author name
     (utils.py:336-437; author concat per :351-352). Left join semantics:
@@ -43,17 +46,30 @@ def detect_locations(df: DataFrame, dim, id_col: str = "_id") -> DataFrame:
 
     ``dim`` is a DataFrame (collected — it's driver-small by the same
     contract that makes it broadcast-able) or an already-materialized list
-    of rows/tuples, which skips the collect job entirely."""
+    of rows/tuples, which skips the collect job entirely.
+
+    Strategy dispatch by dim size: small dims compile to the first-match
+    CASE chain (one codegen'd pass, no join — right for the lifecycle's
+    12-term dim); past ``_CASE_CHAIN_MAX_TERMS`` the O(|dim|) per-row regex
+    chain loses to the hybrid token-join + multiword-containment plan
+    (locations.locate_hybrid), which is how the full 602-term dictionary
+    runs by default."""
     search = "concat_ws(' ', clean_text, lower(coalesce(author_name, '')))"
-    # regex containment (not token membership): city terms can be multi-word
-    # ("jakarta selatan") and sit next to punctuation in real text. The dim
-    # is driver-small (456 rows at reference scale), so it compiles to a
-    # first-match CASE chain — one codegen'd pass, no join, no shuffle
-    # (containment_join_first_match is the fallback for unbounded dims).
     rows = dim.collect() if isinstance(dim, DataFrame) else dim
     fields = ("province", "city", "dict_order", "term")
-    rows = [dict(zip(fields, r)) if isinstance(r, tuple) else r for r in rows]
-    hit = first_match_case_sql(rows, search)
+    dicts = [dict(zip(fields, r)) if isinstance(r, tuple) else r for r in rows]
+    if len(dicts) > _CASE_CHAIN_MAX_TERMS:
+        from mbgspark.locations import locate_hybrid
+
+        tuples = [
+            (r["province"], r["city"], r["dict_order"], r["term"]) for r in dicts
+        ]
+        base = df.withColumn("__search", F.expr(search))
+        out = locate_hybrid(base, tuples, id_col, "__search")
+        return out.drop("__search").withColumn(
+            "location_detected", F.col("city").isNotNull()
+        ).withColumn("location_checked", F.lit(True))
+    hit = first_match_case_sql(dicts, search)
     # embed the wide CASE tree ONCE (as a struct), then expand by field:
     # every later Dataset creation re-runs the analyzer over the plan, so a
     # plan carrying two copies of a 456-branch CaseWhen doubles every

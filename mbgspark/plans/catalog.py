@@ -16,12 +16,14 @@ from mbgspark.plans.catalog_core import CORE
 from mbgspark.plans.catalog_ext import EXT
 from mbgspark.plans.catalog_joins import JOINS
 from mbgspark.plans.catalog_lifecycle import LIFECYCLE
+from mbgspark.plans.catalog_locations import LOCATIONS_CATALOG
 
 _ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     **CORE,
     **EXT,
     **JOINS,
     **LIFECYCLE,
+    **LOCATIONS_CATALOG,
 }
 
 # The driver's correctness gate checks the FIRST 50 queries() entries
@@ -47,9 +49,11 @@ _PRIORITY = [
     "sessionize_events",
     "pivot_event_types",
     "json_props_extract",
-    # -- 2: fixed this round --
+    # -- 2: fixed / new this round --
     "curate_corpus",
     "kmeans_clusters",
+    "locate_full_dim",
+    "reprocess_idempotent",
     # -- 3: LLM-pipeline suite --
     "dedup_exact",
     "dedup_minhash_lsh",

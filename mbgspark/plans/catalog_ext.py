@@ -255,7 +255,10 @@ def dedup_embedding(spark, sf_dir):
         F.transform("embedding", lambda x: x.cast("double") * 2.0).alias("embedding"),
     )
     return dd.embedding_near_dups(
-        base.unionByName(copies), "vec_id", "embedding", threshold=0.99
+        # block_bits=0: the explicit opt-in to exact all-pairs — this query
+        # IS the correctness baseline the blocked variant is checked against
+        base.unionByName(copies), "vec_id", "embedding", threshold=0.99,
+        block_bits=0,
     ).orderBy("id_a", "id_b")
 
 

@@ -155,6 +155,55 @@ FROM scored
 GROUP BY 1, 2 ORDER BY 1, 2
 """.replace("{DIM_VALUES}", _DIM_VALUES)
 
+def reprocess_idempotent(spark, sf_dir):
+    """§3.3 idempotence invariant as a driver-visible query
+    (fix_unprocessed_monthly_tweets.py:229-234, VERDICT r1 item 9):
+    reprocess() over a fully-unprocessed store, then reprocess() again over
+    the updated store — the second work set MUST be empty. One lazily
+    evaluated DAG: run1's work count (= every store row, since nothing is
+    processed yet) unioned with run2's (must be 0). The oracle is the
+    trivial restatement: count(documents) and 0."""
+    from mbgspark.pipeline import reprocess
+    from mbgspark.schema import DEFAULT_LOCATIONS
+
+    d = _t(spark, sf_dir, "documents")
+    store0 = d.select(
+        F.col("doc_id").cast("string").alias("_id"),
+        F.col("text"),
+        F.lit("user").alias("author_name"),
+        F.expr(
+            "timestampadd(DAY, CAST(doc_id % 31 AS INT),"
+            " timestamp'2025-01-01 00:00:00')"
+        ).alias("created_at"),
+        F.expr(
+            "timestampadd(DAY, CAST(doc_id % 31 AS INT),"
+            " timestamp'2025-01-02 00:00:00')"
+        ).alias("scraped_at"),
+        # enrichment columns exist but are all-null: the $exists:false state
+        F.lit(None).cast("string").alias("clean_text"),
+        F.lit(None).cast("string").alias("sentiment_label"),
+        F.lit(None).cast("double").alias("confidence_score"),
+        F.lit(None).cast("boolean").alias("location_checked"),
+    )
+    work1, store1 = reprocess(store0, DEFAULT_LOCATIONS)
+    work2, _ = reprocess(store1, DEFAULT_LOCATIONS)
+    r1 = work1.agg(F.count("*").alias("work_cnt")).select(
+        F.lit("run1").alias("run"), "work_cnt"
+    )
+    r2 = work2.agg(F.count("*").alias("work_cnt")).select(
+        F.lit("run2").alias("run"), "work_cnt"
+    )
+    return r1.unionByName(r2).orderBy("run")
+
+
+REPROCESS_IDEMPOTENT_SQL = """
+SELECT 'run1' AS run, count(*) AS work_cnt FROM documents
+UNION ALL
+SELECT 'run2' AS run, 0 AS work_cnt
+ORDER BY run
+"""
+
 LIFECYCLE: dict[str, tuple] = {
     "etl_lifecycle": (etl_lifecycle, ETL_LIFECYCLE_SQL),
+    "reprocess_idempotent": (reprocess_idempotent, REPROCESS_IDEMPOTENT_SQL),
 }

@@ -1,0 +1,108 @@
+"""Gate query for the FULL location dictionary (VERDICT r1 item 4).
+
+Runs first-match location detection over `documents` with the reference's
+real 38-province / 456-city dictionary (602 flattened term rows including
+city-part, abbreviation, and province-fallback semantics — locations.py),
+through the hybrid token-join + multiword-containment strategy. Documents
+get deterministic Indonesian location snippets injected (cycling doc_id % 8)
+so every matching tier — exact multi-word city, abbreviation, province
+fallback, separator normalization, part shadowing, no-match — is exercised;
+the untouched English text also participates, so accidental matches (e.g.
+the token 'solo') are part of the checked surface on BOTH engines.
+
+Oracle: the identical construction in DuckDB — same dim VALUES, same
+tokenization, same min(dict_order) first-match — checked row-per-document
+(~600 rows at sf0.001, ~6k at sf0.01)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mbgspark.locations import build_full_locations_dim, locate_hybrid
+from mbgspark.plans.catalog_core import _t
+
+_DIM_ROWS = build_full_locations_dim()
+
+# one injection per matching tier; doc_id % 8 cycles deterministically
+_INJECT = [
+    " kunjungan di Jakarta Selatan",  # exact multi-word city
+    " acara sby keren",  # abbreviation alias
+    " warga jawa barat senang",  # part 'barat' shadows the province (faithful)
+    " tinggal di bandung-kota",  # separator normalization
+    " dari pekanbaru",  # exact single-word city
+    " orang smg asli",  # abbreviation
+    " provinsi sulawesi tenggara",  # province fallback path
+    "",  # no injection — natural text only
+]
+
+
+def _inject_expr():
+    expr = F.when(F.col("doc_id") % 8 == 0, F.lit(_INJECT[0]))
+    for i in range(1, 7):
+        expr = expr.when(F.col("doc_id") % 8 == i, F.lit(_INJECT[i]))
+    return expr.otherwise(F.lit(""))
+
+
+def locate_full_dim(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    fact = d.select(
+        "doc_id", F.concat(F.col("text"), _inject_expr()).alias("text")
+    )
+    out = locate_hybrid(fact, _DIM_ROWS, "doc_id", "text")
+    return out.select("doc_id", "province", "city").orderBy("doc_id")
+
+
+def _sql_lit(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _dim_values() -> str:
+    parts = []
+    for prov, city, order, term in _DIM_ROWS:
+        c = _sql_lit(city) if city is not None else "CAST(NULL AS VARCHAR)"
+        parts.append(f"({_sql_lit(prov)}, {c}, {order}, {_sql_lit(term)})")
+    return ",\n  ".join(parts)
+
+
+_CASE_INJECT = "\n".join(
+    f"             WHEN {i} THEN {_sql_lit(s)}" for i, s in enumerate(_INJECT[:7])
+)
+
+LOCATE_FULL_DIM_SQL = f"""
+WITH dim(province, city, dict_order, term) AS (VALUES
+  {_dim_values()}
+),
+raw AS (
+  SELECT doc_id,
+         text || CASE CAST(doc_id % 8 AS INT)
+{_CASE_INJECT}
+             ELSE '' END AS text
+  FROM documents
+),
+prep AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(text), '[\\-/\\\\|_,;.\\s]+', ' ', 'g')) AS s
+  FROM raw
+),
+tk AS (
+  SELECT doc_id, string_split(s, ' ') AS t, ' ' || s || ' ' AS p FROM prep
+),
+hit AS (
+  SELECT doc_id, min(dict_order) AS mo
+  FROM tk JOIN dim ON
+    CASE WHEN term NOT LIKE '% %' THEN list_contains(t, term)
+         ELSE position(' ' || term || ' ' IN p) > 0 END
+  GROUP BY doc_id
+)
+SELECT r.doc_id, m.province, m.city
+FROM raw r
+LEFT JOIN (
+  SELECT h.doc_id, d2.province, d2.city
+  FROM hit h JOIN dim d2 ON d2.dict_order = h.mo
+) m ON r.doc_id = m.doc_id
+ORDER BY r.doc_id
+"""
+
+LOCATIONS_CATALOG: dict[str, tuple] = {
+    "locate_full_dim": (locate_full_dim, LOCATE_FULL_DIM_SQL),
+}

@@ -1,0 +1,68 @@
+"""Full 38-province / 456-city dictionary + hybrid locate strategy.
+
+Pins the flattened first-match semantics of detect_location_from_text
+(utils.py:336-437) at the real dim size, including the behaviors that look
+surprising but are faithful: part shadowing ('jakarta' → first city with
+that part), the 'barat' part beating the jawa-barat province fallback, and
+abbreviation aliases."""
+
+from __future__ import annotations
+
+from mbgspark.locations import (
+    CITY_ABBREVIATIONS,
+    build_full_locations_dim,
+    locate_hybrid,
+)
+from mbgspark.locations_data import INDONESIA_LOCATIONS
+
+
+def test_dim_shape_and_order():
+    rows = build_full_locations_dim()
+    assert len(INDONESIA_LOCATIONS) == 38
+    assert sum(len(v) for v in INDONESIA_LOCATIONS.values()) == 456
+    # every canonical city present as a term row
+    terms = {r[3] for r in rows}
+    assert "jakarta selatan" in terms and "surabaya" in terms
+    # all abbreviations present
+    assert set(CITY_ABBREVIATIONS) <= terms
+    # dict_order strictly increasing and unique terms
+    orders = [r[2] for r in rows]
+    assert orders == sorted(orders) and len(set(orders)) == len(orders)
+    assert len(terms) == len(rows)
+    # every province fallback row sits below every city row
+    city_max = max(r[2] for r in rows if r[1] is not None)
+    prov_min = min(r[2] for r in rows if r[1] is None)
+    assert prov_min > city_max
+
+
+def test_hybrid_first_match_semantics(spark):
+    rows = build_full_locations_dim()
+    fact = spark.createDataFrame(
+        [
+            (1, "kunjungan di Jakarta Selatan kemarin"),   # exact multi-word
+            (2, "acara sby keren"),                        # abbreviation
+            (3, "warga jawa barat senang"),                # part 'barat' shadows
+            (4, "tinggal di bandung, dekat alun-alun"),    # separator prep
+            (5, "tidak ada lokasi disini"),                # no match
+            (6, "provinsi gorontalo mantap"),              # province fallback
+        ],
+        "id bigint, text string",
+    )
+    got = {
+        r["id"]: (r["province"], r["city"])
+        for r in locate_hybrid(fact, rows, "id", "text").collect()
+    }
+    # faithful Case-2 shadowing (utils.py:373-381): the real JSON lists
+    # Jakarta Pusat FIRST, and its part-row 'jakarta' outranks the exact
+    # 'jakarta selatan' row — the reference's loop does exactly this
+    assert got[1] == ("dki jakarta", "jakarta pusat")
+    assert got[2] == ("jawa timur", "surabaya")
+    # faithful Case-2 shadowing: 'barat' is a part of an earlier city row,
+    # so the city wins over the jawa-barat province fallback
+    assert got[3][1] is not None
+    assert got[4] == ("jawa barat", "bandung")
+    assert got[5] == (None, None)
+    # 'gorontalo' appears as a CITY under Sulawesi Tengah in the reference's
+    # JSON (a data quirk reproduced faithfully) — the city row wins over the
+    # gorontalo province fallback
+    assert got[6] == ("sulawesi tengah", "gorontalo")

@@ -41,3 +41,54 @@ def test_udf_matches_column_lexicon(spark):
 def test_hf_factory_gated():
     with pytest.raises(NotImplementedError):
         hf_classify_factory()
+
+
+def test_model_branch_with_fake_predictor(spark):
+    """The MODEL branch of with_sentiment_udf (utils.py:85-92 semantics),
+    exercised through an injected fake predictor: 512-char truncation is
+    applied BEFORE inference, model labels are lowercased, scores pass
+    through, and nulls arrive as empty strings."""
+    from mbgspark.functions.sentiment import make_model_classify
+
+    seen_batches = []
+
+    def fake_predict(vals):
+        seen_batches.append(list(vals))
+        out = []
+        for v in vals:
+            assert len(v) <= 512  # truncation happened before the model
+            out.append(("POSITIVE", 0.9) if "bagus" in v else ("Negative", 0.25))
+        return out
+
+    df = spark.createDataFrame(
+        [("1", "program bagus"), ("2", "x" * 600 + " bagus"), ("3", None)],
+        "id string, text string",
+    )
+    got = {
+        r["id"]: (r["label"], r["confidence_score"])
+        for r in with_sentiment_udf(
+            df, "text", classify=make_model_classify(fake_predict)
+        ).collect()
+    }
+    assert got["1"] == ("positive", 0.9)  # label lowercased
+    assert got["2"] == ("negative", 0.25)  # 'bagus' truncated away at 512
+    assert got["3"] == ("negative", 0.25)  # null → '' reaches the model
+    assert all(len(v) <= 512 for batch in seen_batches for v in batch)
+
+
+def test_model_branch_error_degradation(spark):
+    """A failing model batch degrades every row to ('neutral', 0.0) —
+    utils.py:88-92 — instead of failing the job."""
+    from mbgspark.functions.sentiment import make_model_classify
+
+    def broken_predict(vals):
+        raise RuntimeError("model exploded")
+
+    df = spark.createDataFrame([("1", "apa saja"), ("2", "bagus")], "id string, text string")
+    got = {
+        r["id"]: (r["label"], r["confidence_score"])
+        for r in with_sentiment_udf(
+            df, "text", classify=make_model_classify(broken_predict)
+        ).collect()
+    }
+    assert got == {"1": ("neutral", 0.0), "2": ("neutral", 0.0)}
