@@ -17,8 +17,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from mbgspark.plans.catalog import CATALOG
+from mbgspark.plans.catalog import query_map
 from mbgspark.session import get_spark
+
+QUERIES = query_map()  # plan-cached builders — the driver-facing surface
 
 # Representative headline set: scan, equi-join, agg, rollup, multi-join agg,
 # top-k explode, calendar projection, regex chain, lexicon UDF-free model,
@@ -31,9 +33,8 @@ HEADLINE = [
 
 
 def run_one(spark, name: str, sf_dir: str) -> float:
-    builder, _ = CATALOG[name]
     t0 = time.time()
-    df = builder(spark, sf_dir)
+    df = QUERIES[name](spark, sf_dir)
     df.write.format("noop").mode("overwrite").save()
     return time.time() - t0
 

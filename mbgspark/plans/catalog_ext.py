@@ -47,7 +47,17 @@ DUP_SQL_UNION = """
 
 
 def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents ∪ near-copies (first token dropped) of doc_id < 30."""
+    """documents ∪ near-copies (first token dropped) of doc_id < 30.
+
+    Repartitioned to the session's default parallelism: the documents
+    parquet at test SFs is one small file (1–2 scan splits), which would pin
+    the downstream shingle explode — the expensive narrow map of the whole
+    dedup suite — to 2 of 32 cores (measured: shingling alone 1.3 s at
+    sf0.1, ~16× under-parallelized). The 5k-row shuffle costs ~50 ms and
+    buys wide execution; at production scale the scan has enough splits on
+    its own and a corpus builder would skip this. Width capped at 16: the
+    full 32 over-schedules tiny tasks (measured best-of-3 at sf0.1:
+    rep=0 1.76 s, rep=32 1.60 s, rep=16 1.23 s for the minhash pipeline)."""
     d = _t(spark, sf_dir, "documents")
     base = d.select(F.col("doc_id").alias("id"), F.lower(F.trim("text")).alias("t"))
     pert = (
@@ -59,7 +69,9 @@ def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("t"),
         )
     )
-    return base.unionByName(pert)
+    return base.unionByName(pert).repartition(
+        min(16, spark.sparkContext.defaultParallelism)
+    )
 
 
 def dedup_exact(spark, sf_dir):

@@ -44,7 +44,11 @@ def etl_lifecycle(spark, sf_dir):
             "timestampadd(DAY, CAST(doc_id % 31 AS INT),"
             " timestamp'2025-01-01 00:00:00')"
         ).alias("created_at"),
-    )
+    ).repartition(min(16, spark.sparkContext.defaultParallelism))
+    # ^ the small-file documents scan yields 1-2 splits, which would pin the
+    # whole clean→locate→label map to 2 cores; a 5k-row shuffle buys wide
+    # execution (measured at sf0.1: exec 0.77 s → 0.45 s). Production scans
+    # have enough splits; this is a test-SF ergonomic.
     # pass the dim as plain rows: the CASE-chain compiler needs driver-side
     # values anyway, so skip the createDataFrame+collect round trip
     out = run_etl(raw, DEFAULT_LOCATIONS, id_col="_id", event_ts_col="created_at")
