@@ -3,7 +3,9 @@
 Runs first-match location detection over `documents` with the reference's
 real 38-province / 456-city dictionary (602 flattened term rows including
 city-part, abbreviation, and province-fallback semantics — locations.py),
-through the hybrid token-join + multiword-containment strategy. Documents
+through the compiled map-lookup strategy (locate_compiled; the join-based
+locate_hybrid computes identical results — equivalence pinned in
+tests/test_locations_full.py). Documents
 get deterministic Indonesian location snippets injected (cycling doc_id % 8)
 so every matching tier — exact multi-word city, abbreviation, province
 fallback, separator normalization, part shadowing, no-match — is exercised;
@@ -18,7 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from mbgspark.locations import build_full_locations_dim, locate_hybrid
+from mbgspark.locations import build_full_locations_dim, locate_compiled
 from mbgspark.plans.catalog_core import _t
 
 _DIM_ROWS = build_full_locations_dim()
@@ -47,8 +49,10 @@ def locate_full_dim(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     fact = d.select(
         "doc_id", F.concat(F.col("text"), _inject_expr()).alias("text")
-    )
-    out = locate_hybrid(fact, _DIM_ROWS, "doc_id", "text")
+    ).repartition(min(16, spark.sparkContext.defaultParallelism))
+    # ^ small-file scan = 1-2 splits; widen the regex-prep + explode map
+    # (same test-SF ergonomic as _dup_corpus / the lifecycle raw build)
+    out = locate_compiled(fact, _DIM_ROWS, "doc_id", "text")
     return out.select("doc_id", "province", "city").orderBy("doc_id")
 
 

@@ -23,6 +23,40 @@ from mbgspark.functions.cleaning import clean_at_ingest
 from mbgspark.schema import TWEET_RAW_SCHEMA
 
 
+def search_url(query: F.Column) -> F.Column:
+    """C12 (the last SURVEY §2 gap): the reference's search-URL encoding —
+    exactly the three character replacements it performs (' '→%20, ':'→%3A,
+    ','→%2C; resilient_scraper.py:274) wrapped in its URL template (:275).
+    Deliberately NOT url_encode(): the reference's scheme leaves every other
+    reserved character bare, and fidelity beats RFC-compliance here. A pure
+    column expression, usable on a DataFrame of per-day query strings (the
+    batch analog of the scraper's per-date loop)."""
+    enc = F.replace(
+        F.replace(
+            F.replace(query, F.lit(" "), F.lit("%20")), F.lit(":"), F.lit("%3A")
+        ),
+        F.lit(","),
+        F.lit("%2C"),
+    )
+    return F.concat(
+        F.lit("https://x.com/search?q="), enc, F.lit("&src=typed_query&f=live")
+    )
+
+
+def daily_search_query(
+    base_query: str, date_col: F.Column
+) -> F.Column:
+    """The date-windowed search query (build_search_query,
+    resilient_scraper.py:146-180 core): base query + since/until bounds of
+    one day — since = the date, until = the next day."""
+    return F.concat(
+        F.lit(f"{base_query} since:"),
+        F.date_format(date_col, "yyyy-MM-dd"),
+        F.lit(" until:"),
+        F.date_format(F.date_add(date_col, 1), "yyyy-MM-dd"),
+    )
+
+
 def parse_metric_counts(raw: DataFrame, cols: tuple[str, ...]) -> DataFrame:
     """C11: extract leading digits from metric button text → int, 0 default
     (resilient_scraper.py:467-477)."""

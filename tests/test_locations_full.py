@@ -11,6 +11,7 @@ from __future__ import annotations
 from mbgspark.locations import (
     CITY_ABBREVIATIONS,
     build_full_locations_dim,
+    locate_compiled,
     locate_hybrid,
 )
 from mbgspark.locations_data import INDONESIA_LOCATIONS
@@ -66,3 +67,26 @@ def test_hybrid_first_match_semantics(spark):
     # JSON (a data quirk reproduced faithfully) — the city row wins over the
     # gorontalo province fallback
     assert got[6] == ("sulawesi tengah", "gorontalo")
+
+
+def test_compiled_and_hybrid_strategies_agree(spark):
+    """locate_compiled (constant-map projection) and locate_hybrid
+    (token/containment joins) are two physical plans of the same operator —
+    they must return identical (province, city) for every row, including on
+    natural text with no injected locations."""
+    from pyspark.sql import functions as F
+
+    from mbgspark.io import load_table
+
+    rows = build_full_locations_dim()
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    fact = d.select("doc_id", F.col("text"))
+    a = {
+        r["doc_id"]: (r["province"], r["city"])
+        for r in locate_compiled(fact, rows, "doc_id", "text").collect()
+    }
+    b = {
+        r["doc_id"]: (r["province"], r["city"])
+        for r in locate_hybrid(fact, rows, "doc_id", "text").collect()
+    }
+    assert a == b and len(a) > 0

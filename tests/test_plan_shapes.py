@@ -174,3 +174,48 @@ def test_q1_wide_agg_single_pass(spark):
     plan = plan_of(spark, "pricing_summary")
     assert plan.count("FileScan") == 1
     assert plan.count("HashAggregate") == 2
+
+
+def test_merge_store_scan_carries_partition_filter(spark, tmp_path):
+    # partition-scoped merge (VERDICT r1 item 7): when merging a batch that
+    # touches only some event_date partitions, the store-side scan must
+    # carry a PartitionFilter on event_date — merge cost tracks touched
+    # days, not store size
+    from pyspark.sql import functions as F
+
+    from mbgspark.io import merge_by_key, write_partitioned
+
+    store_path = str(tmp_path / "store")
+    base = spark.createDataFrame(
+        [("1", "a", "2025-01-01"), ("2", "b", "2025-01-02"), ("3", "c", "2025-01-03")],
+        "_id string, scraped_at string, event_date string",
+    )
+    write_partitioned(base, store_path, "event_date")
+    batch = spark.createDataFrame(
+        [("2", "b2", "2025-01-02")], "_id string, scraped_at string, event_date string"
+    )
+    touched = [r["event_date"] for r in batch.select("event_date").distinct().collect()]
+    existing = spark.read.parquet(store_path).filter(F.col("event_date").isin(touched))
+    merged = merge_by_key(existing, batch, key="_id", order_col="scraped_at")
+    plan = merged._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(event_date" in plan or "PartitionFilters: [event_date" in plan
+    # and the merge result covers only the touched day
+    assert {r["event_date"] for r in merged.collect()} == {"2025-01-02"}
+    assert merged.count() == 1
+
+
+def test_search_url_c12_reference_encoding(spark):
+    # C12 (resilient_scraper.py:274-275): exactly the reference's three
+    # replacements, other reserved chars left bare
+    from pyspark.sql import functions as F
+
+    from mbgspark.sources.ingest import daily_search_query, search_url
+
+    df = spark.createDataFrame([("2025-01-05",)], "d string")
+    q = daily_search_query("Makan Bergizi Gratis OR MBG lang:id", F.to_date("d"))
+    got = df.select(search_url(q).alias("u")).collect()[0]["u"]
+    assert got == (
+        "https://x.com/search?q=Makan%20Bergizi%20Gratis%20OR%20MBG%20"
+        "lang%3Aid%20since%3A2025-01-05%20until%3A2025-01-06"
+        "&src=typed_query&f=live"
+    )
