@@ -234,8 +234,15 @@ def jaccard_verify_arrays(
     them is the stable plan."""
     aa = arrays.select(F.col(id_col).alias("id_a"), F.col(arr_col).alias("__sa"))
     bb = arrays.select(F.col(id_col).alias("id_b"), F.col(arr_col).alias("__sb"))
+    # Broadcast ONLY the id pairs (a few bytes per candidate) — never a
+    # dataset carrying the shingle arrays, whose broadcast would grow
+    # linearly with candidate count (measured: 1.7× pipeline regression at
+    # 14k pairs). Both array sides shrink to candidate rows via the
+    # broadcast join, then the residual equi-join is candidate-sized on
+    # both sides.
     j = aa.join(F.broadcast(pairs), "id_a")
-    j2 = bb.join(F.broadcast(j), "id_b")
+    bb_cand = bb.join(F.broadcast(pairs.select("id_b").distinct()), "id_b")
+    j2 = j.join(bb_cand, "id_b")
     inter = F.size(F.array_intersect("__sa", "__sb"))
     return (
         j2.withColumn(
@@ -271,10 +278,25 @@ def minhash_near_dups(
     shingle table is infeasible anyway; re-scan is the strategy that
     survives scale."""
     shingled = with_word_shingles(df, id_col, text_col, k)
-    sig = minhash_signature(shingled, id_col, num_hashes)
+    # ONE aggregation computes the MinHash windows AND packs the shingle
+    # set per doc: every downstream consumer (banding, both verify sides)
+    # hangs off the same exchange, which Spark reuses (ReusedExchange) —
+    # the shingle pass over the corpus happens exactly once per action,
+    # where separate signature/array lineages would recompute it 3×.
+    aggs = [
+        F.min(F.substring(F.md5(F.col("shingle")), 2 * i + 1, 16)).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    packed = shingled.groupBy(id_col).agg(
+        *aggs, F.collect_list("shingle").alias("__shingles")
+    )
+    sig = packed.select(
+        F.col(id_col),
+        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"),
+    )
     pairs = lsh_candidate_pairs(sig, id_col, bands, num_hashes // bands)
-    arrays = with_shingle_array(df, id_col, text_col, k)
-    return jaccard_verify_arrays(arrays, pairs, id_col, threshold)
+    arrays = packed.select(id_col, "__shingles")
+    return jaccard_verify_arrays(arrays, pairs, id_col, threshold, "__shingles")
 
 
 # ------------------------------------------------------------- simhash ----

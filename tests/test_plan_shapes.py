@@ -219,3 +219,21 @@ def test_search_url_c12_reference_encoding(spark):
         "lang%3Aid%20since%3A2025-01-05%20until%3A2025-01-06"
         "&src=typed_query&f=live"
     )
+
+
+def test_locate_full_dim_is_narrow_no_joins(spark):
+    # the compiled-map strategy must stay ONE narrow projection: no join
+    # operators, no Python eval; the only exchanges are the test-SF width
+    # repartition and the final sort
+    plan = plan_of(spark, "locate_full_dim")
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("FileScan") == 1
+
+
+def test_kmeans_assignment_stays_jvm_side(spark):
+    # the iterative k-means' per-row assignment is a compiled expression —
+    # no Python eval anywhere in the final plan, single scan of embeddings
+    plan = plan_of(spark, "kmeans_clusters")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan

@@ -83,6 +83,14 @@ def main() -> None:
     run("token_counts", with_token_counts(corpus, "t"))
     run("fingerprints", with_fingerprint(corpus, "t"))
 
+    # full 602-term dictionary locate, both strategies (hash-rewritten
+    # tokens ≅ a corpus where almost nothing matches — the common case)
+    from mbgspark.locations import build_full_locations_dim, locate_compiled, locate_hybrid
+
+    dim_rows = build_full_locations_dim()
+    run("locate_compiled_602", locate_compiled(corpus, dim_rows, "id", "t"))
+    run("locate_hybrid_602", locate_hybrid(corpus, dim_rows, "id", "t"))
+
     # curation composite (quality gate + fingerprint dedup keep-first):
     # the catalog's curate_corpus minus langid, on the scaled corpus
     from pyspark.sql import Window
