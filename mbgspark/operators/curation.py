@@ -1,0 +1,352 @@
+"""Corpus-curation operators for a large-scale training-data pipeline:
+benchmark-contamination detection, Gopher-style repetition filters, PII
+detection/redaction, deterministic stratified sampling, sequence packing,
+corpus n-gram statistics, and domain-mixture accounting.
+
+These extend the reference's curation surface (its quality gate is the
+min-length filter, src/resilient_scraper.py:399) to what a pretraining
+pipeline actually runs before tokenization. Every operator is a pure
+column-expression / equi-join composition — no Python in the hot path —
+and is reproducible in an ANSI-SQL oracle (md5-only hashing,
+integer-scaled fractions so no float ever reaches a hashed surface).
+
+Scale notes (100 TB):
+- contamination is an n-gram equi-join against the benchmark gram set —
+  never all-pairs; the benchmark side (eval suites: thousands of docs) is
+  broadcast, so the corpus side stays a narrow map + one hash aggregate.
+- repetition stats shuffle on doc_id only (bounded by corpus rows, partial
+  aggregation applies); everything else is narrow until the final agg.
+- stratified sampling is a stateless hash filter — zero shuffles, any
+  executor can evaluate it, and re-runs are reproducible (md5, not rand()).
+- sequence packing is windowed per shard: shards are independent, so the
+  cumulative sum parallelizes and no global sort exists anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from mbgspark.operators.dedup import with_word_shingles
+
+# ------------------------------------------------------- contamination ----
+
+
+def contamination_flags(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_hits: int = 2,
+) -> DataFrame:
+    """Flag corpus documents whose word n-grams overlap a benchmark set —
+    the decontamination step run before pretraining so eval data never
+    leaks into the training corpus.
+
+    Shape: distinct benchmark n-grams (small: eval suites are thousands of
+    docs) broadcast to an equi-join against the corpus's exploded n-grams,
+    then one count per doc. The corpus is never self-joined and the
+    benchmark never leaves the broadcast — at 100 TB the corpus side is a
+    narrow map + single hash aggregate. For a benchmark too large to
+    broadcast, drop the hint and the same plan becomes a shuffle equi-join.
+
+    Emits every corpus row + ``contaminated_ngrams`` (distinct overlapping
+    n-grams) and ``is_contaminated`` (>= min_hits).
+    """
+    bench_grams = (
+        with_word_shingles(benchmark, id_col, text_col, k=n)
+        .select("shingle")
+        .distinct()
+    )
+    doc_grams = with_word_shingles(corpus, id_col, text_col, k=n)
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "shingle")
+        .groupBy(id_col)
+        .agg(F.countDistinct("shingle").alias("contaminated_ngrams"))
+    )
+    return (
+        corpus.join(hits, id_col, "left")
+        .withColumn(
+            "contaminated_ngrams",
+            F.coalesce(F.col("contaminated_ngrams"), F.lit(0)).cast("bigint"),
+        )
+        .withColumn(
+            "is_contaminated", F.col("contaminated_ngrams") >= F.lit(min_hits)
+        )
+    )
+
+
+# ---------------------------------------------------- repetition filters ----
+
+
+def with_repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document:
+
+    - ``dup_token_frac_e4``: 1 - distinct_tokens/tokens, in exact ten-
+      thousandths (a document that keeps repeating the same words scores
+      high);
+    - ``top_bigram_cnt`` and ``top_bigram_frac_e4``: occurrences of the
+      most frequent word bigram and its share of all bigram slots (catches
+      boilerplate / TV-static repetition that token-level stats miss).
+
+    Fractions are emitted as integer ten-thousandths (floor(x*1e4 + 0.5),
+    identical half-up in Spark and DuckDB) so no raw double reaches a
+    hashed oracle surface. Distributed shape: the token array materializes
+    once per row in its own projection (never inside the bigram lambda —
+    see with_word_shingles), bigram counting is explode + two hash
+    aggregates keyed by doc_id (map-side partials apply), then one equi-
+    join back. Ties for the top bigram don't matter: only the count is
+    emitted.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("__toks"),
+    )
+    base = toks.select(
+        id_col,
+        F.size("__toks").cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct("__toks")).cast("bigint").alias("n_distinct"),
+        # guarded: sequence(0, -1) would flip its step and emit [0, -1]
+        F.when(
+            F.size("__toks") >= 2,
+            F.expr(
+                "transform(sequence(0, size(__toks) - 2),"
+                " i -> concat(__toks[i], ' ', __toks[i + 1]))"
+            ),
+        )
+        .otherwise(F.expr("cast(array() as array<string>)"))
+        .alias("__bigrams"),
+    )
+    top = (
+        base.select(id_col, F.explode("__bigrams").alias("__bg"))
+        .groupBy(id_col, "__bg")
+        .agg(F.count("*").alias("__c"))
+        .groupBy(id_col)
+        .agg(F.max("__c").cast("bigint").alias("top_bigram_cnt"))
+    )
+    e4 = lambda c: F.floor(c * 10000 + F.lit(0.5)).cast("bigint")  # noqa: E731
+    return (
+        base.join(top, id_col, "left")
+        .withColumn(
+            "top_bigram_cnt", F.coalesce(F.col("top_bigram_cnt"), F.lit(0))
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            e4(
+                F.when(
+                    F.col("n_tokens") > 0,
+                    1 - F.col("n_distinct") / F.col("n_tokens"),
+                ).otherwise(F.lit(0.0))
+            ).alias("dup_token_frac_e4"),
+            "top_bigram_cnt",
+            e4(
+                F.when(
+                    F.col("n_tokens") > 1,
+                    F.col("top_bigram_cnt") / (F.col("n_tokens") - 1),
+                ).otherwise(F.lit(0.0))
+            ).alias("top_bigram_frac_e4"),
+        )
+    )
+
+
+# ------------------------------------------------------------------- PII ----
+
+# Portable between Java regex (Spark) and RE2 (DuckDB): no lookaround, no
+# backreferences.
+EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+URL_RE = r"https?://\S+"
+PHONE_RE = r"\+?\d[\d -]{7,}\d"
+
+
+def with_pii_redaction(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Detect and mask PII-shaped spans: emails, URLs, phone-number runs.
+
+    Counts are taken on the original text; redaction replaces in the order
+    email -> URL -> phone so a digit run inside an already-masked URL can't
+    be re-matched as a phone number. Pure regexp column expressions —
+    whole-stage codegen, zero shuffles, linear scan at any scale.
+    """
+    t = F.col(text_col)
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), URL_RE, "<URL>"
+        ),
+        PHONE_RE,
+        "<PHONE>",
+    )
+    return (
+        df.withColumn(
+            "n_emails", F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), 0)).cast("bigint")
+        )
+        .withColumn(
+            "n_urls", F.size(F.regexp_extract_all(t, F.lit(URL_RE), 0)).cast("bigint")
+        )
+        .withColumn(
+            "n_phones", F.size(F.regexp_extract_all(t, F.lit(PHONE_RE), 0)).cast("bigint")
+        )
+        .withColumn("redacted_text", redacted)
+    )
+
+
+# ------------------------------------------------- stratified sampling ----
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic per-stratum downsampling: keep a row iff the first 4
+    hex digits of md5(id || salt) fall below floor(rate * 65536) — a pure
+    stateless hash filter, so the sample is reproducible across runs,
+    engines, and partitionings (rand() is none of those), and re-running
+    with a larger rate strictly grows the sample (nested samples for
+    scaling-law curves). Changing ``salt`` draws an independent sample.
+
+    Zero shuffles: the filter evaluates row-local everywhere. This is how a
+    mixture step downweights over-represented languages/domains at 100 TB —
+    no count pass, no global state.
+    """
+    bucket = F.substring(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 4
+    )
+    keep = F.lit(False)
+    for stratum in sorted(rates):
+        cutoff = f"{min(65536, int(rates[stratum] * 65536)):04x}"
+        keep = F.when(
+            F.col(strata_col) == stratum, bucket < F.lit(cutoff)
+        ).otherwise(keep)
+    if default_rate > 0:
+        cutoff = f"{min(65536, int(default_rate * 65536)):04x}"
+        keep = F.coalesce(keep, F.lit(False)) | (
+            ~F.col(strata_col).isin(list(rates)) & (bucket < F.lit(cutoff))
+        )
+    return df.filter(keep)
+
+
+# --------------------------------------------------- sequence packing ----
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    token_col: str = "bpe_tokens",
+    budget: int = 2048,
+    num_shards: int = 8,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents are laid out in id
+    order within a shard, and a document belongs to the training sequence
+    its starting token offset falls into (floor(offset / budget)) — the
+    GPT-style "concatenate everything, slice every ``budget`` tokens"
+    layout, tracked at document granularity.
+
+    Sharding (pmod(id, num_shards)) is what makes this scale: the running
+    offset is a window sum PARTITIONED BY shard, so shards pack in
+    parallel and no global sort or single-reducer cumsum exists. At 100 TB
+    num_shards is set to O(cluster parallelism) and each shard's window
+    spills independently.
+
+    Emits (shard, doc_id, n_tokens, tok_offset, seq_id) — all integers.
+    """
+    shard = F.pmod(F.col(id_col), F.lit(num_shards)).cast("bigint")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.select(
+            shard.alias("shard"),
+            F.col(id_col),
+            F.col(token_col).cast("bigint").alias("n_tokens"),
+        )
+        .withColumn(
+            "tok_offset",
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("bigint"),
+        )
+        .withColumn(
+            "seq_id", F.floor(F.col("tok_offset") / F.lit(budget)).cast("bigint")
+        )
+    )
+
+
+# ------------------------------------------------- corpus n-gram stats ----
+
+
+def top_ngrams(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    k: int = 20,
+) -> DataFrame:
+    """Corpus-wide top-k word n-grams by document frequency (per-doc
+    distinct, so boilerplate repeated inside one doc doesn't dominate) —
+    the corpus-statistics pass behind boilerplate detection and stop-list
+    construction.
+
+    Shape: narrow shingle map → explode → one hash aggregate (map-side
+    partials shrink the shuffle to |distinct n-grams|) → global top-k
+    (TakeOrderedAndProject: each partition contributes at most k rows, so
+    the driver never sees more than k * partitions). Deterministic
+    tiebreak: count desc, n-gram asc.
+    """
+    grams = with_word_shingles(df, id_col, text_col, k=n)
+    return (
+        grams.groupBy("shingle")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .select(F.col("shingle").alias("ngram"), "cnt")
+        .orderBy(F.col("cnt").desc(), F.col("ngram"))
+        .limit(k)
+    )
+
+
+# --------------------------------------------------- domain mixture ----
+
+
+def domain_mixture(
+    df: DataFrame,
+    domain_col: str = "source",
+    token_col: str = "bpe_tokens",
+    target_weights: dict[str, float] | None = None,
+) -> DataFrame:
+    """Domain-mixture accounting: per-domain document and token counts,
+    each domain's share of the corpus in exact ppm, and — when target
+    mixture weights are given — the sampling multiplier (target/actual, in
+    ten-thousandths) a mixing step would apply.
+
+    One hash aggregate over |domains| groups plus a broadcast-sized window
+    for the total: the heavy input collapses before any wide operation.
+    All surfaces are integers (ppm / e4 scaling, half-up in both engines).
+    """
+    agg = df.groupBy(domain_col).agg(
+        F.count("*").cast("bigint").alias("docs"),
+        F.sum(F.col(token_col).cast("bigint")).alias("tokens"),
+    )
+    total = Window.partitionBy()
+    out = agg.withColumn(
+        "token_share_ppm",
+        F.floor(
+            F.col("tokens") * 1000000 / F.sum("tokens").over(total) + F.lit(0.5)
+        ).cast("bigint"),
+    )
+    if target_weights:
+        w_expr = F.lit(None).cast("double")
+        for dom in sorted(target_weights):
+            w_expr = F.when(
+                F.col(domain_col) == dom, F.lit(target_weights[dom])
+            ).otherwise(w_expr)
+        out = out.withColumn(
+            "multiplier_e4",
+            F.floor(
+                w_expr * 1000000 * 10000 / F.col("token_share_ppm") + F.lit(0.5)
+            ).cast("bigint"),
+        )
+    return out

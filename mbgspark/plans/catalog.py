@@ -13,6 +13,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from mbgspark.plans.catalog_core import CORE
+from mbgspark.plans.catalog_curation import CURATION
 from mbgspark.plans.catalog_ext import EXT
 from mbgspark.plans.catalog_joins import JOINS
 from mbgspark.plans.catalog_lifecycle import LIFECYCLE
@@ -24,6 +25,7 @@ _ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     **JOINS,
     **LIFECYCLE,
     **LOCATIONS_CATALOG,
+    **CURATION,
 }
 
 # The driver's correctness gate checks the FIRST 50 queries() entries
@@ -54,16 +56,15 @@ _PRIORITY = [
     "kmeans_clusters",
     "locate_full_dim",
     "reprocess_idempotent",
-    # -- 3: LLM-pipeline suite --
+    *CURATION.keys(),
+    # -- 3: LLM-pipeline suite (scale-shape variants inside the window;
+    #       the exact baselines and r1-green aux queries rotate behind it) --
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_embedding_blocked",
-    "dedup_embedding",
     "ann_ivf_topk",
-    "ann_cosine_topk",
-    "label_centroids",
     "chunk_windows",
     "langid_confusion",
     "quality_scores",
@@ -71,6 +72,10 @@ _PRIORITY = [
     "fingerprints",
     "multimodal_features",
     "sentiment_pandas_udf",
+    # -- past the 50-window: green in round 1, union of rounds covers all --
+    "dedup_embedding",
+    "ann_cosine_topk",
+    "label_centroids",
     "locate_two_pass",
     "salted_segment_revenue",
     "rollup_status_priority",

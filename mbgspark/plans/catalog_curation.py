@@ -1,0 +1,345 @@
+"""Curation query set: the pre-tokenization passes of a training-data
+pipeline — benchmark decontamination, repetition quality filters, PII
+redaction, deterministic stratified sampling, sequence packing, corpus
+n-gram stats, and domain-mixture accounting.
+
+Extends the reference's curation surface (min-length gate,
+src/resilient_scraper.py:399; dedup, :352-358) to full corpus-curation
+semantics. Portability rules as in catalog_core: md5-only hashing, every
+fraction emitted as an exact integer surface (ppm / ten-thousandths via
+floor(x + 0.5), identical half-up in Spark and DuckDB), total ordering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mbgspark.operators.curation import (
+    contamination_flags,
+    domain_mixture,
+    pack_sequences,
+    stratified_sample,
+    top_ngrams,
+    with_pii_redaction,
+    with_repetition_stats,
+)
+from mbgspark.operators.textstats import with_token_counts
+from mbgspark.plans.catalog_core import _t
+
+# --------------------------------------------------------- contamination --
+
+
+def contamination_check(spark, sf_dir):
+    """Benchmark decontamination: docs with doc_id % 41 == 0 stand in for
+    the eval suite; every other document is flagged by distinct 3-gram
+    overlap (>= 2 overlapping grams = contaminated)."""
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 41 == 0)
+    corpus = d.filter(F.col("doc_id") % 41 != 0)
+    return (
+        contamination_flags(corpus, bench, "doc_id", "text", n=3, min_hits=2)
+        .select(
+            "doc_id",
+            "contaminated_ngrams",
+            F.col("is_contaminated").cast("bigint").alias("is_contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+CONTAMINATION_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, concat_ws(' ', tk[i], tk[i+1], tk[i+2]) AS shingle
+  FROM toks, LATERAL unnest(generate_series(1, greatest(len(tk) - 2, 1))) AS g(i)
+  WHERE concat_ws(' ', tk[i], tk[i+1], tk[i+2]) <> ''
+),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 41 = 0),
+hits AS (
+  SELECT doc_id, count(*) AS c
+  FROM sh JOIN bench USING (shingle)
+  WHERE doc_id % 41 <> 0
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(h.c, 0) AS BIGINT) AS contaminated_ngrams,
+       CAST(CASE WHEN coalesce(h.c, 0) >= 2 THEN 1 ELSE 0 END AS BIGINT)
+         AS is_contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % 41 <> 0
+ORDER BY doc_id
+"""
+
+
+# ------------------------------------------------------ repetition stats --
+
+
+def repetition_stats(spark, sf_dir):
+    """Gopher-style repetition signals (dup-token fraction, top-bigram
+    count/fraction) per document, integer-scaled surfaces only."""
+    d = _t(spark, sf_dir, "documents")
+    return with_repetition_stats(d, "doc_id", "text").orderBy("doc_id")
+
+
+REPETITION_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk
+  FROM documents
+),
+base AS (
+  SELECT doc_id, len(tk) AS n_tokens, len(list_distinct(tk)) AS n_distinct,
+         [tk[i] || ' ' || tk[i+1] FOR i IN range(1, len(tk))] AS bgs
+  FROM toks
+),
+bg AS (SELECT doc_id, unnest(bgs) AS bg FROM base),
+c AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg),
+top AS (SELECT doc_id, max(c) AS top_cnt FROM c GROUP BY doc_id)
+SELECT b.doc_id,
+       CAST(b.n_tokens AS BIGINT) AS n_tokens,
+       CAST(floor((CASE WHEN b.n_tokens > 0
+                        THEN 1 - b.n_distinct / CAST(b.n_tokens AS DOUBLE)
+                        ELSE 0.0 END) * 10000 + 0.5) AS BIGINT)
+         AS dup_token_frac_e4,
+       CAST(coalesce(t.top_cnt, 0) AS BIGINT) AS top_bigram_cnt,
+       CAST(floor((CASE WHEN b.n_tokens > 1
+                        THEN coalesce(t.top_cnt, 0) / CAST(b.n_tokens - 1 AS DOUBLE)
+                        ELSE 0.0 END) * 10000 + 0.5) AS BIGINT)
+         AS top_bigram_frac_e4
+FROM base b LEFT JOIN top t USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+# ----------------------------------------------------------------- PII --
+
+# PII-bearing spans are synthesized deterministically (the testdata corpus
+# has none): append an email / URL / phone to id-selected documents,
+# IDENTICALLY in the Spark builder and the oracle, so detection counts and
+# redaction are non-trivial in both engines.
+
+
+def pii_redaction(spark, sf_dir):
+    """Email/URL/phone detection counts + md5 of the redacted text."""
+    d = _t(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(" contact u"), sid, F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit(" see https://ex.co/d"), sid),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" call +62 812-3456-"),
+                (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return (
+        with_pii_redaction(d.withColumn("text", aug), "text")
+        .select(
+            "doc_id",
+            "n_emails",
+            "n_urls",
+            "n_phones",
+            F.md5("redacted_text").alias("redacted_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+PII_SQL = """
+WITH aug AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' see https://ex.co/d' || CAST(doc_id AS VARCHAR)
+                 ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' call +62 812-3456-' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+                 ELSE '' END AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t, 'https?://\\S+')) AS BIGINT) AS n_urls,
+       CAST(len(regexp_extract_all(t, '\\+?\\d[\\d -]{7,}\\d')) AS BIGINT) AS n_phones,
+       md5(regexp_replace(
+             regexp_replace(
+               regexp_replace(t, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+               'https?://\\S+', '<URL>', 'g'),
+             '\\+?\\d[\\d -]{7,}\\d', '<PHONE>', 'g')) AS redacted_md5
+FROM aug
+ORDER BY doc_id
+"""
+
+
+# ------------------------------------------------- stratified sampling --
+
+SAMPLE_RATES = {"en": 0.5, "es": 0.25, "zh": 0.1}
+SAMPLE_DEFAULT = 0.05
+
+
+def stratified_sample_counts(spark, sf_dir):
+    """Deterministic md5-bucket stratified sampling by language: per-lang
+    total vs sampled counts (en 50 %, es 25 %, zh 10 %, others 5 %)."""
+    d = _t(spark, sf_dir, "documents")
+    samp = stratified_sample(
+        d, "lang", SAMPLE_RATES, "doc_id", default_rate=SAMPLE_DEFAULT
+    )
+    tot = d.groupBy("lang").agg(F.count("*").cast("bigint").alias("total_docs"))
+    kept = samp.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("sampled_docs")
+    )
+    return (
+        tot.join(kept, "lang", "left")
+        .withColumn(
+            "sampled_docs",
+            F.coalesce(F.col("sampled_docs"), F.lit(0)).cast("bigint"),
+        )
+        .orderBy("lang")
+    )
+
+
+# cutoffs: floor(rate * 65536) as 4-digit lowercase hex (see operator)
+_CUT = {s: f"{int(r * 65536):04x}" for s, r in SAMPLE_RATES.items()}
+_CUT_DEFAULT = f"{int(SAMPLE_DEFAULT * 65536):04x}"
+
+STRATIFIED_SQL = f"""
+WITH b AS (
+  SELECT lang, substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS h
+  FROM documents
+),
+keep AS (
+  SELECT lang FROM b
+  WHERE (lang = 'en' AND h < '{_CUT["en"]}')
+     OR (lang = 'es' AND h < '{_CUT["es"]}')
+     OR (lang = 'zh' AND h < '{_CUT["zh"]}')
+     OR (lang NOT IN ('en', 'es', 'zh') AND h < '{_CUT_DEFAULT}')
+)
+SELECT t.lang, t.total_docs, CAST(coalesce(k.c, 0) AS BIGINT) AS sampled_docs
+FROM (SELECT lang, CAST(count(*) AS BIGINT) AS total_docs
+      FROM documents GROUP BY lang) t
+LEFT JOIN (SELECT lang, count(*) AS c FROM keep GROUP BY lang) k USING (lang)
+ORDER BY lang
+"""
+
+
+# --------------------------------------------------- sequence packing --
+
+
+def sequence_packing(spark, sf_dir):
+    """Concat-and-chunk packing of BPE-ish token counts into 256-token
+    sequences across 4 id-sharded parallel streams."""
+    d = _t(spark, sf_dir, "documents")
+    d = with_token_counts(d, "text")
+    return (
+        pack_sequences(d, "doc_id", "bpe_tokens", budget=256, num_shards=4)
+        .select("shard", "doc_id", "n_tokens", "tok_offset", "seq_id")
+        .orderBy("doc_id")
+    )
+
+
+PACKING_SQL = """
+WITH t AS (
+  SELECT CAST(doc_id % 4 AS BIGINT) AS shard, doc_id,
+         CAST(len(regexp_extract_all(lower(trim(text)),
+              '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+o AS (
+  SELECT shard, doc_id, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) - n_tokens
+              AS BIGINT) AS tok_offset
+  FROM t
+)
+SELECT shard, doc_id, n_tokens, tok_offset,
+       CAST(floor(tok_offset / 256) AS BIGINT) AS seq_id
+FROM o
+ORDER BY doc_id
+"""
+
+
+# ------------------------------------------------- corpus n-gram stats --
+
+
+def top_bigrams(spark, sf_dir):
+    """Top-20 word bigrams by document frequency (cnt desc, bigram asc)."""
+    d = _t(spark, sf_dir, "documents")
+    return top_ngrams(d, "doc_id", "text", n=2, k=20)
+
+
+TOP_BIGRAMS_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, concat_ws(' ', tk[i], tk[i+1]) AS shingle
+  FROM toks, LATERAL unnest(generate_series(1, greatest(len(tk) - 1, 1))) AS g(i)
+  WHERE concat_ws(' ', tk[i], tk[i+1]) <> ''
+)
+SELECT shingle AS ngram, CAST(count(*) AS BIGINT) AS cnt
+FROM sh GROUP BY shingle
+ORDER BY cnt DESC, ngram
+LIMIT 20
+"""
+
+
+# --------------------------------------------------- domain mixture --
+
+MIX_WEIGHTS = {f"src{i}": 0.05 for i in range(20)}
+
+
+def domain_mixture_plan(spark, sf_dir):
+    """Per-source doc/token counts, exact-ppm token share, and the
+    uniform-target sampling multiplier a mixing step would apply."""
+    d = _t(spark, sf_dir, "documents")
+    d = with_token_counts(d, "text")
+    return domain_mixture(
+        d, "source", "bpe_tokens", target_weights=MIX_WEIGHTS
+    ).orderBy("source")
+
+
+DOMAIN_MIX_SQL = """
+WITH a AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS docs,
+         CAST(sum(CAST(len(regexp_extract_all(lower(trim(text)),
+              '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT)) AS BIGINT) AS tokens
+  FROM documents GROUP BY source
+),
+s AS (
+  SELECT source, docs, tokens,
+         CAST(floor(tokens * 1000000 / CAST((SELECT sum(tokens) FROM a) AS DOUBLE)
+                    + 0.5) AS BIGINT) AS token_share_ppm
+  FROM a
+)
+SELECT source, docs, tokens, token_share_ppm,
+       CAST(floor(0.05 * 1000000 * 10000 / CAST(token_share_ppm AS DOUBLE) + 0.5)
+            AS BIGINT) AS multiplier_e4
+FROM s
+ORDER BY source
+"""
+
+
+CURATION = {
+    "contamination_check": (contamination_check, CONTAMINATION_SQL),
+    "repetition_stats": (repetition_stats, REPETITION_SQL),
+    "pii_redaction": (pii_redaction, PII_SQL),
+    "stratified_sample_counts": (stratified_sample_counts, STRATIFIED_SQL),
+    "sequence_packing": (sequence_packing, PACKING_SQL),
+    "top_bigrams": (top_bigrams, TOP_BIGRAMS_SQL),
+    "domain_mixture": (domain_mixture_plan, DOMAIN_MIX_SQL),
+}

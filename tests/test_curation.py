@@ -1,0 +1,143 @@
+"""Unit tests for the corpus-curation operators (contamination, repetition
+filters, PII redaction, stratified sampling, sequence packing, n-gram stats,
+domain mixture)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mbgspark.operators.curation import (
+    contamination_flags,
+    domain_mixture,
+    pack_sequences,
+    stratified_sample,
+    top_ngrams,
+    with_pii_redaction,
+    with_repetition_stats,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_contamination_flags_overlap_counts(spark):
+    bench = _docs(spark, [(100, "the quick brown fox jumps high")])
+    corpus = _docs(
+        spark,
+        [
+            (1, "the quick brown fox sat"),      # shares 2 trigrams
+            (2, "quick brown fox jumps today"),  # shares 2 trigrams
+            (3, "a completely different text"),  # shares 0
+            (4, "the quick brown cat"),          # shares 1 trigram
+        ],
+    )
+    out = {
+        r["doc_id"]: (r["contaminated_ngrams"], r["is_contaminated"])
+        for r in contamination_flags(corpus, bench, n=3, min_hits=2).collect()
+    }
+    assert out[1] == (2, True)
+    assert out[2] == (2, True)
+    assert out[3] == (0, False)
+    assert out[4] == (1, False)
+
+
+def test_repetition_stats_crafted(spark):
+    d = _docs(
+        spark,
+        [
+            (1, "spam spam spam spam"),  # 4 tokens, 1 distinct, bigram 'spam spam' x3
+            (2, "all words here differ"),
+            (3, "one"),  # single token: no bigrams
+        ],
+    )
+    out = {r["doc_id"]: r.asDict() for r in with_repetition_stats(d).collect()}
+    assert out[1]["dup_token_frac_e4"] == 7500  # 1 - 1/4
+    assert out[1]["top_bigram_cnt"] == 3
+    assert out[1]["top_bigram_frac_e4"] == 10000  # 3 of 3 bigram slots
+    assert out[2]["dup_token_frac_e4"] == 0
+    assert out[2]["top_bigram_cnt"] == 1
+    assert out[3]["top_bigram_cnt"] == 0
+    assert out[3]["top_bigram_frac_e4"] == 0
+
+
+def test_pii_redaction_masks_and_counts(spark):
+    d = _docs(
+        spark,
+        [(1, "mail a.b@x.org or see https://x.org/d?q=1 or call +62 812-3456-7890 ok")],
+    )
+    r = with_pii_redaction(d).collect()[0]
+    assert (r["n_emails"], r["n_urls"], r["n_phones"]) == (1, 1, 1)
+    assert r["redacted_text"] == "mail <EMAIL> or see <URL> or call <PHONE> ok"
+
+
+def test_pii_digits_in_url_not_double_counted_in_redaction(spark):
+    d = _docs(spark, [(1, "go https://t.co/123-456-7890-123 now")])
+    r = with_pii_redaction(d).collect()[0]
+    # the URL consumes the digit run during redaction (email -> url -> phone)
+    assert r["redacted_text"] == "go <URL> now"
+
+
+def test_stratified_sample_deterministic_and_nested(spark):
+    d = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "de") for i in range(2000)],
+        "doc_id bigint, lang string",
+    )
+    small = stratified_sample(d, "lang", {"en": 0.2}, "doc_id")
+    big = stratified_sample(d, "lang", {"en": 0.6}, "doc_id")
+    ids_small = {r["doc_id"] for r in small.collect()}
+    ids_small2 = {r["doc_id"] for r in small.collect()}
+    ids_big = {r["doc_id"] for r in big.collect()}
+    assert ids_small == ids_small2  # reproducible
+    assert ids_small <= ids_big  # nested: larger rate strictly grows sample
+    # rate lands near 20% of the 1000 'en' rows (md5 is uniform)
+    assert 120 <= len(ids_small) <= 280
+    # 'de' has no rate and default_rate=0 -> fully dropped
+    assert all(i % 2 == 0 for i in ids_small)
+    salted = stratified_sample(d, "lang", {"en": 0.2}, "doc_id", salt="v2")
+    assert {r["doc_id"] for r in salted.collect()} != ids_small
+
+
+def test_pack_sequences_budget_and_shards(spark):
+    d = spark.createDataFrame(
+        [(i, 100) for i in range(8)], "doc_id bigint, n_tok bigint"
+    )
+    out = pack_sequences(d, "doc_id", "n_tok", budget=250, num_shards=2)
+    rows = {r["doc_id"]: r.asDict() for r in out.collect()}
+    # shard 0 holds ids 0,2,4,6 with offsets 0,100,200,300
+    assert [rows[i]["tok_offset"] for i in (0, 2, 4, 6)] == [0, 100, 200, 300]
+    assert [rows[i]["seq_id"] for i in (0, 2, 4, 6)] == [0, 0, 0, 1]
+    assert all(rows[i]["shard"] == 1 for i in (1, 3, 5, 7))
+
+
+def test_top_ngrams_document_frequency(spark):
+    d = _docs(
+        spark,
+        [
+            (1, "red fish red fish"),  # 'red fish' once per doc (distinct)
+            (2, "red fish blue fish"),
+            (3, "blue fish only"),
+        ],
+    )
+    out = {r["ngram"]: r["cnt"] for r in top_ngrams(d, n=2, k=3).collect()}
+    assert out["red fish"] == 2  # doc frequency, not occurrences (3)
+    assert out["blue fish"] == 2
+
+
+def test_domain_mixture_shares_and_multiplier(spark):
+    d = spark.createDataFrame(
+        [(1, "a", 300), (2, "a", 450), (3, "b", 250)],
+        "doc_id bigint, source string, tok bigint",
+    )
+    out = {
+        r["source"]: r.asDict()
+        for r in domain_mixture(
+            d, "source", "tok", target_weights={"a": 0.5, "b": 0.5}
+        ).collect()
+    }
+    assert out["a"]["docs"] == 2 and out["a"]["tokens"] == 750
+    assert out["a"]["token_share_ppm"] == 750000
+    assert out["b"]["token_share_ppm"] == 250000
+    # b is under-represented 2x vs its 0.5 target -> multiplier 2.0 (e4)
+    assert out["b"]["multiplier_e4"] == 20000
+    assert out["a"]["multiplier_e4"] == 6667  # 0.5 / 0.75

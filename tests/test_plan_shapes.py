@@ -237,3 +237,33 @@ def test_kmeans_assignment_stays_jvm_side(spark):
     plan = plan_of(spark, "kmeans_clusters")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_contamination_benchmark_broadcasts_no_cartesian(spark):
+    # benchmark gram set broadcasts; the corpus is never self-joined
+    plan = plan_of(spark, "contamination_check")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_curation_suite_stays_jvm_side(spark):
+    # every curation pass is built-ins only: no Python eval in any plan
+    for name in (
+        "contamination_check",
+        "repetition_stats",
+        "pii_redaction",
+        "stratified_sample_counts",
+        "sequence_packing",
+        "top_bigrams",
+        "domain_mixture",
+    ):
+        plan = plan_of(spark, name)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_top_bigrams_topk_never_global_sorts(spark):
+    # top-k must be TakeOrderedAndProject (k rows per partition reach the
+    # driver), not a full Sort of the distinct-ngram table
+    plan = plan_of(spark, "top_bigrams")
+    assert "TakeOrderedAndProject" in plan
