@@ -63,16 +63,17 @@ _PRIORITY = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_ngram_jaccard",
+    "dup_components",
     "dedup_embedding_blocked",
     "ann_ivf_topk",
     "chunk_windows",
     "langid_confusion",
     "quality_scores",
     "token_counts",
-    "fingerprints",
     "multimodal_features",
     "sentiment_pandas_udf",
     # -- past the 50-window: green in round 1, union of rounds covers all --
+    "fingerprints",
     "dedup_embedding",
     "ann_cosine_topk",
     "label_centroids",

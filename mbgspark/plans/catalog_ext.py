@@ -254,6 +254,72 @@ SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.5 ORDER BY id_a, id_b
 """
 
 
+def dup_components(spark, sf_dir):
+    """Duplicate-cluster identification: the n-gram Jaccard pairs become an
+    undirected graph and min-label propagation assigns each doc its
+    cluster (= min doc id in its connected component) plus the cluster
+    size — the step that turns pairwise matches into one-keeper-per-group
+    semantic dedup. Oracle: DuckDB recursive-CTE transitive closure."""
+    from mbgspark.operators.components import connected_components
+
+    edges = dedup_ngram_jaccard(spark, sf_dir)
+    comp = connected_components(edges, "id_a", "id_b")
+    sizes = comp.groupBy("component").agg(
+        F.count("*").cast("bigint").alias("cluster_size")
+    )
+    return comp.join(sizes, "component").select(
+        "id", "component", "cluster_size"
+    ).orderBy("id")
+
+
+DUP_COMPONENTS_SQL = f"""
+WITH RECURSIVE unioned0 AS ({DUP_SQL_UNION}),
+unioned AS (SELECT * FROM unioned0 WHERE id < 300 OR id >= 1000000),
+toks AS (SELECT id, string_split_regex(t, '\\s+') AS tk FROM unioned),
+sh AS (
+  SELECT DISTINCT id, concat_ws(' ', tk[i], tk[i+1], tk[i+2]) AS shingle
+  FROM toks, LATERAL unnest(generate_series(1, greatest(len(tk) - 2, 1))) AS g(i)
+  WHERE concat_ws(' ', tk[i], tk[i+1], tk[i+2]) <> ''
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM sh a JOIN sh b USING (shingle) WHERE a.id < b.id
+),
+counts AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_inter
+  FROM cand c
+  JOIN sh sa ON sa.id = c.id_a
+  JOIN sh sb ON sb.id = c.id_b AND sb.shingle = sa.shingle
+  GROUP BY c.id_a, c.id_b
+),
+jac AS (
+  SELECT id_a, id_b,
+         round(n_inter / CAST(ca.n_sh + cb.n_sh - n_inter AS DOUBLE), 4) AS jaccard
+  FROM inter
+  JOIN counts ca ON ca.id = id_a
+  JOIN counts cb ON cb.id = id_b
+),
+pairs AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.5),
+und AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach AS (
+  SELECT a AS id, a AS comp FROM und
+  UNION
+  SELECT und.a AS id, reach.comp FROM und JOIN reach ON reach.id = und.b
+),
+comp AS (SELECT id, min(comp) AS component FROM reach GROUP BY id),
+sizes AS (SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+          FROM comp GROUP BY component)
+SELECT c.id, c.component, s.cluster_size
+FROM comp c JOIN sizes s USING (component)
+ORDER BY c.id
+"""
+
+
 def dedup_embedding(spark, sf_dir):
     """Embedding-cosine near-dup pairs ≥ 0.99 over vec_id < 200 ∪ scaled
     (×2) copies — scaled copies are exact cosine-duplicates of their source."""
@@ -1247,6 +1313,7 @@ EXT: dict[str, tuple] = {
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_SQL),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
+    "dup_components": (dup_components, DUP_COMPONENTS_SQL),
     "dedup_embedding": (dedup_embedding, DEDUP_EMBEDDING_SQL),
     "dedup_embedding_blocked": (dedup_embedding_blocked, DEDUP_EMBEDDING_BLOCKED_SQL),
     "ann_cosine_topk": (ann_cosine_topk, ANN_TOPK_SQL),

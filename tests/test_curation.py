@@ -141,3 +141,30 @@ def test_domain_mixture_shares_and_multiplier(spark):
     # b is under-represented 2x vs its 0.5 target -> multiplier 2.0 (e4)
     assert out["b"]["multiplier_e4"] == 20000
     assert out["a"]["multiplier_e4"] == 6667  # 0.5 / 0.75
+
+
+def test_connected_components_chain_cycle_and_canonical(spark):
+    from mbgspark.operators.components import (
+        canonical_by_component,
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5), (6, 7), (7, 8), (8, 6)],  # chain, pair, cycle
+        "id_a bigint, id_b bigint",
+    )
+    comp = {
+        r["id"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6, 7: 6, 8: 6}
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(1, 10)], "doc_id bigint, text string"
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in canonical_by_component(
+            docs, connected_components(edges), "doc_id"
+        ).collect()
+    )
+    assert kept == [1, 4, 6, 9]  # min per cluster + untouched singleton 9
