@@ -94,42 +94,50 @@ def with_repetition_stats(
 
     Fractions are emitted as integer ten-thousandths (floor(x*1e4 + 0.5),
     identical half-up in Spark and DuckDB) so no raw double reaches a
-    hashed oracle surface. Distributed shape: the token array materializes
-    once per row in its own projection (never inside the bigram lambda —
-    see with_word_shingles), bigram counting is explode + two hash
-    aggregates keyed by doc_id (map-side partials apply), then one equi-
-    join back. Ties for the top bigram don't matter: only the count is
+    hashed oracle surface. Distributed shape: bigram counting is explode +
+    two hash aggregates keyed by doc_id (map-side partials apply), then one
+    equi-join back. Ties for the top bigram don't matter: only the count is
     emitted.
+
+    PLAN TRAP (measured 6.4 s -> 0.4 s at sf0.1): the explode must sit
+    DIRECTLY over the split projection. With an intermediate projection
+    holding the bigram array, CollapseProject inlines the regex split into
+    the interpreted transform lambda (no CSE there), re-splitting the text
+    per array element — O(tokens²) regex evaluations per doc. Generate
+    never collapses into its child projection, so the lineage below keeps
+    the split evaluated once per row.
     """
     toks = df.select(
         F.col(id_col),
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("__toks"),
     )
-    base = toks.select(
+    counts = toks.select(
         id_col,
         F.size("__toks").cast("bigint").alias("n_tokens"),
         F.size(F.array_distinct("__toks")).cast("bigint").alias("n_distinct"),
-        # guarded: sequence(0, -1) would flip its step and emit [0, -1]
-        F.when(
-            F.size("__toks") >= 2,
-            F.expr(
-                "transform(sequence(0, size(__toks) - 2),"
-                " i -> concat(__toks[i], ' ', __toks[i + 1]))"
-            ),
-        )
-        .otherwise(F.expr("cast(array() as array<string>)"))
-        .alias("__bigrams"),
+    )
+    bigrams = toks.select(
+        id_col,
+        F.explode(
+            # guarded: sequence(0, -1) would flip its step and emit [0, -1]
+            F.when(
+                F.size("__toks") >= 2,
+                F.expr(
+                    "transform(sequence(0, size(__toks) - 2),"
+                    " i -> concat(__toks[i], ' ', __toks[i + 1]))"
+                ),
+            ).otherwise(F.expr("cast(array() as array<string>)"))
+        ).alias("__bg"),
     )
     top = (
-        base.select(id_col, F.explode("__bigrams").alias("__bg"))
-        .groupBy(id_col, "__bg")
+        bigrams.groupBy(id_col, "__bg")
         .agg(F.count("*").alias("__c"))
         .groupBy(id_col)
         .agg(F.max("__c").cast("bigint").alias("top_bigram_cnt"))
     )
     e4 = lambda c: F.floor(c * 10000 + F.lit(0.5)).cast("bigint")  # noqa: E731
     return (
-        base.join(top, id_col, "left")
+        counts.join(top, id_col, "left")
         .withColumn(
             "top_bigram_cnt", F.coalesce(F.col("top_bigram_cnt"), F.lit(0))
         )

@@ -33,7 +33,9 @@ def contamination_check(spark, sf_dir):
     """Benchmark decontamination: docs with doc_id % 41 == 0 stand in for
     the eval suite; every other document is flagged by distinct 3-gram
     overlap (>= 2 overlapping grams = contaminated)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents").repartition(
+        min(16, spark.sparkContext.defaultParallelism)
+    )  # widen the 1-split test-SF scan for the shingle explode (see below)
     bench = d.filter(F.col("doc_id") % 41 == 0)
     corpus = d.filter(F.col("doc_id") % 41 != 0)
     return (
@@ -79,8 +81,16 @@ ORDER BY doc_id
 
 def repetition_stats(spark, sf_dir):
     """Gopher-style repetition signals (dup-token fraction, top-bigram
-    count/fraction) per document, integer-scaled surfaces only."""
-    d = _t(spark, sf_dir, "documents")
+    count/fraction) per document, integer-scaled surfaces only.
+
+    The test-SF documents parquet is a single scan split, which would pin
+    the bigram transform+explode — the expensive narrow map here — to one
+    core (measured 6.4 s of 7.2 s at sf0.1); repartitioning to the session
+    width first makes it a wide map (same idiom as _dup_corpus). At
+    production scale the scan has enough splits on its own."""
+    d = _t(spark, sf_dir, "documents").repartition(
+        min(16, spark.sparkContext.defaultParallelism)
+    )
     return with_repetition_stats(d, "doc_id", "text").orderBy("doc_id")
 
 
