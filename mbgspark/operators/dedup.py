@@ -225,23 +225,25 @@ def jaccard_verify_arrays(
     arr_col: str = "shingles",
 ) -> DataFrame:
     """Exact shingle-Jaccard on candidate pairs via per-doc shingle ARRAYS:
-    the candidate set (LSH output — tiny by construction) is broadcast
-    against the array lineage twice, and the intersection is
-    size(array_intersect) per pair — ZERO shuffles in the verify stage,
-    versus the row-formulation's counts aggregation + (id, shingle) shuffle
-    join. Per-pair cost is |A|+|B| array elements; candidate pairs are the
-    small side at any scale (that is the point of LSH), so broadcasting
-    them is the stable plan."""
+    the candidate set (LSH output — small by construction) joins the array
+    lineage twice and the intersection is size(array_intersect) per pair —
+    no counts aggregation, no (id, shingle) shuffle join as in the
+    row-formulation.
+
+    Join strategy is left to AQE ON PURPOSE — no broadcast hint. A forced
+    broadcast(pairs) plans the candidate subtree as eager broadcast JOBS
+    that cannot share work with the main job, so the shared shingle
+    aggregation both sides hang off gets computed twice (measured at 100k
+    docs: 19.5 s hinted vs 8.8 s unhinted first-run — warm runs tie); and
+    at 100 TB an unbounded candidate count must be allowed to degrade to a
+    shuffle join instead of OOMing the driver. AQE still picks broadcast
+    at runtime whenever the pair set is actually small. Never join a
+    dataset carrying the arrays themselves on the build side (measured:
+    1.7× regression at 14k pairs) — only ids travel to the probe."""
     aa = arrays.select(F.col(id_col).alias("id_a"), F.col(arr_col).alias("__sa"))
     bb = arrays.select(F.col(id_col).alias("id_b"), F.col(arr_col).alias("__sb"))
-    # Broadcast ONLY the id pairs (a few bytes per candidate) — never a
-    # dataset carrying the shingle arrays, whose broadcast would grow
-    # linearly with candidate count (measured: 1.7× pipeline regression at
-    # 14k pairs). Both array sides shrink to candidate rows via the
-    # broadcast join, then the residual equi-join is candidate-sized on
-    # both sides.
-    j = aa.join(F.broadcast(pairs), "id_a")
-    bb_cand = bb.join(F.broadcast(pairs.select("id_b").distinct()), "id_b")
+    j = aa.join(pairs, "id_a")
+    bb_cand = bb.join(pairs.select("id_b").distinct(), "id_b")
     j2 = j.join(bb_cand, "id_b")
     inter = F.size(F.array_intersect("__sa", "__sb"))
     return (
