@@ -749,7 +749,7 @@ SELECT user_id,
 FROM events GROUP BY user_id ORDER BY user_id
 """.format(
     cols=",\n       ".join(
-        f"sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS {t}"
+        f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS {t}"
         for t in EVENT_TYPES
     )
 )
@@ -1128,11 +1128,12 @@ uniq AS (
   ) WHERE rn = 1
 )
 SELECT lang, count(*) AS n_docs,
-       sum(ws_tokens) AS total_ws_tokens,
-       sum(bpe_tokens) AS total_bpe_tokens,
+       CAST(sum(ws_tokens) AS BIGINT) AS total_ws_tokens,
+       CAST(sum(bpe_tokens) AS BIGINT) AS total_bpe_tokens,
        CAST((2 * sum(CAST(floor(quality_score * 10000 + 0.5) AS BIGINT))
              + count(*)) // (2 * count(*)) AS BIGINT) AS avg_quality_e4,
-       sum(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END) AS langid_agree
+       CAST(sum(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END) AS BIGINT)
+         AS langid_agree
 FROM uniq GROUP BY lang ORDER BY lang
 """
 
