@@ -76,6 +76,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # integer div, not `/`: double division loses precision at
             # nanosecond-epoch magnitudes (~1.7e18 > 2^53)
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif field.dataType.simpleString() == "timestamp_ntz":
+            # fallback when inferTimestampNTZ couldn't be pinned off (conf
+            # immutable): NTZ → session-tz timestamp is value-preserving
+            # under the UTC session pin and keeps one timestamp type on
+            # every query surface
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     per_session[key] = df
     return df
 

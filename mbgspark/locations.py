@@ -7,13 +7,16 @@ dictionary (``mbgspark.locations_data``, from ``config/indonesia_locations
 containment strategy that stays scalable at that dim size:
 
 - single-word terms (~85% of the table) match by token equi-join — explode
-  the text's tokens once, hash-join against the broadcast dim, O(tokens)
-  per row regardless of dim size;
-- multi-word terms match by JVM substring containment (`' '||s||' '` LIKE
-  `'% term %'` on space-normalized text) against the broadcast remainder —
-  a BroadcastNestedLoopJoin over only the ~100 multi-word rows;
-- first-match-wins = global min(dict_order) over both candidate sets, then
-  one broadcast join back to the dim for (province, city).
+  the text's tokens (split on non-word chars = the reference's \\b
+  boundary) once, hash-join against the broadcast dim, O(tokens) per row
+  regardless of dim size;
+- multi-word terms are prefiltered by their first token through the same
+  equi-join, then the rare candidates pay a \\b-bounded regexp verify —
+  never a corpus×terms nested loop;
+- first-match = global min(dict_order) over both candidate sets (the
+  tiered order encodes the reference's break structure — see
+  build_full_locations_dim), then one broadcast join back for
+  (province, city).
 
 This replaces the 456-branch CASE chain for the full dictionary: the chain
 is O(|dim|) regexes per row (fine at 12 terms, the lifecycle's dim), the
@@ -69,18 +72,35 @@ def province_variations(p_lower: str) -> list[str]:
 
 def build_full_locations_dim() -> list[tuple[str, str | None, int, str]]:
     """Flatten detect_location_from_text's strategy loop (utils.py:363-432)
-    into (province, city, dict_order, term) rows under first-match-wins:
+    into (province, city, dict_order, term) rows under min(dict_order)
+    first-match. The reference's control flow is NOT a flat first-match
+    scan — its break structure makes two tiers per province:
 
-    per city, in dict iteration order: exact name (Case 1), then each
-    whitespace part > 2 chars (Case 2 — 'jakarta' alone resolves to the
-    first city carrying that part, exactly like the reference's loop), then
-    its abbreviations (Case 3). Then, below EVERY city row, the province
-    fallback (utils.py:404-432): the province name, then its variation
-    forms — province rows carry city=None and can only win when no city
-    term matched, because all city rows order lower.
+    - a Case-1 exact-name match BREAKS the city loop (utils.py:366-371), so
+      among exact matches the FIRST city in dict order wins, and an exact
+      match anywhere in the province beats every part/abbreviation match;
+    - a Case-2 part match (utils.py:373-381) and a Case-3 abbreviation
+      match (utils.py:384-394) only break their inner loops — the city loop
+      keeps running and each later match OVERWRITES detected_city, so among
+      part/abbrev matches the LAST city in dict order wins;
+    - the province loop breaks as soon as any city matched (utils.py:400),
+      so every row of province i orders before every row of province i+1.
+
+    Encoding: per province, tier A = exact city names in city order, then
+    tier B = parts (len > 2) + abbreviations in REVERSED city order (so
+    min(dict_order) picks the reference's last-match winner). Below every
+    city row, the province fallback (utils.py:404-432): provinces in order,
+    name then variation forms — those rows carry city=None and only win
+    when no city term matched anywhere.
+
+    (The reference's Case-3 guard ``province in full_name`` compares the
+    original-case province to a lowercase city so it never fires there; we
+    ship the abbreviation map as working tier-B alias rows — the documented
+    intent.)
 
     A term that already appeared keeps only its first (lowest-order) row:
-    later duplicates are unreachable under min(dict_order), so pruning is
+    rows with an identical term have identical match conditions, so later
+    duplicates are unreachable under min(dict_order) and pruning is
     semantics-preserving."""
     abbrev_by_city: dict[str, list[str]] = {}
     for abbrev, full in CITY_ABBREVIATIONS.items():
@@ -89,35 +109,60 @@ def build_full_locations_dim() -> list[tuple[str, str | None, int, str]]:
     rows: list[tuple[str, str | None, int, str]] = []
     seen: set[str] = set()
     order = 0
+
+    def add(p: str, c: str | None, t: str) -> None:
+        nonlocal order
+        if not t or t in seen:
+            return
+        seen.add(t)
+        order += 1
+        rows.append((p, c, order, t))
+
     for prov, cities in INDONESIA_LOCATIONS.items():
         p = prov.lower()
+        # tier A: Case-1 exact names, city order (first match breaks)
         for city in cities:
+            add(p, city.lower(), city.lower())
+        # tier B: Case-2 parts + Case-3 abbreviations, reversed city order
+        # (non-breaking matches — the last city to match wins)
+        for city in reversed(cities):
             c = city.lower()
-            terms = [c]
-            terms += [t for t in c.split() if len(t) > 2 and t != c]
-            terms += abbrev_by_city.get(c, [])
-            for t in terms:
-                if t in seen:
-                    continue
-                seen.add(t)
-                order += 1
-                rows.append((p, c, order, t))
+            for t in c.split():
+                if len(t) > 2 and t != c:
+                    add(p, c, t)
+            for t in abbrev_by_city.get(c, []):
+                add(p, c, t)
     for prov in INDONESIA_LOCATIONS:
         p = prov.lower()
         for t in [p, *province_variations(p)]:
-            if not t or t in seen:
-                continue
-            seen.add(t)
-            order += 1
-            rows.append((p, None, order, t))
+            add(p, None, t)
     return rows
 
 
 def prep_location_text(col: F.Column) -> F.Column:
-    """Lowercase + separators→spaces + whitespace collapse + trim — the
-    text_for_matching prep of utils.py:355-361, as one regex pass."""
-    sep_class = "[" + "".join("\\" + s for s in LOCATION_SEPARATORS) + "\\s]+"
-    return F.trim(F.regexp_replace(F.lower(col), sep_class, " "))
+    """Lowercase + each separator char → one space — the text_for_matching
+    prep of utils.py:355-361, as one ``translate`` (1:1 char replacement,
+    NO whitespace collapse: the reference's ``str.replace`` loop keeps
+    'jakarta, selatan' as 'jakarta  selatan', which its single-space
+    multi-word regex then does NOT match — collapsing would diverge)."""
+    seps = "".join(LOCATION_SEPARATORS)
+    return F.translate(F.lower(col), seps, " " * len(seps))
+
+
+# token split mirroring the reference's \b word boundaries: a single-word
+# term matches \bterm\b iff it appears as a maximal word-char run, i.e. is a
+# token under splitting on non-word chars. ASCII classes on both engines
+# (Java default \w and RE2 \w are ASCII) — Python's re is unicode-aware, so
+# a term glued to a non-ASCII letter is a documented edge divergence.
+TOKEN_SPLIT_REGEX = "[^a-z0-9_]+"
+
+
+def _term_pattern(term: str) -> str:
+    """\\b-bounded regex for a dictionary term (utils.py:366-381) —
+    re.escape'd so '-' etc. stay literal on Java/RE2 engines too."""
+    import re as _re
+
+    return r"\b" + _re.escape(term) + r"\b"
 
 
 def locate_hybrid(
@@ -130,66 +175,67 @@ def locate_hybrid(
     hybrid token-join + multiword-containment strategy (module docstring).
     Returns fact columns + (province, city) — null when nothing matched."""
     spark = fact.sparkSession
-    dim = spark.createDataFrame(
-        dim_rows, "province string, city string, dict_order int, term string"
+    # lookup rows built driver-side so multi-word terms carry a precomputed
+    # re.escape'd \b-pattern (regexp verify below — \b is the reference's
+    # boundary, and after prep the text still holds non-separator
+    # punctuation that a plain ' term ' containment would miss)
+    lookup_rows = []
+    for _p, _c, o, t in dim_rows:
+        if " " in t:
+            lookup_rows.append((t.split(" ", 1)[0], o, _term_pattern(t)))
+        else:
+            lookup_rows.append((t, o, None))
+    lookup = F.broadcast(
+        spark.createDataFrame(
+            lookup_rows, "__key string, dict_order int, __vpat string"
+        )
     )
 
     prepped = fact.select(
         F.col(fact_id), prep_location_text(F.col(text_col)).alias("__s")
     )
     toks = prepped.select(
-        fact_id, F.explode(F.split(F.col("__s"), " ")).alias("__tok")
+        fact_id,
+        F.explode(F.split(F.col("__s"), TOKEN_SPLIT_REGEX)).alias("__tok"),
     )
     # ONE broadcast lookup keyed by token serves both term classes, so the
     # expensive corpus-wide token explode runs exactly once (two separate
     # joins re-derive the explode per branch — measured ~2× the heavy path
-    # on a 100k-row corpus): single-word terms match directly (__vterm
+    # on a 100k-row corpus): single-word terms match directly (__vpat
     # null); multi-word terms are keyed by their FIRST word as a candidate
-    # prefilter (containment of ' t1 t2 ' implies token t1 is present) and
-    # only the rare candidates pay the substring verify against the padded
+    # prefilter (\b t1 t2 \b matching implies t1 is a complete token) and
+    # only the rare candidates pay the regexp verify against the prepped
     # text. The naive broadcast nested loop (every row × every multi-word
-    # term) costs |rows|·|multi| substring scans — measured 14.5 s on the
+    # term) costs |rows|·|multi| scans — measured 14.5 s on the
     # same corpus where almost nothing matches.
-    single_part = dim.filter(~F.col("term").contains(" ")).select(
-        F.col("term").alias("__key"),
-        "dict_order",
-        F.lit(None).cast("string").alias("__vterm"),
-    )
-    multi_part = dim.filter(F.col("term").contains(" ")).select(
-        F.split(F.col("term"), " ").getItem(0).alias("__key"),
-        "dict_order",
-        F.col("term").alias("__vterm"),
-    )
-    lookup = F.broadcast(single_part.unionByName(multi_part))
     matched = toks.join(lookup, toks["__tok"] == F.col("__key")).select(
-        fact_id, "dict_order", "__vterm"
+        fact_id, "dict_order", "__vpat"
     )
-    hits_single = matched.filter(F.col("__vterm").isNull()).select(
+    hits_single = matched.filter(F.col("__vpat").isNull()).select(
         fact_id, "dict_order"
     )
-    padded = prepped.select(
-        fact_id, F.concat(F.lit(" "), F.col("__s"), F.lit(" ")).alias("__p")
-    )
     cand = (
-        matched.filter(F.col("__vterm").isNotNull())
-        .select(fact_id, "__vterm", "dict_order")
+        matched.filter(F.col("__vpat").isNotNull())
+        .select(fact_id, "__vpat", "dict_order")
         .distinct()
     )
     hits_multi = (
-        cand.join(padded, fact_id)
-        .filter(
-            F.col("__p").contains(
-                F.concat(F.lit(" "), F.col("__vterm"), F.lit(" "))
-            )
-        )
+        cand.join(prepped, fact_id)
+        .filter(F.expr("__s RLIKE __vpat"))
         .select(fact_id, "dict_order")
     )
 
+    resolve = F.broadcast(
+        spark.createDataFrame(
+            [(o, p, c) for p, c, o, _t in dim_rows],
+            "dict_order int, province string, city string",
+        )
+    )
     best = (
         hits_single.unionByName(hits_multi)
         .groupBy(fact_id)
         .agg(F.min("dict_order").alias("dict_order"))
-        .join(F.broadcast(dim.select("dict_order", "province", "city")), "dict_order")
+        .join(resolve, "dict_order")
         .drop("dict_order")
     )
     return fact.join(best, fact_id, "left")
@@ -209,9 +255,12 @@ def locate_compiled(
     zero joins, zero shuffles:
 
     - single-word terms become a constant-folded ``map(term → dict_order)``
-      probed per token (`array_min(transform(split(s), t → element_at))`),
-    - multi-word terms become an array of ``IF(contains(padded, ' term '),
-      order, NULL)`` branches (JVM substring search, codegen'd),
+      probed per token (`array_min(transform(split(s), t → element_at))` —
+      token split on non-word chars = the reference's \\b boundary),
+    - multi-word terms become an array of ``IF(contains(s, term),
+      IF(s RLIKE '\\bterm\\b', order, NULL), NULL)`` branches — the plain
+      substring ``contains`` is a necessary condition that short-circuits
+      the regexp to the rare candidate rows,
     - first match = ``least()`` of both minima,
     - (province, city) resolved through a constant ``map(order → struct)``.
 
@@ -225,10 +274,12 @@ def locate_compiled(
     multis = [(t, o) for p, c, o, t in dim_rows if " " in t]
     map_sql = "map(" + ",".join(f"{_sql_str(t)},{o}" for t, o in singles) + ")"
     single_min = (
-        f"array_min(transform(split(__s, ' '), t -> element_at({map_sql}, t)))"
+        f"array_min(transform(split(__s, '{TOKEN_SPLIT_REGEX}'),"
+        f" t -> element_at({map_sql}, t)))"
     )
     multi_min = "array_min(array(" + ",".join(
-        f"IF(contains(__p, {_sql_str(' ' + t + ' ')}), {o}, NULL)"
+        f"IF(contains(__s, {_sql_str(t)}),"
+        f" IF(__s RLIKE {_sql_str(_term_pattern(t))}, {o}, NULL), NULL)"
         for t, o in multis
     ) + "))"
     out_map = "map(" + ",".join(
@@ -239,9 +290,7 @@ def locate_compiled(
         )
         for p, c, o, t in dim_rows
     ) + ")"
-    prepped = fact.withColumn(
-        "__s", prep_location_text(F.col(text_col))
-    ).withColumn("__p", F.concat(F.lit(" "), F.col("__s"), F.lit(" ")))
+    prepped = fact.withColumn("__s", prep_location_text(F.col(text_col)))
     best = prepped.withColumn(
         "__o", F.expr(f"least({single_min}, {multi_min})")
     )

@@ -6,15 +6,19 @@ kabupaten & kota — public Indonesian administrative divisions), loaded by
 ``detect_location_from_text`` (utils.py:336-437) are flattened into ONE
 priority-ordered term table (province, city, dict_order, term):
 
-- per city, in dictionary iteration order (first-match-wins):
-  1. the exact city name (Case 1, utils.py:366-371),
-  2. each whitespace part of the name longer than 2 chars (Case 2,
-     utils.py:373-381 — yes, "jakarta" alone resolves to the FIRST city
-     containing that part, exactly like the reference's loop),
-  3. its abbreviations (Case 3 map, utils.py:384-394; the reference's
-     guard `province in full_name` compares the original-case province
-     to a lowercase city so the branch never fires there — we ship the
-     map as working alias rows, documented as the intended behavior),
+- per province, two tiers mirroring the reference loop's break structure:
+  tier A — the exact city names (Case 1, utils.py:366-371) in city order:
+     an exact match BREAKS the city loop, so the first exact match wins
+     and beats every part/abbreviation match in the province;
+  tier B — each whitespace part of a name longer than 2 chars (Case 2,
+     utils.py:373-381) and the abbreviations (Case 3 map,
+     utils.py:384-394) in REVERSED city order: these matches do NOT break
+     the city loop, so the reference keeps overwriting detected_city and
+     the LAST matching city wins ("jakarta" alone resolves to Jakarta
+     Timur, the last DKI city carrying that part). The reference's Case-3
+     guard `province in full_name` compares the original-case province to
+     a lowercase city so it never fires there — we ship the map as working
+     alias rows, the documented intent;
 - then, BELOW every city row, the province-name fallback (utils.py:404-432):
   the province name itself, then each of its variation forms
   (utils.py:414-424: no-space form, dki/di/provinsi prefix strips, and the

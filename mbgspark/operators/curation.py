@@ -225,16 +225,24 @@ def stratified_sample(
     bucket = F.substring(
         F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 4
     )
+
+    def keep_for(rate: float) -> F.Column:
+        # rate >= 1.0 must short-circuit: floor(1.0 * 65536) formats as the
+        # 5-char hex '10000', and a 4-char bucket compares lexicographically
+        # ('ffff' < '10000' is False) — the cutoff encoding only covers
+        # rates in [0, 1).
+        if rate >= 1.0:
+            return F.lit(True)
+        return bucket < F.lit(f"{max(0, int(rate * 65536)):04x}")
+
     keep = F.lit(False)
     for stratum in sorted(rates):
-        cutoff = f"{min(65536, int(rates[stratum] * 65536)):04x}"
-        keep = F.when(
-            F.col(strata_col) == stratum, bucket < F.lit(cutoff)
-        ).otherwise(keep)
+        keep = F.when(F.col(strata_col) == stratum, keep_for(rates[stratum])).otherwise(
+            keep
+        )
     if default_rate > 0:
-        cutoff = f"{min(65536, int(default_rate * 65536)):04x}"
         keep = F.coalesce(keep, F.lit(False)) | (
-            ~F.col(strata_col).isin(list(rates)) & (bucket < F.lit(cutoff))
+            ~F.col(strata_col).isin(list(rates)) & keep_for(default_rate)
         )
     return df.filter(keep)
 
@@ -333,17 +341,25 @@ def domain_mixture(
     One hash aggregate over |domains| groups plus a broadcast-sized window
     for the total: the heavy input collapses before any wide operation.
     All surfaces are integers (ppm / e4 scaling, half-up in both engines).
+
+    The multiplier divides the RAW token counts (target_weight · total /
+    domain_tokens), not the rounded ppm share: a domain under ~0.5 ppm
+    floors to token_share_ppm = 0, and dividing by that would null out the
+    multiplier for exactly the under-represented domains a mixing step
+    most needs to upweight. Domains with zero tokens get a null
+    multiplier (nothing to sample from — upweighting is undefined).
     """
     agg = df.groupBy(domain_col).agg(
         F.count("*").cast("bigint").alias("docs"),
         F.sum(F.col(token_col).cast("bigint")).alias("tokens"),
     )
     total = Window.partitionBy()
+    total_tokens = F.sum("tokens").over(total)
     out = agg.withColumn(
         "token_share_ppm",
-        F.floor(
-            F.col("tokens") * 1000000 / F.sum("tokens").over(total) + F.lit(0.5)
-        ).cast("bigint"),
+        F.floor(F.col("tokens") * 1000000 / total_tokens + F.lit(0.5)).cast(
+            "bigint"
+        ),
     )
     if target_weights:
         w_expr = F.lit(None).cast("double")
@@ -353,8 +369,11 @@ def domain_mixture(
             ).otherwise(w_expr)
         out = out.withColumn(
             "multiplier_e4",
-            F.floor(
-                w_expr * 1000000 * 10000 / F.col("token_share_ppm") + F.lit(0.5)
-            ).cast("bigint"),
+            F.when(
+                F.col("tokens") > 0,
+                F.floor(
+                    w_expr * 10000 * total_tokens / F.col("tokens") + F.lit(0.5)
+                ).cast("bigint"),
+            ),
         )
     return out

@@ -36,14 +36,18 @@ def banded_range_join(
     band-bucket equi-join. ``how='left'`` keeps pointless points with null
     interval columns.
 
-    Points carry a surrogate row id through the band join so the left-mode
-    anti-join matches on identity, not on all payload columns — null-unsafe
-    column equality would re-emit any matched row containing a NULL payload
-    value."""
+    The range predicate rides INSIDE the join condition (equi keys + a
+    residual filter), so left semantics come straight from the outer hash
+    join: a point lands in exactly one band, hence exactly one join-probe
+    row that either matches intervals or nulls out. No surrogate row id is
+    needed — the previous formulation correlated two recomputations of
+    ``monotonically_increasing_id`` across DAG branches, and MID is not
+    stable under recomputation when the points lineage contains a shuffle,
+    which could drop or duplicate left-mode rows. One join instead of
+    join + anti-join + union also kills a whole probe of the points side."""
     if how not in ("inner", "left"):
         raise ValueError(f"unsupported how={how!r} (inner|left)")
-    p0 = points.withColumn("__pid", F.monotonically_increasing_id())
-    p = p0.withColumn("__band", _band(F.col(point_col), band_width))
+    p = points.withColumn("__band", _band(F.col(point_col), band_width))
     i = intervals.withColumn(
         "__band",
         F.explode(
@@ -52,11 +56,9 @@ def banded_range_join(
             )
         ),
     )
-    joined = p.join(i, "__band", "inner").filter(
-        (F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) <= F.col(hi_col))
-    ).drop("__band")
-    if how == "inner":
-        return joined.drop("__pid")
-    # re-attach points that matched no interval, by surrogate id
-    missing = p0.join(joined.select("__pid"), "__pid", "left_anti")
-    return joined.unionByName(missing, allowMissingColumns=True).drop("__pid")
+    cond = (
+        (p["__band"] == i["__band"])
+        & (F.col(point_col) >= F.col(lo_col))
+        & (F.col(point_col) <= F.col(hi_col))
+    )
+    return p.join(i, cond, how).drop(p["__band"]).drop(i["__band"])

@@ -53,8 +53,16 @@ def detect_locations(df: DataFrame, dim, id_col: str = "_id") -> DataFrame:
     12-term dim); past ``_CASE_CHAIN_MAX_TERMS`` the O(|dim|) per-row regex
     chain loses to the hybrid token-join + multiword-containment plan
     (locations.locate_hybrid), which is how the full 602-term dictionary
-    runs by default."""
-    search = "concat_ws(' ', clean_text, lower(coalesce(author_name, '')))"
+    runs by default. All strategies search the separator-translated text
+    (utils.py:358-361) so 'jakarta-selatan' matches the multi-word term on
+    every path."""
+    from mbgspark.locations import LOCATION_SEPARATORS
+
+    seps = "".join(LOCATION_SEPARATORS)
+    search = (
+        "translate(concat_ws(' ', clean_text, lower(coalesce(author_name, ''))), "
+        f"'{seps.replace(chr(92), chr(92) * 2)}', '{' ' * len(seps)}')"
+    )
     rows = dim.collect() if isinstance(dim, DataFrame) else dim
     fields = ("province", "city", "dict_order", "term")
     dicts = [dict(zip(fields, r)) if isinstance(r, tuple) else r for r in rows]

@@ -337,8 +337,10 @@ s AS (
   FROM a
 )
 SELECT source, docs, tokens, token_share_ppm,
-       CAST(floor(0.05 * 1000000 * 10000 / CAST(token_share_ppm AS DOUBLE) + 0.5)
-            AS BIGINT) AS multiplier_e4
+       CASE WHEN tokens > 0 THEN
+         CAST(floor(0.05 * 10000 * CAST((SELECT sum(tokens) FROM a) AS DOUBLE)
+                    / tokens + 0.5) AS BIGINT)
+       END AS multiplier_e4
 FROM s
 ORDER BY source
 """

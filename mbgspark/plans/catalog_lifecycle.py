@@ -116,7 +116,8 @@ dim(province, city, dict_order, term) AS (VALUES
   {DIM_VALUES}
 ),
 search AS (
-  SELECT *, clean_text || ' ' || lower(coalesce(author_name, '')) AS s FROM cleaned
+  SELECT *, translate(clean_text || ' ' || lower(coalesce(author_name, '')),
+                      '-/\|_,;.', '        ') AS s FROM cleaned
 ),
 first_hit AS (
   SELECT _id, min(dict_order) AS mo

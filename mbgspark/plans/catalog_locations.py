@@ -1,36 +1,45 @@
 """Gate query for the FULL location dictionary (VERDICT r1 item 4).
 
 Runs first-match location detection over `documents` with the reference's
-real 38-province / 456-city dictionary (602 flattened term rows including
-city-part, abbreviation, and province-fallback semantics — locations.py),
+real 38-province / 456-city dictionary (602 flattened term rows with the
+reference loop's two-tier break semantics — exact names first-wins,
+part/abbrev matches last-wins, province fallback below; locations.py),
 through the compiled map-lookup strategy (locate_compiled; the join-based
 locate_hybrid computes identical results — equivalence pinned in
 tests/test_locations_full.py). Documents
 get deterministic Indonesian location snippets injected (cycling doc_id % 8)
-so every matching tier — exact multi-word city, abbreviation, province
-fallback, separator normalization, part shadowing, no-match — is exercised;
-the untouched English text also participates, so accidental matches (e.g.
-the token 'solo') are part of the checked surface on BOTH engines.
+so every matching tier — exact multi-word city, abbreviation, punctuation
+boundaries, province fallback, separator normalization, part shadowing,
+no-match — is exercised; the untouched English text also participates, so
+accidental matches (e.g. the token 'solo') are part of the checked surface
+on BOTH engines.
 
 Oracle: the identical construction in DuckDB — same dim VALUES, same
-tokenization, same min(dict_order) first-match — checked row-per-document
+separator translate + non-word token split + \\b-regex multi-word verify,
+same min(dict_order) first-match — checked row-per-document
 (~600 rows at sf0.001, ~6k at sf0.01)."""
 
 from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from mbgspark.locations import build_full_locations_dim, locate_compiled
+from mbgspark.locations import (
+    LOCATION_SEPARATORS,
+    TOKEN_SPLIT_REGEX,
+    _term_pattern,
+    build_full_locations_dim,
+    locate_compiled,
+)
 from mbgspark.plans.catalog_core import _t
 
 _DIM_ROWS = build_full_locations_dim()
 
 # one injection per matching tier; doc_id % 8 cycles deterministically
 _INJECT = [
-    " kunjungan di Jakarta Selatan",  # exact multi-word city
-    " acara sby keren",  # abbreviation alias
-    " warga jawa barat senang",  # part 'barat' shadows the province (faithful)
-    " tinggal di bandung-kota",  # separator normalization
+    " kunjungan di Jakarta Selatan",  # exact multi-word beats the 'jakarta' part rows (tier A < tier B)
+    " acara (sby) keren!",  # abbreviation alias behind punctuation (\b boundary)
+    " warga jawa barat senang",  # part 'barat' (tier B) shadows the jawa-barat province fallback
+    " tinggal di bandung-kota",  # separator normalization — 'kota' part of Aceh's 'Kota Bakti' wins (earlier province)
     " dari pekanbaru",  # exact single-word city
     " orang smg asli",  # abbreviation
     " provinsi sulawesi tenggara",  # province fallback path
@@ -64,7 +73,14 @@ def _dim_values() -> str:
     parts = []
     for prov, city, order, term in _DIM_ROWS:
         c = _sql_lit(city) if city is not None else "CAST(NULL AS VARCHAR)"
-        parts.append(f"({_sql_lit(prov)}, {c}, {order}, {_sql_lit(term)})")
+        # multi-word terms carry their \b-bounded verify pattern (DuckDB
+        # single-quoted literals keep backslashes verbatim — no doubling)
+        p = (
+            _sql_lit(_term_pattern(term))
+            if " " in term
+            else "CAST(NULL AS VARCHAR)"
+        )
+        parts.append(f"({_sql_lit(prov)}, {c}, {order}, {_sql_lit(term)}, {p})")
     return ",\n  ".join(parts)
 
 
@@ -72,8 +88,10 @@ _CASE_INJECT = "\n".join(
     f"             WHEN {i} THEN {_sql_lit(s)}" for i, s in enumerate(_INJECT[:7])
 )
 
+_SEPS = "".join(LOCATION_SEPARATORS)
+
 LOCATE_FULL_DIM_SQL = f"""
-WITH dim(province, city, dict_order, term) AS (VALUES
+WITH dim(province, city, dict_order, term, pat) AS (VALUES
   {_dim_values()}
 ),
 raw AS (
@@ -85,17 +103,18 @@ raw AS (
 ),
 prep AS (
   SELECT doc_id,
-         trim(regexp_replace(lower(text), '[\\-/\\\\|_,;.\\s]+', ' ', 'g')) AS s
+         translate(lower(text), {_sql_lit(_SEPS)}, {_sql_lit(" " * len(_SEPS))}) AS s
   FROM raw
 ),
 tk AS (
-  SELECT doc_id, string_split(s, ' ') AS t, ' ' || s || ' ' AS p FROM prep
+  SELECT doc_id, regexp_split_to_array(s, {_sql_lit(TOKEN_SPLIT_REGEX)}) AS t, s
+  FROM prep
 ),
 hit AS (
   SELECT doc_id, min(dict_order) AS mo
   FROM tk JOIN dim ON
-    CASE WHEN term NOT LIKE '% %' THEN list_contains(t, term)
-         ELSE position(' ' || term || ' ' IN p) > 0 END
+    CASE WHEN pat IS NULL THEN list_contains(t, term)
+         ELSE position(term IN s) > 0 AND regexp_matches(s, pat) END
   GROUP BY doc_id
 )
 SELECT r.doc_id, m.province, m.city

@@ -62,11 +62,17 @@ def ensure_session_conf(spark: SparkSession) -> None:
     - UTC timestamp<->date conversions;
     - non-ANSI (null-on-error) casts, matching DuckDB TRY_CAST;
     - TIMESTAMP(NANOS) parquet read (events.ts) via nanosAsLong, rebuilt to
-      a µs timestamp in io.load_table."""
+      a µs timestamp in io.load_table;
+    - parquet TIMESTAMP(isAdjustedToUTC=false) columns read as session-tz
+      TIMESTAMP, not TIMESTAMP_NTZ (testdata round 3 switched events.ts /
+      o_orderdate / l_shipdate to naive micros; NTZ breaks tz-typed
+      functions like unix_micros and needlessly forks the type surface —
+      with the session pinned UTC the instant values are identical)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     for k, v in (
         ("spark.sql.ansi.enabled", "false"),
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.parquet.inferTimestampNTZ.enabled", "false"),
     ):
         try:
             spark.conf.set(k, v)

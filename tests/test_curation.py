@@ -168,3 +168,38 @@ def test_connected_components_chain_cycle_and_canonical(spark):
         ).collect()
     )
     assert kept == [1, 4, 6, 9]  # min per cluster + untouched singleton 9
+
+
+def test_stratified_sample_rate_one_keeps_everything(spark):
+    """rate >= 1.0 must short-circuit: its hex cutoff would be the 5-char
+    '10000', which compares lexicographically BELOW most 4-char buckets
+    ('ffff' < '10000' is False) and silently kept ~1/16 of the stratum."""
+    d = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "de") for i in range(400)],
+        "doc_id bigint, lang string",
+    )
+    kept = stratified_sample(d, "lang", {"en": 1.0}, "doc_id")
+    assert sorted(r["doc_id"] for r in kept.collect()) == list(range(0, 400, 2))
+    # over-unity rates behave as keep-all too
+    kept2 = stratified_sample(d, "lang", {"en": 1.5}, "doc_id")
+    assert kept2.count() == 200
+    # default_rate >= 1.0 keeps every unlisted stratum
+    kept3 = stratified_sample(d, "lang", {"en": 0.0}, "doc_id", default_rate=1.0)
+    assert sorted(r["doc_id"] for r in kept3.collect()) == list(range(1, 400, 2))
+
+
+def test_domain_mixture_sub_ppm_domain_gets_finite_multiplier(spark):
+    """A domain holding < 0.5 ppm of tokens floors to token_share_ppm = 0;
+    the multiplier must come from the raw counts, not the rounded ppm."""
+    rows = [(i, "big", 1000000) for i in range(3)] + [(99, "tiny", 1)]
+    d = spark.createDataFrame(rows, "doc_id bigint, source string, tok bigint")
+    out = {
+        r["source"]: r.asDict()
+        for r in domain_mixture(
+            d, "source", "tok", target_weights={"big": 0.9, "tiny": 0.1}
+        ).collect()
+    }
+    assert out["tiny"]["token_share_ppm"] == 0
+    # 0.1 * 3000001 / 1 tokens * 1e4 = 3000001000 — finite, non-null
+    assert out["tiny"]["multiplier_e4"] == 3000001000
+    assert out["big"]["multiplier_e4"] == 9000  # 0.9 / ~1.0

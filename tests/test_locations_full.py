@@ -1,10 +1,13 @@
 """Full 38-province / 456-city dictionary + hybrid locate strategy.
 
-Pins the flattened first-match semantics of detect_location_from_text
-(utils.py:336-437) at the real dim size, including the behaviors that look
-surprising but are faithful: part shadowing ('jakarta' → first city with
-that part), the 'barat' part beating the jawa-barat province fallback, and
-abbreviation aliases."""
+Pins the flattened semantics of detect_location_from_text
+(utils.py:336-437) at the real dim size, including the reference loop's
+break structure: exact city names break the city loop (first exact match
+wins), part/abbreviation matches don't (the LAST matching city wins —
+'jakarta' alone → Jakarta Timur), a match in an earlier province beats
+anything in a later one, and the province fallback only applies when no
+city term matched. Boundary semantics are the reference's \\b regex: terms
+behind punctuation ('di bandung!', '(jakarta)') still match."""
 
 from __future__ import annotations
 
@@ -34,18 +37,28 @@ def test_dim_shape_and_order():
     city_max = max(r[2] for r in rows if r[1] is not None)
     prov_min = min(r[2] for r in rows if r[1] is None)
     assert prov_min > city_max
+    by_term = {r[3]: r for r in rows}
+    # tier A before tier B within a province: the exact 'jakarta selatan'
+    # row outranks the part row 'jakarta' (Case-1 break beats Case-2)
+    assert by_term["jakarta selatan"][2] < by_term["jakarta"][2]
+    # reversed tier-B order: the shared part 'jakarta' resolves to the LAST
+    # DKI city carrying it (the reference keeps overwriting detected_city)
+    assert by_term["jakarta"][1] == "jakarta timur"
 
 
 def test_hybrid_first_match_semantics(spark):
     rows = build_full_locations_dim()
     fact = spark.createDataFrame(
         [
-            (1, "kunjungan di Jakarta Selatan kemarin"),   # exact multi-word
+            (1, "kunjungan di Jakarta Selatan kemarin"),   # exact multi-word (tier A)
             (2, "acara sby keren"),                        # abbreviation
-            (3, "warga jawa barat senang"),                # part 'barat' shadows
+            (3, "warga jawa barat senang"),                # part 'barat' shadows province
             (4, "tinggal di bandung, dekat alun-alun"),    # separator prep
             (5, "tidak ada lokasi disini"),                # no match
             (6, "provinsi gorontalo mantap"),              # province fallback
+            (7, "jakarta"),                                # bare part → last DKI city
+            (8, "di bandung!"),                            # punctuation boundary
+            (9, "(jakarta)"),                              # punctuation boundary
         ],
         "id bigint, text string",
     )
@@ -53,20 +66,25 @@ def test_hybrid_first_match_semantics(spark):
         r["id"]: (r["province"], r["city"])
         for r in locate_hybrid(fact, rows, "id", "text").collect()
     }
-    # faithful Case-2 shadowing (utils.py:373-381): the real JSON lists
-    # Jakarta Pusat FIRST, and its part-row 'jakarta' outranks the exact
-    # 'jakarta selatan' row — the reference's loop does exactly this
-    assert got[1] == ("dki jakarta", "jakarta pusat")
+    # Case-1 exact match breaks the reference's city loop — it beats every
+    # part row, so 'Jakarta Selatan' resolves exactly (utils.py:366-371)
+    assert got[1] == ("dki jakarta", "jakarta selatan")
     assert got[2] == ("jawa timur", "surabaya")
-    # faithful Case-2 shadowing: 'barat' is a part of an earlier city row,
-    # so the city wins over the jawa-barat province fallback
-    assert got[3][1] is not None
+    # Case-2 part matches don't break the loop: the LAST matching city
+    # wins — 'barat' resolves to jakarta barat (DKI precedes jawa barat's
+    # province fallback, and no exact name matches)
+    assert got[3] == ("dki jakarta", "jakarta barat")
     assert got[4] == ("jawa barat", "bandung")
     assert got[5] == (None, None)
     # 'gorontalo' appears as a CITY under Sulawesi Tengah in the reference's
     # JSON (a data quirk reproduced faithfully) — the city row wins over the
     # gorontalo province fallback
     assert got[6] == ("sulawesi tengah", "gorontalo")
+    # last-match-wins among the DKI part rows (reference loop trace)
+    assert got[7] == ("dki jakarta", "jakarta timur")
+    # \b boundaries: punctuation does not block a match
+    assert got[8] == ("jawa barat", "bandung")
+    assert got[9] == ("dki jakarta", "jakarta timur")
 
 
 def test_compiled_and_hybrid_strategies_agree(spark):
@@ -90,3 +108,84 @@ def test_compiled_and_hybrid_strategies_agree(spark):
         for r in locate_hybrid(fact, rows, "doc_id", "text").collect()
     }
     assert a == b and len(a) > 0
+
+
+def test_reference_loop_parity_fuzz(spark):
+    """Drive BOTH Spark strategies against a literal Python re-implementation
+    of the reference's nested loop (utils.py:336-432, with the repo's
+    documented working-alias Case 3) over texts that hit every break-path:
+    exact-vs-part tiers, last-match overwrite, cross-province precedence,
+    punctuation boundaries, separator translation, province fallback."""
+    import re
+
+    rows = build_full_locations_dim()
+    abbreviations = CITY_ABBREVIATIONS
+
+    def ref_detect(text):
+        s = text.lower()
+        for sep in ["-", "/", "\\", "|", "_", ",", ";", "."]:
+            s = s.replace(sep, " ")
+        dp = dc = None
+        for province, cities in INDONESIA_LOCATIONS.items():
+            for city in cities:
+                cl = city.lower()
+                if re.search(r"\b" + re.escape(cl) + r"\b", s):
+                    dp, dc = province, city
+                    break
+                for part in cl.split():
+                    if len(part) > 2 and re.search(
+                        r"\b" + re.escape(part) + r"\b", s
+                    ):
+                        dp, dc = province, city
+                        break
+                for ab, full in abbreviations.items():
+                    if full == cl and re.search(
+                        r"\b" + re.escape(ab) + r"\b", s
+                    ):
+                        dp, dc = province, city
+                        break
+            if dc:
+                break
+        if not dc:
+            from mbgspark.locations import province_variations
+
+            for province in INDONESIA_LOCATIONS:
+                pl = province.lower()
+                for v in [pl, *province_variations(pl)]:
+                    if v and re.search(r"\b" + re.escape(v) + r"\b", s):
+                        dp = province
+                        break
+                if dp:
+                    break
+        return (dp.lower() if dp else None, dc.lower() if dc else None)
+
+    texts = [
+        "kunjungan di Jakarta Selatan kemarin",
+        "jakarta",
+        "tangerang selatan",          # exact 'tangerang' breaks before 'tangerang selatan'
+        "jakarta, selatan",           # 1:1 translate → double space → multi-word no-match
+        "tinggal di bandung-kota",    # 'kota' part of Aceh's Kota Bakti wins (earlier province)
+        "warga jawa barat senang",
+        "yogyakarta dan semarang",    # exact 'semarang' is an earlier Jawa Tengah city
+        "solo gudeg",
+        "(jakarta)",
+        "di bandung!",
+        "banda aceh!",
+        "jaksel jaktim",
+        "riau kepulauan",
+        "kalt timur",
+        "sul tenggara",
+        "ntb",
+        "nothing here at all",
+        "",
+    ]
+    fact = spark.createDataFrame(
+        list(enumerate(texts)), "id bigint, text string"
+    )
+    expected = {i: ref_detect(t) for i, t in enumerate(texts)}
+    for strategy in (locate_compiled, locate_hybrid):
+        got = {
+            r["id"]: (r["province"], r["city"])
+            for r in strategy(fact, rows, "id", "text").collect()
+        }
+        assert got == expected, strategy.__name__
