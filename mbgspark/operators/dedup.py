@@ -118,13 +118,28 @@ def minhash_signature(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, id_col: str, bands: int = 4, rows_per_band: int = 2
+    signatures: DataFrame,
+    id_col: str,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Band the signature; docs sharing any band bucket become candidate pairs.
 
     Equi-join on (band_idx, band_key) — a hash shuffle, never a cross join;
     this is what keeps near-dup detection feasible at 100 TB. Output distinct
-    (id_a < id_b) pairs."""
+    (id_a < id_b) pairs.
+
+    ``max_bucket_size`` is the production skew guard: a text duplicated N
+    times puts N rows in ONE band bucket and the self-join emits N² pairs —
+    AQE skew-split handles the join mechanics but not the semantic pair
+    explosion (a single viral doc at 100 TB would mint ~10¹⁰ pairs).
+    Buckets larger than the cap are dropped from pair generation (use
+    ``lsh_oversized_buckets`` to monitor what was skipped — mega-clusters
+    of identical text belong to exact dedup, which runs first in the
+    curation pipeline and has no quadratic step). The bucket size rides a
+    window count over the SAME (band_idx, band_key) partitioning the join
+    needs, so the guard adds no extra shuffle. ``None`` disables."""
     sig_len = bands * rows_per_band
     band_rows = signatures.select(
         F.col(id_col),
@@ -148,6 +163,13 @@ def lsh_candidate_pairs(
             )
         ).alias("band"),
     ).select(id_col, "band.band_idx", "band.band_key")
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band_idx", "band_key")
+        band_rows = (
+            band_rows.withColumn("__bucket_n", F.count("*").over(w))
+            .filter(F.col("__bucket_n") <= max_bucket_size)
+            .drop("__bucket_n")
+        )
     a = band_rows.alias("a")
     b = band_rows.alias("b")
     return (
@@ -157,6 +179,45 @@ def lsh_candidate_pairs(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
         .distinct()
+    )
+
+
+def lsh_oversized_buckets(
+    signatures: DataFrame,
+    id_col: str,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Monitoring companion to ``lsh_candidate_pairs``: the (band_idx,
+    band_key, bucket_n) buckets the cap would drop, so a pipeline can log
+    them / route their members to exact dedup instead of silently skipping."""
+    band_rows = signatures.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.element_at("sig", b * rows_per_band + r + 1)
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("band_key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("band.band_idx", "band.band_key")
+    return (
+        band_rows.groupBy("band_idx", "band_key")
+        .agg(F.count("*").cast("bigint").alias("bucket_n"))
+        .filter(F.col("bucket_n") > max_bucket_size)
     )
 
 
@@ -266,6 +327,7 @@ def minhash_near_dups(
     num_hashes: int = 8,
     bands: int = 4,
     threshold: float = 0.6,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: shingle → signature → band buckets →
     candidate pairs → exact-Jaccard verify. All equi-joins and group-bys;
@@ -296,7 +358,9 @@ def minhash_near_dups(
         F.col(id_col),
         F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"),
     )
-    pairs = lsh_candidate_pairs(sig, id_col, bands, num_hashes // bands)
+    pairs = lsh_candidate_pairs(
+        sig, id_col, bands, num_hashes // bands, max_bucket_size=max_bucket_size
+    )
     arrays = packed.select(id_col, "__shingles")
     return jaccard_verify_arrays(arrays, pairs, id_col, threshold, "__shingles")
 

@@ -133,10 +133,16 @@ sig AS (
 bands AS (
 {_MINHASH_BANDS}
 ),
+-- skew guard mirror: drop band buckets larger than max_bucket_size=1000
+-- (lsh_candidate_pairs default) before pair generation
+bands_sized AS (
+  SELECT *, count(*) OVER (PARTITION BY band_idx, band_key) AS bucket_n
+  FROM bands
+),
 cand AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b
-  FROM bands a JOIN bands b USING (band_idx, band_key)
-  WHERE a.id < b.id
+  FROM bands_sized a JOIN bands_sized b USING (band_idx, band_key)
+  WHERE a.id < b.id AND a.bucket_n <= 1000
 ),
 counts AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
 inter AS (

@@ -57,3 +57,30 @@ def test_embedding_near_dups_blocked_vs_exact(spark):
     assert [(r["id_a"], r["id_b"]) for r in exact.collect()] == [(1, 2)]
     blocked = dd.embedding_near_dups(df, threshold=0.99, block_bits=2)
     assert [(r["id_a"], r["id_b"]) for r in blocked.collect()] == [(1, 2)]
+
+
+def test_lsh_bucket_cap_bounds_viral_duplicate(spark):
+    """A text duplicated N times lands N rows in one band bucket; the
+    skew guard must drop that bucket (exact dedup's job) while normal
+    near-dup pairs still surface, and the monitoring companion reports
+    exactly the dropped buckets."""
+    base = " ".join(f"w{i}" for i in range(30))
+    near = " ".join(f"w{i}" for i in range(1, 30))
+    viral = " ".join(f"v{i}" for i in range(30))
+    rows = [(1, base), (2, near)] + [(100 + i, viral) for i in range(50)]
+    df = spark.createDataFrame(rows, "id bigint, t string")
+    capped = dd.minhash_near_dups(
+        df, "id", "t", threshold=0.5, max_bucket_size=10
+    )
+    got = [(p["id_a"], p["id_b"]) for p in capped.collect()]
+    assert got == [(1, 2)]  # viral cluster suppressed, real near-dup kept
+    uncapped = dd.minhash_near_dups(
+        df, "id", "t", threshold=0.5, max_bucket_size=None
+    )
+    assert uncapped.count() == 1 + 50 * 49 // 2  # quadratic without the guard
+
+    shingled = dd.with_word_shingles(df, "id", "t", 3)
+    sig = dd.minhash_signature(shingled, "id", 8)
+    over = dd.lsh_oversized_buckets(sig, "id", 4, 2, max_bucket_size=10)
+    assert all(r["bucket_n"] == 50 for r in over.collect())
+    assert over.count() == 4  # the viral text's 4 band buckets

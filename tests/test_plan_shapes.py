@@ -267,3 +267,24 @@ def test_top_bigrams_topk_never_global_sorts(spark):
     # driver), not a full Sort of the distinct-ngram table
     plan = plan_of(spark, "top_bigrams")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_minhash_bucket_cap_adds_no_exchange(spark):
+    """The skew-guard window count must ride the SAME (band_idx, band_key)
+    hash partitioning the candidate self-join shuffles on — capping may not
+    introduce an additional exchange over the uncapped plan."""
+    import mbgspark.operators.dedup as dd
+    from mbgspark.plans.catalog_ext import _dup_corpus
+
+    corpus = _dup_corpus(spark, "/root/testdata/sf0.001")
+    capped = dd.minhash_near_dups(corpus, "id", "t", threshold=0.5)
+    uncapped = dd.minhash_near_dups(
+        corpus, "id", "t", threshold=0.5, max_bucket_size=None
+    )
+    n_capped = capped._jdf.queryExecution().executedPlan().toString().count(
+        "Exchange"
+    )
+    n_uncapped = uncapped._jdf.queryExecution().executedPlan().toString().count(
+        "Exchange"
+    )
+    assert n_capped <= n_uncapped + 0  # window reuses the join's partitioning

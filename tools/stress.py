@@ -152,6 +152,25 @@ def main() -> None:
     )
     run("components", connected_components(planted_edges))
 
+    # adversarial skew: ONE text duplicated 100k times puts 100k rows into
+    # each of its 4 band buckets — uncapped, the LSH self-join would mint
+    # ~2×10¹⁰ candidate pairs from that single text. The bucket cap
+    # (max_bucket_size=1000 default) must drop those buckets so the output
+    # is exactly the planted near-dup pairs again, and the monitoring
+    # companion must surface the 4 dropped buckets.
+    viral_n = 100_000
+    viral_text = " ".join(f"viral{i}" for i in range(30))
+    viral = spark.range(viral_n).select(
+        (F.col("id") + 900_000_000).alias("id"), F.lit(viral_text).alias("t")
+    )
+    skew_corpus = corpus.unionByName(viral)
+    run(
+        "minhash_lsh_skew_capped",
+        dd.minhash_near_dups(skew_corpus, "id", "t", 3, 8, 4, 0.5),
+    )
+    sig = dd.minhash_signature(dd.with_word_shingles(viral, "id", "t", 3), "id", 8)
+    run("lsh_oversized_monitor", dd.lsh_oversized_buckets(sig, "id", 4, 2, 1000))
+
     expected_pairs = 30 * n
     found = results["minhash_lsh_neardup"]["out_rows"]
     print(
@@ -161,6 +180,8 @@ def main() -> None:
                 "scale_factor_n": n,
                 "planted_pairs": expected_pairs,
                 "minhash_pairs_found": found,
+                "skew_capped_pairs": results["minhash_lsh_skew_capped"]["out_rows"],
+                "skew_dropped_buckets": results["lsh_oversized_monitor"]["out_rows"],
                 "ops": results,
             }
         )
