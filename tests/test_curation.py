@@ -203,3 +203,57 @@ def test_domain_mixture_sub_ppm_domain_gets_finite_multiplier(spark):
     # 0.1 * 3000001 / 1 tokens * 1e4 = 3000001000 — finite, non-null
     assert out["tiny"]["multiplier_e4"] == 3000001000
     assert out["big"]["multiplier_e4"] == 9000  # 0.9 / ~1.0
+
+
+def test_star_components_long_chain_converges_logarithmically(spark):
+    """A 60-node path (diameter 59) — the adversarial shape for label
+    propagation (templated spam drifting one token per doc). The default
+    large-star/small-star algorithm must converge well inside 25 rounds
+    (O(log n)); propagation must RAISE at a too-small cap instead of
+    returning silently-wrong labels, and still agree when given enough
+    rounds."""
+    import pytest
+
+    from mbgspark.operators.components import (
+        ConvergenceError,
+        connected_components,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "id_a bigint, id_b bigint"
+    )
+    got = {
+        r["id"]: r["component"] for r in connected_components(chain).collect()
+    }
+    assert got == {i: 0 for i in range(61)}
+
+    with pytest.raises(ConvergenceError):
+        connected_components(
+            chain, max_iterations=5, algorithm="propagate"
+        ).collect()
+
+    prop = {
+        r["id"]: r["component"]
+        for r in connected_components(
+            chain, max_iterations=80, algorithm="propagate"
+        ).collect()
+    }
+    assert prop == got
+
+
+def test_star_and_propagate_agree_on_mixed_graph(spark):
+    from mbgspark.operators.components import connected_components
+
+    edges = spark.createDataFrame(
+        # two cliques bridged by a chain + a separate cycle + a pair
+        [(1, 2), (2, 3), (1, 3), (3, 10), (10, 11), (11, 12), (12, 20),
+         (20, 21), (21, 22), (20, 22), (30, 31), (31, 32), (32, 30),
+         (40, 41)],
+        "id_a bigint, id_b bigint",
+    )
+    a = {r["id"]: r["component"]
+         for r in connected_components(edges, algorithm="star").collect()}
+    b = {r["id"]: r["component"]
+         for r in connected_components(edges, algorithm="propagate").collect()}
+    assert a == b
+    assert set(a.values()) == {1, 30, 40}
