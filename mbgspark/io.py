@@ -145,6 +145,7 @@ def merge_by_key(
     updates: DataFrame,
     key: str = "_id",
     order_col: str = "scraped_at",
+    partition_col: str | None = None,
 ) -> DataFrame:
     """S8/S9 + D3: idempotent upsert — union then keep-latest-per-key.
 
@@ -153,7 +154,22 @@ def merge_by_key(
     re-deliveries update rather than duplicate.  Batch Spark equivalent:
     ``row_number() over (partition by key order by order_col desc) = 1``.
     Ties break toward the update side (is_update desc) to mirror $set-wins.
-    """
+
+    ``partition_col``: prune ``existing`` to the partitions the updates
+    touch before the window (the same touched-partitions contract as the
+    streaming merge sink — a re-delivered key keeps its partition value).
+    Without it, a caller handing in a full store scan pays a store-wide
+    shuffle for a one-day update; with it, merge cost tracks touched
+    partitions and the isin filter lands as a PartitionFilter on the store
+    scan (plan-pinned). The returned frame then only covers touched
+    partitions — pair with dynamic partition overwrite, exactly like the
+    sink."""
+    if partition_col is not None:
+        touched = [
+            r[partition_col]
+            for r in updates.select(partition_col).distinct().collect()
+        ]
+        existing = existing.filter(F.col(partition_col).isin(touched))
     ex = existing.withColumn("__is_update", F.lit(0))
     up = updates.withColumn("__is_update", F.lit(1))
     w = Window.partitionBy(key).orderBy(

@@ -168,12 +168,13 @@ def start_merge_sink(
             # filter prunes at the store scan, so merge cost tracks touched
             # days, not store size; dynamic partition overwrite then replaces
             # only those same days.
-            touched = [
-                r["event_date"]
-                for r in batch_df.select("event_date").distinct().collect()
-            ]
-            existing = existing.filter(F.col("event_date").isin(touched))
-            merged = merge_by_key(existing, batch_df, key=key, order_col="scraped_at")
+            merged = merge_by_key(
+                existing,
+                batch_df,
+                key=key,
+                order_col="scraped_at",
+                partition_col="event_date",
+            )
         else:
             # no store yet — still dedup re-delivered keys within the batch
             merged = keep_latest_per_key(batch_df, key=key, order_col="scraped_at")

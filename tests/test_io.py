@@ -76,3 +76,39 @@ def test_write_partitioned_compacts_small_files(spark, tmp_path):
     assert n_compact == 3
     assert n_shard > n_compact
     assert spark.read.parquet(compacted).count() == 1000
+
+
+def test_merge_by_key_partition_prune_hits_store_scan(spark, tmp_path):
+    """Batch merge with partition_col must prune the store scan to the
+    partitions the updates touch (PartitionFilters, not a post-scan
+    filter), and still produce the same merged rows for those partitions."""
+    from pyspark.sql import functions as F
+
+    from mbgspark.io import merge_by_key, write_partitioned
+
+    store_path = str(tmp_path / "store")
+    base = spark.createDataFrame(
+        [(i, f"2025-01-{1 + i % 5:02d}", 1, f"old{i}") for i in range(50)],
+        "_id bigint, event_date string, scraped_at bigint, val string",
+    )
+    write_partitioned(base, store_path, "event_date")
+    updates = spark.createDataFrame(
+        [(3, "2025-01-04", 2, "new3"), (999, "2025-01-04", 2, "new999")],
+        "_id bigint, event_date string, scraped_at bigint, val string",
+    )
+    existing = spark.read.parquet(store_path)
+    merged = merge_by_key(
+        existing, updates, "_id", "scraped_at", partition_col="event_date"
+    )
+    plan = merged._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [event_date" in plan.replace(
+        "PartitionFilters: [isnotnull(event_date#", "PartitionFilters: [event_date"
+    ) or "event_date IN" in plan
+    rows = {r["_id"]: r["val"] for r in merged.collect()}
+    # only the touched partition's store rows participate
+    assert rows[3] == "new3" and rows[999] == "new999"
+    assert all(
+        str(r["event_date"]) == "2025-01-04" for r in merged.collect()
+    )  # str(): partition-column type inference reads the value back as DATE
+    # update-wins + untouched keys of the touched partition retained
+    assert rows[8] == "old8" and len(rows) == 11
