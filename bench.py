@@ -31,6 +31,9 @@ HEADLINE = [
     "sentiment_pandas_udf", "etl_lifecycle",
     # round 2: the full 602-term dictionary locate (hybrid token join)
     "locate_full_dim",
+    # round 3: curation suite joins the headline set (compare totals to r2
+    # on the first 16 queries — these three are additive)
+    "contamination_check", "repetition_stats", "dup_components",
 ]
 
 

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from mbgspark.locations import (
     LOCATION_SEPARATORS,
-    TOKEN_SPLIT_REGEX,
+    TOKEN_BOUNDARY_CHARS,
     _term_pattern,
     build_full_locations_dim,
     locate_compiled,
@@ -103,11 +103,13 @@ raw AS (
 ),
 prep AS (
   SELECT doc_id,
-         translate(lower(text), {_sql_lit(_SEPS)}, {_sql_lit(" " * len(_SEPS))}) AS s
+         translate(lower(text), {_sql_lit(_SEPS)}, {_sql_lit(" " * len(_SEPS))}) AS s,
+         translate(lower(text), {_sql_lit(TOKEN_BOUNDARY_CHARS)},
+                   {_sql_lit(" " * len(TOKEN_BOUNDARY_CHARS))}) AS tf
   FROM raw
 ),
 tk AS (
-  SELECT doc_id, regexp_split_to_array(s, {_sql_lit(TOKEN_SPLIT_REGEX)}) AS t, s
+  SELECT doc_id, string_split(tf, ' ') AS t, s
   FROM prep
 ),
 hit AS (

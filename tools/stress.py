@@ -70,13 +70,16 @@ def main() -> None:
     n_rows = corpus.count()
     results: dict[str, dict] = {}
 
-    def run(name, df, count_col=None):
+    def run(name, df):
+        # force FULL materialization with the noop sink: a count() lets
+        # Catalyst prune every projected column, so narrow map operators
+        # (compiled locate, token counts, PII scan) would measure the scan,
+        # not the operator (found when "0.2 s" compiled-locate numbers
+        # didn't survive a noop-write cross-check)
         t0 = time.time()
-        if count_col is None:
-            out_rows = df.count()
-        else:
-            out_rows = df.agg(F.count(count_col)).first()[0]
+        df.write.format("noop").mode("overwrite").save()
         dt = time.time() - t0
+        out_rows = df.count()
         results[name] = {
             "sec": round(dt, 2),
             "out_rows": out_rows,
