@@ -160,6 +160,37 @@ def connected_components(
     return labels.select("id", F.col("comp").alias("component"))
 
 
+def canonical_best_by_component(
+    df: DataFrame,
+    components: DataFrame,
+    id_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Quality-aware keep-one-per-cluster: for every duplicate cluster keep
+    the HIGHEST-``score_col`` member (ties → min id) instead of the min-id
+    member — the production policy when near-dup clusters mix a clean
+    original with boilerplate-wrapped copies. Singletons (ids absent from
+    ``components``) form their own cluster and are always kept.
+
+    Shape: one left join to the (small) components table, one hash
+    aggregate with ``max_by`` over a (score, -id) ordering struct — the
+    tie-break lives in the aggregation, so no window over the corpus and
+    no second shuffle — then a semi-join back. Returns the kept rows of
+    ``df`` plus their ``component`` id."""
+    comp = components.select(F.col("id").alias(id_col), "component")
+    labeled = df.join(comp, id_col, "left").withColumn(
+        "component", F.coalesce(F.col("component"), F.col(id_col))
+    )
+    best = labeled.groupBy("component").agg(
+        F.max_by(
+            F.col(id_col), F.struct(F.col(score_col), -F.col(id_col))
+        ).alias("__keep_id")
+    )
+    return labeled.join(
+        best.select(F.col("__keep_id").alias(id_col)), id_col, "left_semi"
+    )
+
+
 def canonical_by_component(
     df: DataFrame,
     components: DataFrame,

@@ -43,7 +43,7 @@ _ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
 #      the rest (warehouse joins, remaining curation/dedup/text — all
 #      r2-green, unchanged) rotate one round behind.
 _PRIORITY = [
-    # -- 1: oracle/semantics changed this round --
+    # -- 1: oracle/semantics changed or NEW this round --
     "pivot_event_types",
     "curate_corpus",
     "locate_full_dim",
@@ -53,6 +53,7 @@ _PRIORITY = [
     "stratified_sample_counts",
     "range_join_value_tiers",
     "asof_click_view",
+    "dedup_semantic_keep_best",
     # -- 2: last driver row is r1 --
     *CORE.keys(),  # q1..q28 + q18r (29)
     "fingerprints",
@@ -67,8 +68,8 @@ _PRIORITY = [
     "dup_components",
     "kmeans_clusters",
     "contamination_check",
-    "multimodal_features",
     # -- past the 50-window: r2-green, unchanged --
+    "multimodal_features",
     *JOINS.keys(),
     "trend_moving_avg",
     "percentile_by_status",

@@ -326,6 +326,88 @@ ORDER BY c.id
 """
 
 
+def dedup_semantic_keep_best(spark, sf_dir):
+    """The COMPLETE semantic-dedup chain as one lineage: n-gram Jaccard
+    pairs → connected components (large-star/small-star) → quality-aware
+    canonical selection — per duplicate cluster keep the longest document
+    (ties → min id); singletons survive untouched. This is the
+    one-keeper-per-group policy a curation pipeline actually ships, with
+    quality (here: char length — engine-identical, tokenizer-free) rather
+    than min-id deciding the keeper. Oracle: same pair pipeline +
+    recursive-CTE closure + window argmax in DuckDB."""
+    from mbgspark.operators.components import (
+        canonical_best_by_component,
+        connected_components,
+    )
+
+    corpus = _dup_corpus(spark, sf_dir).filter(
+        (F.col("id") < 300) | (F.col("id") >= 1000000)
+    )
+    edges = dedup_ngram_jaccard(spark, sf_dir)
+    comp = connected_components(edges, "id_a", "id_b")
+    docs = corpus.withColumn("score", F.length("t").cast("bigint"))
+    kept = canonical_best_by_component(docs, comp, "id", "score")
+    return kept.select(
+        "id", F.col("component").cast("bigint").alias("component"), "score"
+    ).orderBy("id")
+
+
+DEDUP_KEEP_BEST_SQL = f"""
+WITH RECURSIVE unioned0 AS ({{DUP_SQL_UNION}}),
+unioned AS (SELECT * FROM unioned0 WHERE id < 300 OR id >= 1000000),
+toks AS (SELECT id, string_split_regex(t, '\\s+') AS tk FROM unioned),
+sh AS (
+  SELECT DISTINCT id, concat_ws(' ', tk[i], tk[i+1], tk[i+2]) AS shingle
+  FROM toks, LATERAL unnest(generate_series(1, greatest(len(tk) - 2, 1))) AS g(i)
+  WHERE concat_ws(' ', tk[i], tk[i+1], tk[i+2]) <> ''
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM sh a JOIN sh b USING (shingle) WHERE a.id < b.id
+),
+counts AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_inter
+  FROM cand c
+  JOIN sh sa ON sa.id = c.id_a
+  JOIN sh sb ON sb.id = c.id_b AND sb.shingle = sa.shingle
+  GROUP BY c.id_a, c.id_b
+),
+jac AS (
+  SELECT id_a, id_b,
+         round(n_inter / CAST(ca.n_sh + cb.n_sh - n_inter AS DOUBLE), 4) AS jaccard
+  FROM inter
+  JOIN counts ca ON ca.id = id_a
+  JOIN counts cb ON cb.id = id_b
+),
+pairs AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.5),
+und AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach AS (
+  SELECT a AS id, a AS comp FROM und
+  UNION
+  SELECT und.a AS id, reach.comp FROM und JOIN reach ON reach.id = und.b
+),
+comp AS (SELECT id, min(comp) AS component FROM reach GROUP BY id),
+labeled AS (
+  SELECT u.id, coalesce(c.component, u.id) AS component,
+         CAST(length(u.t) AS BIGINT) AS score
+  FROM unioned u LEFT JOIN comp c ON c.id = u.id
+),
+ranked AS (
+  SELECT id, component, score,
+         row_number() OVER (PARTITION BY component
+                            ORDER BY score DESC, id ASC) AS rn
+  FROM labeled
+)
+SELECT id, CAST(component AS BIGINT) AS component, score
+FROM ranked WHERE rn = 1 ORDER BY id
+""".replace("{DUP_SQL_UNION}", DUP_SQL_UNION)
+
+
 def dedup_embedding(spark, sf_dir):
     """Embedding-cosine near-dup pairs ≥ 0.99 over vec_id < 200 ∪ scaled
     (×2) copies — scaled copies are exact cosine-duplicates of their source."""
@@ -1320,6 +1402,7 @@ EXT: dict[str, tuple] = {
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_SQL),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
+    "dedup_semantic_keep_best": (dedup_semantic_keep_best, DEDUP_KEEP_BEST_SQL),
     "dup_components": (dup_components, DUP_COMPONENTS_SQL),
     "dedup_embedding": (dedup_embedding, DEDUP_EMBEDDING_SQL),
     "dedup_embedding_blocked": (dedup_embedding_blocked, DEDUP_EMBEDDING_BLOCKED_SQL),

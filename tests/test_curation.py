@@ -257,3 +257,27 @@ def test_star_and_propagate_agree_on_mixed_graph(spark):
          for r in connected_components(edges, algorithm="propagate").collect()}
     assert a == b
     assert set(a.values()) == {1, 30, 40}
+
+
+def test_canonical_best_by_component_keeps_highest_score(spark):
+    """Quality-aware canonical selection: the longest doc per cluster wins
+    (ties -> min id); singletons always survive."""
+    from mbgspark.operators.components import (
+        canonical_best_by_component,
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a bigint, id_b bigint"
+    )
+    docs = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 9), (10, 4), (11, 2), (99, 1)],
+        "doc_id bigint, score bigint",
+    )
+    kept = canonical_best_by_component(
+        docs, connected_components(edges), "doc_id", "score"
+    )
+    got = {r["doc_id"]: r["component"] for r in kept.collect()}
+    # cluster {1,2,3}: 2 and 3 tie at 9 -> min id 2; cluster {10,11} -> 10;
+    # singleton 99 keeps itself
+    assert got == {2: 1, 10: 10, 99: 99}
