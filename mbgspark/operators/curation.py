@@ -200,6 +200,33 @@ def with_pii_redaction(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# ------------------------------------------------------- URL / domain ----
+
+
+def with_url_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document URL accounting for web-scraped corpora: URL count,
+    distinct-domain count, and the sorted distinct domain list as one
+    comma-joined string (a deterministic, hash-stable surface — array
+    columns stay out of the compare path). The inputs to a domain-level
+    blocklist filter or the per-domain aggregation `domain_mixture` runs.
+
+    Pure regexp column expressions (same `URL_RE` the PII scan uses) —
+    whole-stage codegen, zero shuffles, linear scan at any scale.
+    """
+    urls = F.regexp_extract_all(F.col(text_col), F.lit(URL_RE), 0)
+    domains = F.array_distinct(
+        F.transform(
+            urls,
+            lambda u: F.lower(F.regexp_extract(u, r"https?://([^/?#\s]+)", 1)),
+        )
+    )
+    return (
+        df.withColumn("n_urls", F.size(urls).cast("bigint"))
+        .withColumn("n_domains", F.size(domains).cast("bigint"))
+        .withColumn("domain_list", F.concat_ws(",", F.array_sort(domains)))
+    )
+
+
 # ------------------------------------------------- stratified sampling ----
 
 

@@ -54,6 +54,7 @@ _PRIORITY = [
     "range_join_value_tiers",
     "asof_click_view",
     "dedup_semantic_keep_best",
+    "url_stats",
     # -- 2: last driver row is r1 --
     *CORE.keys(),  # q1..q28 + q18r (29)
     "fingerprints",
@@ -67,8 +68,8 @@ _PRIORITY = [
     "dedup_minhash_lsh",
     "dup_components",
     "kmeans_clusters",
-    "contamination_check",
     # -- past the 50-window: r2-green, unchanged --
+    "contamination_check",
     "multimodal_features",
     *JOINS.keys(),
     "trend_moving_avg",

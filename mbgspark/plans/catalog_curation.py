@@ -195,6 +195,56 @@ ORDER BY doc_id
 """
 
 
+# ------------------------------------------------------- URL / domain --
+
+
+def url_stats(spark, sf_dir):
+    """Per-doc URL/domain accounting over documents with deterministic URL
+    snippets injected (doc_id % 4 cycles; natural text participates too)."""
+    from mbgspark.operators.curation import with_url_stats
+
+    d = _t(spark, sf_dir, "documents")
+    inject = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.lit(" see https://a.example.org/p/1 and https://b.example.net/q?x=1"),
+        )
+        .when(F.col("doc_id") % 4 == 1, F.lit(" ref http://cdn.a.example.org/x"))
+        .when(F.col("doc_id") % 4 == 2, F.lit(" at (https://b.example.net)"))
+        .otherwise(F.lit(""))
+    )
+    raw = d.select("doc_id", F.concat("text", inject).alias("text"))
+    return with_url_stats(raw, "text").select(
+        "doc_id", "n_urls", "n_domains", "domain_list"
+    ).orderBy("doc_id")
+
+
+URL_STATS_SQL = r"""
+WITH raw AS (
+  SELECT doc_id,
+         text || CASE CAST(doc_id % 4 AS INT)
+           WHEN 0 THEN ' see https://a.example.org/p/1 and https://b.example.net/q?x=1'
+           WHEN 1 THEN ' ref http://cdn.a.example.org/x'
+           WHEN 2 THEN ' at (https://b.example.net)'
+           ELSE '' END AS text
+  FROM documents
+),
+u AS (
+  SELECT doc_id, regexp_extract_all(text, 'https?://\S+') AS urls FROM raw
+),
+d AS (
+  SELECT doc_id, CAST(len(urls) AS BIGINT) AS n_urls,
+         list_sort(list_distinct(list_transform(urls,
+           x -> lower(regexp_extract(x, 'https?://([^/?#\s]+)', 1))))) AS doms
+  FROM u
+)
+SELECT doc_id, n_urls, CAST(len(doms) AS BIGINT) AS n_domains,
+       -- DuckDB array_to_string([]) is NULL; Spark concat_ws([]) is ''
+       coalesce(array_to_string(doms, ','), '') AS domain_list
+FROM d ORDER BY doc_id
+"""
+
+
 # ------------------------------------------------- stratified sampling --
 
 SAMPLE_RATES = {"en": 0.5, "es": 0.25, "zh": 0.1}
@@ -354,4 +404,5 @@ CURATION = {
     "sequence_packing": (sequence_packing, PACKING_SQL),
     "top_bigrams": (top_bigrams, TOP_BIGRAMS_SQL),
     "domain_mixture": (domain_mixture_plan, DOMAIN_MIX_SQL),
+    "url_stats": (url_stats, URL_STATS_SQL),
 }

@@ -281,3 +281,23 @@ def test_canonical_best_by_component_keeps_highest_score(spark):
     # cluster {1,2,3}: 2 and 3 tie at 9 -> min id 2; cluster {10,11} -> 10;
     # singleton 99 keeps itself
     assert got == {2: 1, 10: 10, 99: 99}
+
+
+def test_url_stats_counts_and_domains(spark):
+    from mbgspark.operators.curation import with_url_stats
+
+    d = spark.createDataFrame(
+        [
+            (1, "see https://A.Example.org/p and http://b.net/x?q=1 plus https://a.example.org/other"),
+            (2, "no links here"),
+            (3, "(https://c.io)"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in with_url_stats(d, "text").collect()}
+    assert out[1]["n_urls"] == 3 and out[1]["n_domains"] == 2
+    assert out[1]["domain_list"] == "a.example.org,b.net"  # lowercased, deduped, sorted
+    assert out[2]["n_urls"] == 0 and out[2]["domain_list"] == ""
+    # \S+ runs to whitespace, so the closing paren rides along — faithful
+    # to the PII scan's URL_RE
+    assert out[3]["domain_list"] == "c.io)"
