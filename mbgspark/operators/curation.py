@@ -227,6 +227,39 @@ def with_url_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# -------------------------------------------- line-level boilerplate ----
+
+
+def with_line_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 3,
+) -> DataFrame:
+    """C4-style line-level boilerplate cleanup (Raffel et al. 2020 §2.2,
+    the public rule set): keep a line only if it (a) carries at least
+    ``min_words`` whitespace words and (b) ends in terminal punctuation
+    (. ! ? or a closing quote) — the filter that strips nav menus, cookie
+    banners and list fragments from web-scraped text. Emits the cleaned
+    text (kept lines re-joined) plus line accounting columns.
+
+    One ``split`` + ``filter`` lambda over the line array per row — a
+    narrow codegen'd map, zero shuffles, no explode (the array stays
+    row-local, so no corpus × lines row amplification)."""
+    lines = F.split(F.col(text_col), "\n")
+    kept = F.filter(
+        lines,
+        lambda ln: (
+            F.size(F.split(F.trim(ln), r"\s+")) >= min_words
+        )
+        & F.trim(ln).rlike(r"[.!?\"']$"),
+    )
+    return (
+        df.withColumn("n_lines", F.size(lines).cast("bigint"))
+        .withColumn("n_kept_lines", F.size(kept).cast("bigint"))
+        .withColumn("line_filtered_text", F.concat_ws("\n", kept))
+    )
+
+
 # ------------------------------------------------- stratified sampling ----
 
 

@@ -55,6 +55,7 @@ _PRIORITY = [
     "asof_click_view",
     "dedup_semantic_keep_best",
     "url_stats",
+    "line_filter_stats",
     # -- 2: last driver row is r1 --
     *CORE.keys(),  # q1..q28 + q18r (29)
     "fingerprints",
@@ -67,8 +68,8 @@ _PRIORITY = [
     # -- 3: r2-green canaries (one per suite) --
     "dedup_minhash_lsh",
     "dup_components",
-    "kmeans_clusters",
     # -- past the 50-window: r2-green, unchanged --
+    "kmeans_clusters",
     "contamination_check",
     "multimodal_features",
     *JOINS.keys(),

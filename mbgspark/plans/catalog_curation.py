@@ -245,6 +245,62 @@ FROM d ORDER BY doc_id
 """
 
 
+# -------------------------------------------- line-level boilerplate --
+
+
+def line_filter_stats(spark, sf_dir):
+    """C4-style line filter over documents with injected multi-line
+    boilerplate (nav bars, fragments) cycling doc_id % 3; the natural
+    single-line text participates too."""
+    from mbgspark.operators.curation import with_line_filter
+
+    d = _t(spark, sf_dir, "documents")
+    inject = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.lit(
+                "\nHome | About | Contact\n"
+                "This sentence is long enough to survive the filter.\nOK"
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.lit("\nShort\nAnother good sentence stays right here."),
+        )
+        .otherwise(F.lit(""))
+    )
+    raw = d.select("doc_id", F.concat("text", inject).alias("text"))
+    return with_line_filter(raw, "text").select(
+        "doc_id", "n_lines", "n_kept_lines", "line_filtered_text"
+    ).orderBy("doc_id")
+
+
+LINE_FILTER_SQL = r"""
+WITH raw AS (
+  SELECT doc_id,
+         text || CASE CAST(doc_id % 3 AS INT)
+           WHEN 0 THEN e'\nHome | About | Contact\nThis sentence is long enough to survive the filter.\nOK'
+           WHEN 1 THEN e'\nShort\nAnother good sentence stays right here.'
+           ELSE '' END AS text
+  FROM raw0
+),
+l AS (
+  SELECT doc_id, string_split(text, e'\n') AS lines FROM raw
+),
+k AS (
+  SELECT doc_id, lines,
+         list_filter(lines, ln ->
+           len(string_split_regex(trim(ln), '\s+')) >= 3
+           AND regexp_matches(trim(ln), '[.!?"'']$')) AS kept
+  FROM l
+)
+SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines,
+       CAST(len(kept) AS BIGINT) AS n_kept_lines,
+       coalesce(array_to_string(kept, e'\n'), '') AS line_filtered_text
+FROM k ORDER BY doc_id
+""".replace("raw0", "documents")
+
+
 # ------------------------------------------------- stratified sampling --
 
 SAMPLE_RATES = {"en": 0.5, "es": 0.25, "zh": 0.1}
@@ -405,4 +461,5 @@ CURATION = {
     "top_bigrams": (top_bigrams, TOP_BIGRAMS_SQL),
     "domain_mixture": (domain_mixture_plan, DOMAIN_MIX_SQL),
     "url_stats": (url_stats, URL_STATS_SQL),
+    "line_filter_stats": (line_filter_stats, LINE_FILTER_SQL),
 }

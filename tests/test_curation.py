@@ -301,3 +301,22 @@ def test_url_stats_counts_and_domains(spark):
     # \S+ runs to whitespace, so the closing paren rides along — faithful
     # to the PII scan's URL_RE
     assert out[3]["domain_list"] == "c.io)"
+
+
+def test_line_filter_c4_rules(spark):
+    from mbgspark.operators.curation import with_line_filter
+
+    d = spark.createDataFrame(
+        [
+            (1, "Home | About | Contact\nThis line has enough words here.\nOK\nShe said \"stop now please!\""),
+            (2, "single fragment"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in with_line_filter(d, "text").collect()}
+    # nav bar: no terminal punct; 'OK': too short; quoted line: kept
+    assert out[1]["n_lines"] == 4 and out[1]["n_kept_lines"] == 2
+    assert out[1]["line_filtered_text"] == (
+        'This line has enough words here.\nShe said "stop now please!"'
+    )
+    assert out[2]["n_kept_lines"] == 0 and out[2]["line_filtered_text"] == ""
