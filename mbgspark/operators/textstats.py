@@ -152,3 +152,59 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     shape = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(F.split(norm, " ")))))
     return df.withColumn("fingerprint", F.md5(norm)).withColumn("shape_fingerprint", shape)
+
+
+def unigram_surprise(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus-unigram-LM quality score — the deterministic analog of the
+    LM-perplexity filter CCNet-style pipelines use (score docs by how
+    surprising their tokens are under a language model; here the LM is the
+    corpus's own unigram distribution, so no external model is needed and
+    both engines compute identical values):
+
+        surprise(token) = -ln(count(token) / total_tokens)
+        score(doc)      = mean over the doc's token occurrences
+
+    Low scores = highly stereotyped text (boilerplate, templates); high
+    scores = rare-token-heavy text (gibberish, codes) — trim both tails.
+
+    Two passes, both scale-shaped: (1) token frequencies — one explode +
+    hash aggregate (map-side partials collapse to |vocab| rows); (2) an
+    equi-join of the doc tokens against those frequencies keyed on token,
+    then a per-doc aggregate. The per-TOKEN surprise is quantized to
+    integer micro-nats (floor(x·10⁶ + 0.5)) BEFORE the per-doc sum, so the
+    output surface is exact-integer arithmetic — engine libm differences
+    cannot reach the driver hash (same device as the kmeans oracle). The
+    per-doc mean is half-up integer division of that sum.
+
+    Emits (id, n_tokens, mean_surprise_micronats)."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("__tok"),
+    ).filter(F.col("__tok") != "")
+    freq = toks.groupBy("__tok").agg(F.count("*").alias("__cnt"))
+    total = freq.agg(F.sum("__cnt").alias("__total"))
+    surprise = freq.crossJoin(F.broadcast(total)).select(
+        "__tok",
+        F.floor(
+            -F.log(F.col("__cnt") / F.col("__total")) * 1000000 + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("__sup_micro"),
+    )
+    return (
+        toks.join(surprise, "__tok")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum("__sup_micro").alias("__sum_micro"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            F.expr("(2 * __sum_micro + n_tokens) div (2 * n_tokens)")
+            .cast("bigint")
+            .alias("mean_surprise_micronats"),
+        )
+    )

@@ -56,6 +56,7 @@ _PRIORITY = [
     "dedup_semantic_keep_best",
     "url_stats",
     "line_filter_stats",
+    "quality_surprise",
     # -- 2: last driver row is r1 --
     *CORE.keys(),  # q1..q28 + q18r (29)
     "fingerprints",
@@ -65,10 +66,10 @@ _PRIORITY = [
     "locate_two_pass",
     "salted_segment_revenue",
     "rollup_status_priority",
-    # -- 3: r2-green canaries (one per suite) --
+    # -- 3: r2-green canary --
     "dedup_minhash_lsh",
-    "dup_components",
     # -- past the 50-window: r2-green, unchanged --
+    "dup_components",
     "kmeans_clusters",
     "contamination_check",
     "multimodal_features",

@@ -301,6 +301,41 @@ FROM k ORDER BY doc_id
 """.replace("raw0", "documents")
 
 
+# ---------------------------------------------- unigram-LM surprise --
+
+
+def quality_surprise(spark, sf_dir):
+    """Corpus-unigram-LM surprise score per document (integer micro-nats) —
+    the model-free analog of CCNet's LM-perplexity quality filter."""
+    from mbgspark.operators.textstats import unigram_surprise
+
+    d = _t(spark, sf_dir, "documents")
+    return unigram_surprise(d, "doc_id", "text").orderBy("doc_id")
+
+
+SURPRISE_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+    FROM documents)
+  WHERE tok <> ''
+),
+freq AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+sup AS (
+  SELECT tok,
+         CAST(floor(-ln(cnt / CAST((SELECT sum(cnt) FROM freq) AS DOUBLE))
+                    * 1000000 + 0.5) AS BIGINT) AS sup_micro
+  FROM freq
+)
+SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST((2 * sum(s.sup_micro) + count(*)) // (2 * count(*)) AS BIGINT)
+         AS mean_surprise_micronats
+FROM toks t JOIN sup s USING (tok)
+GROUP BY t.doc_id ORDER BY t.doc_id
+"""
+
+
 # ------------------------------------------------- stratified sampling --
 
 SAMPLE_RATES = {"en": 0.5, "es": 0.25, "zh": 0.1}
@@ -462,4 +497,5 @@ CURATION = {
     "domain_mixture": (domain_mixture_plan, DOMAIN_MIX_SQL),
     "url_stats": (url_stats, URL_STATS_SQL),
     "line_filter_stats": (line_filter_stats, LINE_FILTER_SQL),
+    "quality_surprise": (quality_surprise, SURPRISE_SQL),
 }

@@ -31,3 +31,23 @@ def test_overlap_and_tail(spark):
 def test_empty_text_one_empty_chunk(spark):
     # split('') yields one empty token — mirrors the oracle's semantics
     assert _chunks(spark, "") == [(0, "", 1)]
+
+
+def test_unigram_surprise_orders_rare_heavy_docs_higher(spark):
+    """Docs made of common tokens score low; rare-token docs score high;
+    the surface is exact integer micro-nats (hash-stable by design)."""
+    import math
+
+    from mbgspark.operators.textstats import unigram_surprise
+
+    rows = [(i, "common words repeated here") for i in range(9)]
+    rows.append((100, "zyxqv unique"))
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r.asDict() for r in unigram_surprise(d).collect()}
+    assert out[0]["n_tokens"] == 4
+    assert out[100]["mean_surprise_micronats"] > out[0]["mean_surprise_micronats"]
+    # exact value check: 38 total tokens; each common token appears 9x
+    total = 38
+    exp_common = round(-math.log(9 / total) * 1e6)
+    got = out[0]["mean_surprise_micronats"]
+    assert abs(got - exp_common) <= 1
