@@ -16,6 +16,11 @@ SF = "/root/testdata/sf0.001"
 
 
 def plan_of(spark, name: str) -> str:
+    # PushedFilters lists print timestamp literals in full since the NTZ
+    # pin (e.g. '1996-01-01 00:00:00.0'), and the default 100-char scan
+    # metadata cap can cut an assertion token in half
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    spark.conf.set("spark.sql.debug.maxToStringFields", "200")
     df = CATALOG[name][0](spark, SF)
     return df._jdf.queryExecution().executedPlan().toString()
 
