@@ -208,3 +208,65 @@ def unigram_surprise(
             .alias("mean_surprise_micronats"),
         )
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Per-document top-k characteristic terms by TF-IDF — the classic
+    keyword-extraction / topic-drift surface over a corpus.
+
+    score(doc, token) = tf(doc, token) · floor(ln(N / df(token))·10⁶ + 0.5)
+
+    The IDF is quantized to integer micro-nats per TOKEN (same device as
+    ``unigram_surprise``), so scores are exact BIGINT products and the
+    ranking is engine-portable. Ties break token-ascending.
+
+    Shape: one explode + (id, token) hash aggregate for TF; a token-keyed
+    aggregate of THAT (already |doc-vocab|-sized) for DF; an equi-join on
+    token; then the per-doc top-k is array_sort + slice over each doc's
+    own (score, token) list — row-local, no corpus-wide window, no global
+    sort. Emits (id, rank, term, score_micro) rows, rank 1-based."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("__tok"),
+    ).filter(F.col("__tok") != "")
+    tf = toks.groupBy(id_col, "__tok").agg(F.count("*").alias("__tf"))
+    dfreq = tf.groupBy("__tok").agg(F.count("*").alias("__df"))
+    # N as a lazy 1-row aggregate broadcast into the idf projection — no
+    # eager driver-side count, the whole operator stays one lazy plan
+    n_docs = tf.select(id_col).distinct().agg(F.count("*").alias("__n"))
+    idf = dfreq.crossJoin(F.broadcast(n_docs)).select(
+        "__tok",
+        F.floor(
+            F.log(F.col("__n").cast("double") / F.col("__df")) * 1000000
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("__idf_micro"),
+    )
+    scored = tf.join(idf, "__tok").select(
+        id_col,
+        "__tok",
+        (F.col("__tf") * F.col("__idf_micro")).cast("bigint").alias("__score"),
+    )
+    packed = scored.groupBy(id_col).agg(
+        F.slice(
+            F.array_sort(
+                F.collect_list(F.struct((-F.col("__score")).alias("n"), F.col("__tok").alias("t")))
+            ),
+            1,
+            k,
+        ).alias("__top")
+    )
+    return packed.select(
+        id_col, F.posexplode("__top").alias("__pos", "__e")
+    ).select(
+        id_col,
+        (F.col("__pos") + 1).cast("bigint").alias("rank"),
+        F.col("__e.t").alias("term"),
+        (-F.col("__e.n")).cast("bigint").alias("score_micro"),
+    )

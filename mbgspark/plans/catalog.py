@@ -57,6 +57,7 @@ _PRIORITY = [
     "url_stats",
     "line_filter_stats",
     "quality_surprise",
+    "tfidf_terms",
     # -- 2: last driver row is r1 --
     *CORE.keys(),  # q1..q28 + q18r (29)
     "fingerprints",
@@ -66,9 +67,8 @@ _PRIORITY = [
     "locate_two_pass",
     "salted_segment_revenue",
     "rollup_status_priority",
-    # -- 3: r2-green canary --
-    "dedup_minhash_lsh",
     # -- past the 50-window: r2-green, unchanged --
+    "dedup_minhash_lsh",
     "dup_components",
     "kmeans_clusters",
     "contamination_check",

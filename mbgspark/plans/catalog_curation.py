@@ -336,6 +336,48 @@ GROUP BY t.doc_id ORDER BY t.doc_id
 """
 
 
+# --------------------------------------------------- TF-IDF top terms --
+
+
+def tfidf_terms(spark, sf_dir):
+    """Top-3 characteristic terms per document by integer-exact TF-IDF."""
+    from mbgspark.operators.textstats import tfidf_top_terms
+
+    d = _t(spark, sf_dir, "documents")
+    return tfidf_top_terms(d, "doc_id", "text", k=3).orderBy("doc_id", "rank")
+
+
+TFIDF_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+    FROM documents)
+  WHERE tok <> ''
+),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+idf AS (
+  SELECT tok,
+         CAST(floor(ln(CAST((SELECT count(DISTINCT doc_id) FROM tf) AS DOUBLE)
+                       / df) * 1000000 + 0.5) AS BIGINT) AS idf_micro
+  FROM dfreq
+),
+scored AS (
+  SELECT t.doc_id, t.tok, CAST(t.tf * i.idf_micro AS BIGINT) AS score
+  FROM tf t JOIN idf i USING (tok)
+),
+ranked AS (
+  SELECT doc_id, tok, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, tok ASC) AS rn
+  FROM scored
+)
+SELECT doc_id, CAST(rn AS BIGINT) AS rank, tok AS term, score AS score_micro
+FROM ranked WHERE rn <= 3 ORDER BY doc_id, rank
+"""
+
+
 # ------------------------------------------------- stratified sampling --
 
 SAMPLE_RATES = {"en": 0.5, "es": 0.25, "zh": 0.1}
@@ -498,4 +540,5 @@ CURATION = {
     "url_stats": (url_stats, URL_STATS_SQL),
     "line_filter_stats": (line_filter_stats, LINE_FILTER_SQL),
     "quality_surprise": (quality_surprise, SURPRISE_SQL),
+    "tfidf_terms": (tfidf_terms, TFIDF_SQL),
 }

@@ -51,3 +51,25 @@ def test_unigram_surprise_orders_rare_heavy_docs_higher(spark):
     exp_common = round(-math.log(9 / total) * 1e6)
     got = out[0]["mean_surprise_micronats"]
     assert abs(got - exp_common) <= 1
+
+
+def test_tfidf_top_terms_ranks_distinctive_tokens_first(spark):
+    from mbgspark.operators.textstats import tfidf_top_terms
+
+    d = spark.createDataFrame(
+        [
+            (1, "shared shared apple"),
+            (2, "shared banana banana"),
+            (3, "shared cherry"),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = tfidf_top_terms(d, "doc_id", "text", k=2).collect()
+    got = {(r["doc_id"], r["rank"]): (r["term"], r["score_micro"]) for r in rows}
+    import math
+
+    idf_rare = round(math.log(3 / 1) * 1e6)
+    # the doc-unique token outranks the corpus-wide 'shared' (idf 0)
+    assert got[(1, 1)][0] == "apple" and abs(got[(1, 1)][1] - idf_rare) <= 1
+    assert got[(2, 1)] == ("banana", 2 * got[(1, 1)][1] // 1)
+    assert got[(1, 2)] == ("shared", 0)  # ln(3/3) = 0
