@@ -169,36 +169,56 @@ def unigram_surprise(
     Low scores = highly stereotyped text (boilerplate, templates); high
     scores = rare-token-heavy text (gibberish, codes) — trim both tails.
 
-    Two passes, both scale-shaped: (1) token frequencies — one explode +
-    hash aggregate (map-side partials collapse to |vocab| rows); (2) an
-    equi-join of the doc tokens against those frequencies keyed on token,
-    then a per-doc aggregate. The per-TOKEN surprise is quantized to
-    integer micro-nats (floor(x·10⁶ + 0.5)) BEFORE the per-doc sum, so the
+    One explode feeds everything: the (id, token) TF aggregate, then the
+    corpus token count as a window sum over the SAME token-partitioned
+    shuffle of that (|doc-vocab|-sized) set — a separate frequency
+    aggregate + equi-join back to the occurrence rows would recompute the
+    whole explode per consumer (column pruning makes the subtrees differ,
+    so Spark cannot ReusedExchange them; measured 3× slower cold at
+    sf0.1). The corpus total rides a lazy 1-row aggregate off a narrow
+    scan (size of the filtered token array per row — no second explode).
+    The per-TOKEN surprise is quantized to integer micro-nats
+    (floor(x·10⁶ + 0.5)) BEFORE the tf-weighted per-doc sum, so the
     output surface is exact-integer arithmetic — engine libm differences
     cannot reach the driver hash (same device as the kmeans oracle). The
     per-doc mean is half-up integer division of that sum.
 
     Emits (id, n_tokens, mean_surprise_micronats)."""
+    from pyspark.sql import Window
+
     toks = df.select(
         F.col(id_col),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("__tok"),
     ).filter(F.col("__tok") != "")
-    freq = toks.groupBy("__tok").agg(F.count("*").alias("__cnt"))
-    total = freq.agg(F.sum("__cnt").alias("__total"))
-    surprise = freq.crossJoin(F.broadcast(total)).select(
-        "__tok",
-        F.floor(
-            -F.log(F.col("__cnt") / F.col("__total")) * 1000000 + F.lit(0.5)
+    tf = toks.groupBy(id_col, "__tok").agg(F.count("*").alias("__tf"))
+    total = df.agg(
+        F.sum(
+            F.size(
+                F.filter(
+                    F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                    lambda x: x != "",
+                )
+            )
         )
         .cast("bigint")
-        .alias("__sup_micro"),
+        .alias("__total")
+    )
+    w = Window.partitionBy("__tok")
+    sup = (
+        tf.withColumn("__c", F.sum("__tf").over(w))
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "__sup",
+            F.floor(
+                -F.log(F.col("__c") / F.col("__total")) * 1000000 + F.lit(0.5)
+            ).cast("bigint"),
+        )
     )
     return (
-        toks.join(surprise, "__tok")
-        .groupBy(id_col)
+        sup.groupBy(id_col)
         .agg(
-            F.count("*").cast("bigint").alias("n_tokens"),
-            F.sum("__sup_micro").alias("__sum_micro"),
+            F.sum("__tf").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("__tf") * F.col("__sup")).alias("__sum_micro"),
         )
         .select(
             id_col,
@@ -225,33 +245,44 @@ def tfidf_top_terms(
     ``unigram_surprise``), so scores are exact BIGINT products and the
     ranking is engine-portable. Ties break token-ascending.
 
-    Shape: one explode + (id, token) hash aggregate for TF; a token-keyed
-    aggregate of THAT (already |doc-vocab|-sized) for DF; an equi-join on
-    token; then the per-doc top-k is array_sort + slice over each doc's
-    own (score, token) list — row-local, no corpus-wide window, no global
+    Shape: one explode + (id, token) hash aggregate for TF, then DF as a
+    window count over the SAME token-partitioned shuffle of that
+    (|doc-vocab|-sized) set — a separate DF aggregate + equi-join would
+    recompute the whole TF lineage per consumer (column pruning makes the
+    subtrees differ, so Spark cannot ReusedExchange them; measured ~45%
+    slower at sf0.1). N is a lazy 1-row aggregate off a narrow scan of
+    the source (a doc has ≥1 token iff its trimmed text is non-empty) —
+    no third derivation of the explode, no eager driver count. The
+    per-doc top-k is array_sort + slice over each doc's own
+    (score, token) list — row-local, no corpus-wide window, no global
     sort. Emits (id, rank, term, score_micro) rows, rank 1-based."""
+    from pyspark.sql import Window
+
     toks = df.select(
         F.col(id_col),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("__tok"),
     ).filter(F.col("__tok") != "")
     tf = toks.groupBy(id_col, "__tok").agg(F.count("*").alias("__tf"))
-    dfreq = tf.groupBy("__tok").agg(F.count("*").alias("__df"))
-    # N as a lazy 1-row aggregate broadcast into the idf projection — no
-    # eager driver-side count, the whole operator stays one lazy plan
-    n_docs = tf.select(id_col).distinct().agg(F.count("*").alias("__n"))
-    idf = dfreq.crossJoin(F.broadcast(n_docs)).select(
-        "__tok",
-        F.floor(
-            F.log(F.col("__n").cast("double") / F.col("__df")) * 1000000
-            + F.lit(0.5)
-        )
-        .cast("bigint")
-        .alias("__idf_micro"),
+    n_docs = df.filter(F.trim(F.lower(F.col(text_col))) != "").agg(
+        F.count("*").alias("__n")
     )
-    scored = tf.join(idf, "__tok").select(
-        id_col,
-        "__tok",
-        (F.col("__tf") * F.col("__idf_micro")).cast("bigint").alias("__score"),
+    w = Window.partitionBy("__tok")
+    scored = (
+        tf.withColumn("__df", F.count("*").over(w))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "__tok",
+            (
+                F.col("__tf")
+                * F.floor(
+                    F.log(F.col("__n").cast("double") / F.col("__df")) * 1000000
+                    + F.lit(0.5)
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("__score"),
+        )
     )
     packed = scored.groupBy(id_col).agg(
         F.slice(
