@@ -117,6 +117,36 @@ def minhash_signature(
     )
 
 
+def _lsh_band_rows(
+    signatures: DataFrame, id_col: str, bands: int, rows_per_band: int
+) -> DataFrame:
+    """(id, band_idx, band_key) rows: each signature window md5-folded into
+    its band bucket key — the shared front half of candidate generation
+    and the oversized-bucket monitor."""
+    return signatures.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.element_at("sig", b * rows_per_band + r + 1)
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("band_key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_idx", "band.band_key")
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str,
@@ -144,29 +174,7 @@ def lsh_candidate_pairs(
     per-partition sort of every band row; the blacklist anti-join is
     AQE-broadcast and costs ~0.1 s on a 100k-row corpus). ``None``
     disables."""
-    sig_len = bands * rows_per_band
-    band_rows = signatures.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_idx"),
-                        F.md5(
-                            F.concat_ws(
-                                "|",
-                                *[
-                                    F.element_at("sig", b * rows_per_band + r + 1)
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("band_key"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band"),
-    ).select(id_col, "band.band_idx", "band.band_key")
+    band_rows = _lsh_band_rows(signatures, id_col, bands, rows_per_band)
     if max_bucket_size is not None:
         oversized = (
             band_rows.groupBy("band_idx", "band_key")
@@ -199,30 +207,9 @@ def lsh_oversized_buckets(
     """Monitoring companion to ``lsh_candidate_pairs``: the (band_idx,
     band_key, bucket_n) buckets the cap would drop, so a pipeline can log
     them / route their members to exact dedup instead of silently skipping."""
-    band_rows = signatures.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_idx"),
-                        F.md5(
-                            F.concat_ws(
-                                "|",
-                                *[
-                                    F.element_at("sig", b * rows_per_band + r + 1)
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("band_key"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band"),
-    ).select("band.band_idx", "band.band_key")
     return (
-        band_rows.groupBy("band_idx", "band_key")
+        _lsh_band_rows(signatures, id_col, bands, rows_per_band)
+        .groupBy("band_idx", "band_key")
         .agg(F.count("*").cast("bigint").alias("bucket_n"))
         .filter(F.col("bucket_n") > max_bucket_size)
     )

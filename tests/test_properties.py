@@ -80,3 +80,29 @@ def test_merge_by_key_idempotent_and_update_wins(spark, base, upd):
     for k, v in got_once:
         if k in upd_keys:
             assert v == latest_upd[k]  # update side wins over store
+
+
+def test_line_filter_is_idempotent_fixpoint(spark):
+    """Property: re-filtering already-filtered text keeps every line —
+    the C4 rules are a projection (f(f(x)) = f(x))."""
+    from pyspark.sql import functions as F
+
+    from mbgspark.io import load_table
+    from mbgspark.operators.curation import with_line_filter
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id",
+        F.concat(
+            "text",
+            F.lit("\nnav | bar\nA proper sentence for the filter to keep.\nok"),
+        ).alias("text"),
+    )
+    once = with_line_filter(d, "text").select(
+        "doc_id", F.col("line_filtered_text").alias("text")
+    )
+    twice = with_line_filter(once, "text")
+    bad = twice.filter(
+        (F.col("n_kept_lines") != F.col("n_lines"))
+        & (F.col("text") != "")
+    ).count()
+    assert bad == 0
