@@ -110,6 +110,47 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
+def read_csv_docs(
+    spark: SparkSession,
+    path_or_glob: str,
+    schema=None,
+    header: bool = True,
+    multiline: bool = False,
+) -> DataFrame:
+    """S1/S2 CSV twin of ``read_json_docs`` — the other flat-record
+    interchange format a scraper-side producer realistically hands over.
+    Always pass ``schema`` in production: schema inference is a full extra
+    pass over the data. ``multiline`` only for quoted embedded newlines —
+    it disables record-level splitting, so files stop being splittable and
+    one file = one task; keep it off for 100 TB inputs."""
+    reader = spark.read.option("header", str(header).lower()).option(
+        "multiLine", str(multiline).lower()
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path_or_glob)
+
+
+def write_csv(
+    df: DataFrame, path: str, mode: str = "overwrite", header: bool = True
+) -> None:
+    """CSV export mirror of ``write_json``. Complex columns (arrays,
+    structs) are not CSV-representable — callers flatten/stringify first
+    (fail-fast here beats a writer error deep in a job)."""
+    bad = [f.name for f in df.schema.fields if not f.dataType.typeName() in (
+        "string", "integer", "long", "double", "float", "boolean", "date",
+        "timestamp", "short", "byte", "decimal",
+    )]
+    if bad:
+        raise ValueError(
+            f"CSV cannot represent complex columns {bad}; flatten or "
+            "stringify them before export"
+        )
+    df.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,

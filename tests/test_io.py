@@ -112,3 +112,25 @@ def test_merge_by_key_partition_prune_hits_store_scan(spark, tmp_path):
     )  # str(): partition-column type inference reads the value back as DATE
     # update-wins + untouched keys of the touched partition retained
     assert rows[8] == "old8" and len(rows) == 11
+
+
+def test_csv_roundtrip_with_schema_and_complex_guard(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from mbgspark.io import read_csv_docs, write_csv
+
+    d = spark.createDataFrame(
+        [(1, "hello, world", 3.5), (2, 'quote "inside"', None)],
+        "id bigint, text string, score double",
+    )
+    path = str(tmp_path / "csv_out")
+    write_csv(d, path)
+    back = read_csv_docs(
+        spark, path, schema="id bigint, text string, score double"
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, d.collect()))
+    # complex columns fail fast at the writer, not deep in a job
+    import pytest
+
+    with pytest.raises(ValueError, match="complex columns"):
+        write_csv(d.withColumn("arr", F.array("id")), str(tmp_path / "bad"))
