@@ -204,13 +204,24 @@ def merge_by_key(
     partitions and the isin filter lands as a PartitionFilter on the store
     scan (plan-pinned). The returned frame then only covers touched
     partitions — pair with dynamic partition overwrite, exactly like the
-    sink."""
+    sink.
+
+    Passing ``partition_col`` makes plan CONSTRUCTION eager: the touched
+    partition values are collect()ed here (one tiny distinct over the
+    updates), not at action time. NULL partition values in the updates are
+    handled explicitly with an ``isNull`` branch — a plain ``isin`` never
+    matches NULL, which would prune away existing NULL-partition rows and
+    turn a re-delivered NULL-partition key into a duplicate (ADVICE r3)."""
     if partition_col is not None:
         touched = [
             r[partition_col]
             for r in updates.select(partition_col).distinct().collect()
         ]
-        existing = existing.filter(F.col(partition_col).isin(touched))
+        non_null = [v for v in touched if v is not None]
+        pred = F.col(partition_col).isin(non_null)
+        if len(non_null) < len(touched):
+            pred = pred | F.col(partition_col).isNull()
+        existing = existing.filter(pred)
     ex = existing.withColumn("__is_update", F.lit(0))
     up = updates.withColumn("__is_update", F.lit(1))
     w = Window.partitionBy(key).orderBy(

@@ -76,6 +76,15 @@ def _small_star(e: DataFrame) -> DataFrame:
 
 
 def _star_components(und: DataFrame, max_iterations: int) -> DataFrame:
+    # Self-loop-only nodes: (a, a) edges are dropped by _dedup_edges, so a
+    # node whose ONLY edges are self-loops would vanish from the star
+    # output while algorithm='propagate' keeps it as its own component
+    # (ADVICE r3). Union them back as singletons — the self-loop node set
+    # is empty on real dedup-pair input, so the anti-join below is
+    # near-free (broadcast of an empty build side under AQE).
+    selfloop_nodes = (
+        und.filter(F.col("src") == F.col("dst")).select("src").distinct()
+    )
     edges = _dedup_edges(und).localCheckpoint()
     prev_cnt = edges.count()
     for _ in range(max_iterations):
@@ -100,9 +109,13 @@ def _star_components(und: DataFrame, max_iterations: int) -> DataFrame:
     roots = edges.select(F.col("dst").alias("id")).distinct().join(
         edges.select(F.col("src").alias("id")).distinct(), "id", "left_anti"
     )
-    return edges.select(F.col("src").alias("id"), F.col("dst").alias("component")).union(
-        roots.select("id", F.col("id").alias("component"))
+    out = edges.select(
+        F.col("src").alias("id"), F.col("dst").alias("component")
+    ).union(roots.select("id", F.col("id").alias("component")))
+    singletons = selfloop_nodes.select(F.col("src").alias("id")).join(
+        out.select("id"), "id", "left_anti"
     )
+    return out.union(singletons.select("id", F.col("id").alias("component")))
 
 
 def connected_components(
@@ -176,7 +189,28 @@ def canonical_best_by_component(
     aggregate with ``max_by`` over a (score, -id) ordering struct — the
     tie-break lives in the aggregation, so no window over the corpus and
     no second shuffle — then a semi-join back. Returns the kept rows of
-    ``df`` plus their ``component`` id."""
+    ``df`` plus their ``component`` id.
+
+    Requires a NUMERIC ``id_col``: the tie-break negates the id inside the
+    ordering struct (struct field ordering has no per-field descending
+    flag, and strings can't be negated). String/uuid ids should be mapped
+    to a surrogate bigint (e.g. ``xxhash64`` + collision check) first.
+    ``df`` must not already carry a ``component`` column — the join would
+    silently collide (both guards: ADVICE r3)."""
+    if "component" in df.columns:
+        raise ValueError(
+            "df already has a 'component' column; rename or drop it before "
+            "canonical_best_by_component (the components join would collide)"
+        )
+    id_type = df.schema[id_col].dataType.typeName()
+    if id_type not in (
+        "byte", "short", "integer", "long", "float", "double", "decimal"
+    ):
+        raise ValueError(
+            f"canonical_best_by_component requires a numeric id column for "
+            f"its (score, -id) tie-break; {id_col!r} is {id_type} — map it "
+            "to a surrogate bigint first"
+        )
     comp = components.select(F.col("id").alias(id_col), "component")
     labeled = df.join(comp, id_col, "left").withColumn(
         "component", F.coalesce(F.col("component"), F.col(id_col))

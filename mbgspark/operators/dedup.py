@@ -153,6 +153,7 @@ def lsh_candidate_pairs(
     bands: int = 4,
     rows_per_band: int = 2,
     max_bucket_size: int | None = 1000,
+    on_oversized=None,
 ) -> DataFrame:
     """Band the signature; docs sharing any band bucket become candidate pairs.
 
@@ -173,17 +174,35 @@ def lsh_candidate_pairs(
     window count over the band partitioning (the window forces a
     per-partition sort of every band row; the blacklist anti-join is
     AQE-broadcast and costs ~0.1 s on a 100k-row corpus). ``None``
-    disables."""
+    disables.
+
+    Dropping is silent by design inside this LAZY plan (a warning would
+    need an action); to make drops observable without a second
+    band-row pass, pass ``on_oversized`` — a callable that receives the
+    (band_idx, band_key, bucket_n) monitoring lineage (the same frame
+    ``lsh_oversized_buckets`` returns) so the caller can count/log/route
+    it in its own action (ADVICE r3). Mega-clusters of IDENTICAL text are
+    not lost either way: exact dedup runs before LSH in the curation
+    pipeline; what the cap skips is near-identical (non-exact) clusters
+    above the cap, which is why production pipelines should monitor."""
     band_rows = _lsh_band_rows(signatures, id_col, bands, rows_per_band)
     if max_bucket_size is not None:
-        oversized = (
-            band_rows.groupBy("band_idx", "band_key")
-            .agg(F.count("*").alias("__n"))
-            .filter(F.col("__n") > max_bucket_size)
-            .select("band_idx", "band_key")
+        sized = band_rows.groupBy("band_idx", "band_key").agg(
+            F.count("*").alias("__n")
         )
+        oversized = sized.filter(F.col("__n") > max_bucket_size)
+        if on_oversized is not None:
+            on_oversized(
+                oversized.select(
+                    "band_idx",
+                    "band_key",
+                    F.col("__n").cast("bigint").alias("bucket_n"),
+                )
+            )
         band_rows = band_rows.join(
-            oversized, ["band_idx", "band_key"], "left_anti"
+            oversized.select("band_idx", "band_key"),
+            ["band_idx", "band_key"],
+            "left_anti",
         )
     a = band_rows.alias("a")
     b = band_rows.alias("b")
@@ -322,6 +341,7 @@ def minhash_near_dups(
     bands: int = 4,
     threshold: float = 0.6,
     max_bucket_size: int | None = 1000,
+    on_oversized=None,
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: shingle → signature → band buckets →
     candidate pairs → exact-Jaccard verify. All equi-joins and group-bys;
@@ -353,7 +373,8 @@ def minhash_near_dups(
         F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"),
     )
     pairs = lsh_candidate_pairs(
-        sig, id_col, bands, num_hashes // bands, max_bucket_size=max_bucket_size
+        sig, id_col, bands, num_hashes // bands,
+        max_bucket_size=max_bucket_size, on_oversized=on_oversized,
     )
     arrays = packed.select(id_col, "__shingles")
     return jaccard_verify_arrays(arrays, pairs, id_col, threshold, "__shingles")

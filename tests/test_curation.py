@@ -283,6 +283,44 @@ def test_canonical_best_by_component_keeps_highest_score(spark):
     assert got == {2: 1, 10: 10, 99: 99}
 
 
+def test_star_and_propagate_agree_on_self_loops(spark):
+    """A node whose ONLY edge is a self-loop must survive as its own
+    component in BOTH algorithms (ADVICE r3: star dropped it, propagate
+    kept it — the two algorithms disagreed on the same input)."""
+    from mbgspark.operators.components import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (5, 5), (2, 2)], "id_a bigint, id_b bigint"
+    )
+    for algo in ("star", "propagate"):
+        got = {
+            r["id"]: r["component"]
+            for r in connected_components(edges, algorithm=algo).collect()
+        }
+        assert got == {1: 1, 2: 1, 5: 5}, algo
+
+
+def test_canonical_best_guards(spark):
+    """canonical_best_by_component rejects a pre-existing 'component'
+    column (silent join collision) and non-numeric ids (the (score, -id)
+    tie-break needs negation) — ADVICE r3."""
+    import pytest
+
+    from mbgspark.operators.components import canonical_best_by_component
+
+    comp = spark.createDataFrame([(1, 1)], "id bigint, component bigint")
+    with_comp = spark.createDataFrame(
+        [(1, 2, 3)], "doc_id bigint, component bigint, score bigint"
+    )
+    with pytest.raises(ValueError, match="component"):
+        canonical_best_by_component(with_comp, comp, "doc_id", "score")
+    str_ids = spark.createDataFrame(
+        [("a", 3)], "doc_id string, score bigint"
+    )
+    with pytest.raises(ValueError, match="numeric id"):
+        canonical_best_by_component(str_ids, comp, "doc_id", "score")
+
+
 def test_url_stats_counts_and_domains(spark):
     from mbgspark.operators.curation import with_url_stats
 

@@ -84,3 +84,15 @@ def test_lsh_bucket_cap_bounds_viral_duplicate(spark):
     over = dd.lsh_oversized_buckets(sig, "id", 4, 2, max_bucket_size=10)
     assert all(r["bucket_n"] == 50 for r in over.collect())
     assert over.count() == 4  # the viral text's 4 band buckets
+
+    # on_oversized hook: the default pipeline path can observe the drops
+    # without a separate lsh_oversized_buckets pass (ADVICE r3)
+    seen: list = []
+    hooked = dd.minhash_near_dups(
+        df, "id", "t", threshold=0.5, max_bucket_size=10,
+        on_oversized=seen.append,
+    )
+    assert [(p["id_a"], p["id_b"]) for p in hooked.collect()] == [(1, 2)]
+    assert len(seen) == 1
+    monitored = seen[0].collect()
+    assert len(monitored) == 4 and all(r["bucket_n"] == 50 for r in monitored)

@@ -114,6 +114,31 @@ def test_merge_by_key_partition_prune_hits_store_scan(spark, tmp_path):
     assert rows[8] == "old8" and len(rows) == 11
 
 
+def test_merge_by_key_null_partition_updates_not_duplicated(spark):
+    """An update row with a NULL partition value must still MERGE against
+    the existing NULL-partition rows — plain isin(touched) never matches
+    NULL, which pruned those rows away and re-inserted the key as a
+    duplicate (ADVICE r3)."""
+    from mbgspark.io import merge_by_key
+
+    existing = spark.createDataFrame(
+        [(1, 1, "old1", None), (2, 1, "old2", "2025-01-01")],
+        "_id bigint, scraped_at bigint, val string, event_date string",
+    )
+    updates = spark.createDataFrame(
+        [(1, 2, "new1", None)],
+        "_id bigint, scraped_at bigint, val string, event_date string",
+    )
+    merged = merge_by_key(
+        existing, updates, "_id", "scraped_at", partition_col="event_date"
+    ).collect()
+    rows = {r["_id"]: r["val"] for r in merged}
+    # key 1 updated in place (no duplicate); partition-2 row pruned away
+    # (untouched partition — the dynamic-overwrite contract)
+    assert rows == {1: "new1"}
+    assert len(merged) == 1
+
+
 def test_csv_roundtrip_with_schema_and_complex_guard(spark, tmp_path):
     from pyspark.sql import functions as F
 
