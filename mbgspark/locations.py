@@ -151,16 +151,44 @@ def prep_location_text(col: F.Column) -> F.Column:
 
 # Tokenization mirroring the reference's \b word boundaries: a single-word
 # term matches \bterm\b iff it appears as a maximal word-char run, i.e. is
-# a token once every ASCII punctuation/whitespace char becomes a space.
+# a token once every punctuation/whitespace char becomes a space.
 # Implemented as translate(…)+split(' ') — NOT a regex split: Java's
 # split on a character class loses the single-char fast path (measured 15×
-# slower on a 100k-row corpus explode). translate also only touches ASCII,
-# which matches Python's unicode-aware \b more closely than an ASCII regex
-# class would (a term glued to a non-ASCII letter stays glued → no match,
-# same as the reference).
+# slower on a 100k-row corpus explode).
+#
+# The boundary set is ASCII punctuation + whitespace PLUS the common
+# Unicode punctuation real tweet text carries (VERDICT r3 item 5): the
+# reference's Python \b is unicode-aware, so 'di “bandung”' or
+# 'jakarta—selatan' has boundaries at the curly quote / em-dash that an
+# ASCII-only translate missed. Every char below is non-word under
+# Python's \w (so translating it to a space CREATES exactly the boundary
+# the reference sees); Unicode LETTERS are deliberately absent — a term
+# glued to é stays glued (one token → no match), same as the reference.
+# Residual gap: rare punctuation outside this curated set stays glued
+# where Python \b would split; extend the set, never with letters/digits.
 import string as _string
 
-TOKEN_BOUNDARY_CHARS = _string.punctuation + "\t\n\r\x0b\x0c"
+UNICODE_BOUNDARY_CHARS = (
+    "\u00a0"                            # no-break space
+    "\u00a1\u00bf"                      # inverted ! ?
+    "\u00ab\u00bb\u2039\u203a"          # guillemets
+    "\u00ad"                            # soft hyphen
+    "\u00b4"                            # acute accent
+    "\u00b7\u2022"                      # middle dot, bullet
+    "\u2000\u2001\u2002\u2003\u2004"   # en-quad .. three-per-em space
+    "\u2005\u2006\u2007\u2008\u2009\u200a"  # four-per-em .. hair space
+    "\u200b"                            # zero-width space
+    "\u2010\u2011\u2012\u2013\u2014\u2015"  # hyphens, en/em dash, horiz bar
+    "\u2018\u2019\u201a\u201b\u201c\u201d\u201e\u201f"  # curly quotes
+    "\u2026"                            # ellipsis
+    "\u2032\u2033"                      # primes
+    "\u3000"                            # ideographic space
+    "\ufeff"                            # BOM / zero-width no-break space
+)
+
+TOKEN_BOUNDARY_CHARS = (
+    _string.punctuation + "\t\n\r\x0b\x0c" + UNICODE_BOUNDARY_CHARS
+)
 
 
 def token_form(col: F.Column) -> F.Column:
@@ -196,12 +224,14 @@ def locate_hybrid(
     lookup_rows = []
     for _p, _c, o, t in dim_rows:
         if " " in t:
-            lookup_rows.append((t.split(" ", 1)[0], o, _term_pattern(t)))
+            words = t.split(" ")
+            lookup_rows.append((words[0], o, _term_pattern(t), words[-1]))
         else:
-            lookup_rows.append((t, o, None))
+            lookup_rows.append((t, o, None, None))
     lookup = F.broadcast(
         spark.createDataFrame(
-            lookup_rows, "__key string, dict_order int, __vpat string"
+            lookup_rows,
+            "__key string, dict_order int, __vpat string, __lastw string",
         )
     )
 
@@ -225,19 +255,28 @@ def locate_hybrid(
     # term) costs |rows|·|multi| scans — measured 14.5 s on the
     # same corpus where almost nothing matches.
     matched = toks.join(lookup, toks["__tok"] == F.col("__key")).select(
-        fact_id, "dict_order", "__vpat"
+        fact_id, "dict_order", "__vpat", "__lastw"
     )
     hits_single = matched.filter(F.col("__vpat").isNull()).select(
         fact_id, "dict_order"
     )
     cand = (
         matched.filter(F.col("__vpat").isNotNull())
-        .select(fact_id, "__vpat", "dict_order")
+        .select(fact_id, "__vpat", "__lastw", "dict_order")
         .distinct()
     )
+    # last-word token guard alongside the regexp: Java's \b is ASCII-only
+    # while the reference's Python \b is unicode-aware, so a term glued to
+    # a non-ASCII LETTER at its far end ('jakarta selatané') would pass
+    # the Java regex but not the reference. Requiring the term's last word
+    # to be a complete token (token_form keeps unicode letters glued)
+    # restores parity; the first word is already guarded by the equi-join.
     hits_multi = (
         cand.join(prepped, fact_id)
-        .filter(F.expr("__s RLIKE __vpat"))
+        .filter(
+            F.expr("array_contains(split(__t, ' '), __lastw)")
+            & F.expr("__s RLIKE __vpat")
+        )
         .select(fact_id, "dict_order")
     )
 
@@ -275,9 +314,15 @@ def locate_compiled(
       tokens from the translate-punctuation form = the reference's \\b
       boundary, see ``token_form``),
     - multi-word terms become an array of ``IF(contains(s, term),
-      IF(s RLIKE '\\bterm\\b', order, NULL), NULL)`` branches — the plain
-      substring ``contains`` is a necessary condition that short-circuits
-      the regexp to the rare candidate rows,
+      IF(first/last-word token guards AND s RLIKE '\\bterm\\b', order,
+      NULL), NULL)`` branches — the plain substring ``contains`` is a
+      necessary condition that short-circuits the token guards and the
+      regexp to the rare candidate rows. The token guards
+      (``array_contains(__tk, word)`` for the term's first AND last word)
+      mirror locate_hybrid's equi-join prefilter + last-word guard: Java's
+      ASCII \\b would accept a term glued to a unicode letter
+      ('caféjakarta selatan') that the reference's unicode \\b rejects
+      (ADVICE r3),
     - first match = ``least()`` of both minima,
     - (province, city) resolved through a constant ``map(order → struct)``.
 
@@ -291,12 +336,22 @@ def locate_compiled(
     multis = [(t, o) for p, c, o, t in dim_rows if " " in t]
     map_sql = "map(" + ",".join(f"{_sql_str(t)},{o}" for t, o in singles) + ")"
     single_min = (
-        f"array_min(transform(split(__t, ' '),"
+        f"array_min(transform(__tk,"
         f" t -> element_at({map_sql}, t)))"
     )
+
+    def _guards(t: str) -> str:
+        words = t.split(" ")
+        first, last = words[0], words[-1]
+        g = f"array_contains(__tk, {_sql_str(first)})"
+        if last != first:
+            g += f" AND array_contains(__tk, {_sql_str(last)})"
+        return g
+
     multi_min = "array_min(array(" + ",".join(
         f"IF(contains(__s, {_sql_str(t)}),"
-        f" IF(__s RLIKE {_sql_str(_term_pattern(t))}, {o}, NULL), NULL)"
+        f" IF({_guards(t)} AND __s RLIKE {_sql_str(_term_pattern(t))},"
+        f" {o}, NULL), NULL)"
         for t, o in multis
     ) + "))"
     out_map = "map(" + ",".join(
@@ -307,9 +362,11 @@ def locate_compiled(
         )
         for p, c, o, t in dim_rows
     ) + ")"
-    prepped = fact.withColumn(
-        "__s", prep_location_text(F.col(text_col))
-    ).withColumn("__t", token_form(F.col(text_col)))
+    prepped = (
+        fact.withColumn("__s", prep_location_text(F.col(text_col)))
+        .withColumn("__t", token_form(F.col(text_col)))
+        .withColumn("__tk", F.expr("split(__t, ' ')"))
+    )
     best = prepped.withColumn(
         "__o", F.expr(f"least({single_min}, {multi_min})")
     )

@@ -75,12 +75,17 @@ def _dim_values() -> str:
         c = _sql_lit(city) if city is not None else "CAST(NULL AS VARCHAR)"
         # multi-word terms carry their \b-bounded verify pattern (DuckDB
         # single-quoted literals keep backslashes verbatim — no doubling)
-        p = (
-            _sql_lit(_term_pattern(term))
-            if " " in term
-            else "CAST(NULL AS VARCHAR)"
+        # plus their first/last words for the token guards that restore
+        # unicode-\b parity (see locations.locate_compiled)
+        if " " in term:
+            p = _sql_lit(_term_pattern(term))
+            words = term.split(" ")
+            w1, w2 = _sql_lit(words[0]), _sql_lit(words[-1])
+        else:
+            p = w1 = w2 = "CAST(NULL AS VARCHAR)"
+        parts.append(
+            f"({_sql_lit(prov)}, {c}, {order}, {_sql_lit(term)}, {p}, {w1}, {w2})"
         )
-        parts.append(f"({_sql_lit(prov)}, {c}, {order}, {_sql_lit(term)}, {p})")
     return ",\n  ".join(parts)
 
 
@@ -91,7 +96,7 @@ _CASE_INJECT = "\n".join(
 _SEPS = "".join(LOCATION_SEPARATORS)
 
 LOCATE_FULL_DIM_SQL = f"""
-WITH dim(province, city, dict_order, term, pat) AS (VALUES
+WITH dim(province, city, dict_order, term, pat, w1, w2) AS (VALUES
   {_dim_values()}
 ),
 raw AS (
@@ -116,7 +121,8 @@ hit AS (
   SELECT doc_id, min(dict_order) AS mo
   FROM tk JOIN dim ON
     CASE WHEN pat IS NULL THEN list_contains(t, term)
-         ELSE position(term IN s) > 0 AND regexp_matches(s, pat) END
+         ELSE list_contains(t, w1) AND list_contains(t, w2)
+              AND position(term IN s) > 0 AND regexp_matches(s, pat) END
   GROUP BY doc_id
 )
 SELECT r.doc_id, m.province, m.city
