@@ -96,3 +96,51 @@ def test_lsh_bucket_cap_bounds_viral_duplicate(spark):
     assert len(seen) == 1
     monitored = seen[0].collect()
     assert len(monitored) == 4 and all(r["bucket_n"] == 50 for r in monitored)
+
+
+def test_multiprobe_embedding_recall(spark):
+    """MEASURED recall gate for approximate embedding dedup (VERDICT r3
+    item 2): on the embeddings table with +0.03-perturbed copies planted
+    (near-dup pairs whose near-zero components flip sign — the case a
+    single sign-bucket blocking misses), multi-table blocking must reach
+    >= 0.95 recall vs the block_bits=0 exact baseline. The single-table
+    recall is asserted < 1.0 to pin that the test corpus actually
+    exercises the hyperplane-straddling failure mode."""
+    from mbgspark.io import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings").filter(
+        F.col("vec_id") < 200
+    )
+    base = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    pert = e.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double") + 0.03).alias(
+            "embedding"
+        ),
+    )
+    corpus = base.unionByName(pert)
+
+    def pairset(df):
+        return {(r["id_a"], r["id_b"]) for r in df.collect()}
+
+    exact = pairset(
+        dd.embedding_near_dups(corpus, threshold=0.95, block_bits=0)
+    )
+    assert len(exact) >= 40  # the planted pairs qualify at the threshold
+    single = pairset(
+        dd.embedding_near_dups(corpus, threshold=0.95, block_bits=4)
+    )
+    multi = pairset(
+        dd.embedding_near_dups_multiprobe(
+            corpus, threshold=0.95, block_bits=4, tables=4
+        )
+    )
+    single_recall = len(single & exact) / len(exact)
+    multi_recall = len(multi & exact) / len(exact)
+    assert single_recall < 1.0  # the failure mode is present in the corpus
+    assert multi_recall >= 0.95, (multi_recall, single_recall)
+    # approximate blocking never invents pairs: both are verified subsets
+    assert single <= exact and multi <= exact
