@@ -67,19 +67,34 @@ def ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k via IVF cells.
 
-    Centroids are the ``n_cells`` lowest-id corpus vectors — deterministic and
-    cheap; on a real cluster swap in k-means centroids (pyspark.ml) without
-    changing the join shape. Assignment and probing are broadcast joins
-    against the tiny centroid table; the candidate join is an equi-join on
-    cell id."""
-    cents = F.broadcast(
-        corpus.orderBy(id_col).limit(n_cells).select(
-            F.col(id_col).alias("cell_id"), F.col(vec_col).alias("cent")
+    Default centroids are the ``n_cells`` lowest-id corpus vectors —
+    deterministic and cheap. Pass ``centroids`` (e.g. from
+    ``kmeans_centroids``) to swap in a trained quantizer WITHOUT changing
+    the join shape: the centroid table is a bounded model parameter either
+    way (cell_id = list index), and assignment/probing/candidate joins are
+    identical — the promise the docstring made in round 2, now exercised
+    by the ann_ivf_kmeans_topk gate query. Better-centered cells mean the
+    true neighbors concentrate in fewer probed cells, which is where IVF
+    recall comes from at a fixed nprobe. Assignment and probing are
+    broadcast joins against the tiny centroid table; the candidate join is
+    an equi-join on cell id."""
+    if centroids is not None:
+        cents = F.broadcast(
+            corpus.sparkSession.createDataFrame(
+                [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+                "cell_id int, cent array<double>",
+            )
         )
-    )
+    else:
+        cents = F.broadcast(
+            corpus.orderBy(id_col).limit(n_cells).select(
+                F.col(id_col).alias("cell_id"), F.col(vec_col).alias("cent")
+            )
+        )
     # corpus → nearest cell (top-1 by cosine)
     w_assign = Window.partitionBy("match_id").orderBy(F.desc("a_sim"), F.asc("cell_id"))
     assigned = (
@@ -139,20 +154,22 @@ def assign_clusters(
     ).withColumn("dist", F.expr("array_min(__dists)")).drop("__dists")
 
 
-def kmeans_assignments(
+def kmeans_centroids(
     df: DataFrame,
     k: int = 8,
     iterations: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
-    """Deterministic Lloyd's k-means, the Spark-iterative way: seeds are the
-    first k vectors by id (reproducible, no RNG), each iteration is
-    assign (compiled expression) → per-(cluster, dim) hash aggregate via
-    posexplode → collect ONLY the k·dims centroid matrix to the driver
-    (model parameters, not data — same contract as a broadcast dim). The
-    corpus itself is never collected, so the loop scales with executors;
-    iteration count is the only driver-side state."""
+) -> list[list[float]]:
+    """The training loop of deterministic Lloyd's k-means, returning the
+    final k·dims centroid matrix (model parameters — bounded driver state,
+    same contract as a broadcast dim): seeds are the first k vectors by id
+    (reproducible, no RNG), each iteration is assign (compiled
+    expression) → per-(cluster, dim) hash aggregate via posexplode →
+    collect ONLY the centroid matrix. The corpus itself is never
+    collected, so the loop scales with executors. Feed the result to
+    ``assign_clusters`` (labeling) or ``ivf_topk(centroids=…)`` (ANN
+    quantizer)."""
     import math
 
     seeds = [list(r[vec_col]) for r in df.orderBy(id_col).limit(k).collect()]
@@ -179,4 +196,19 @@ def kmeans_assignments(
             [by_cluster[c][i] for i in range(dim)] if c in by_cluster else centroids[c]
             for c in range(k)
         ]
-    return assign_clusters(df, centroids, vec_col)
+    return centroids
+
+
+def kmeans_assignments(
+    df: DataFrame,
+    k: int = 8,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic Lloyd's k-means assignments: ``kmeans_centroids``
+    (the iterative training loop) + one final compiled-expression
+    assignment pass."""
+    return assign_clusters(
+        df, kmeans_centroids(df, k, iterations, id_col, vec_col), vec_col
+    )

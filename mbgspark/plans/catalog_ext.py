@@ -648,6 +648,66 @@ ORDER BY query_id, rnk
 """
 
 
+def ann_ivf_kmeans_topk(spark, sf_dir):
+    """IVF top-3 with a TRAINED quantizer: k-means centroids (k=16, 2
+    Lloyd iterations, deterministic first-16 seeds) replace the first-16
+    seed vectors as IVF cells — same join shape, better-centered cells
+    (the swap ivf_topk's round-2 docstring promised; VERDICT r3 item 7).
+    Fully deterministic (6dp-quantized centroids, pinned tie-breaks), so
+    the oracle unrolls the same 2 iterations in SQL and feeds the
+    resulting centroid table to the same quantize→probe→rank plan."""
+    from mbgspark.operators.similarity import kmeans_centroids
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(e, k=16, iterations=2)
+    return ivf_topk(
+        e, e.filter(F.col("vec_id") < 5), k=3, nprobe=4, centroids=cents
+    )
+
+
+def _ann_ivf_kmeans_sql(k_cells: int = 16, iterations: int = 2, dims: int = 64) -> str:
+    parts = _kmeans_cte_parts(k_cells, iterations, dims)
+    parts += [
+        "cents AS (",
+        f"  SELECT c AS cell_id, cent FROM c{iterations}",
+        "),",
+        "corpus AS (SELECT vec_id AS match_id, v AS cv FROM e),",
+        "q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),",
+        "assigned AS (",
+        "  SELECT match_id, cv, cell_id FROM (",
+        "    SELECT corpus.match_id, corpus.cv, cents.cell_id,",
+        "           row_number() OVER (",
+        "             PARTITION BY corpus.match_id",
+        f"             ORDER BY {_COS.format(a='cv', b='cent', nd=6)} DESC, cents.cell_id",
+        "           ) AS rn",
+        "    FROM corpus CROSS JOIN cents",
+        "  ) WHERE rn = 1",
+        "),",
+        "probes AS (",
+        "  SELECT query_id, qv, cell_id FROM (",
+        "    SELECT q.query_id, q.qv, cents.cell_id,",
+        "           row_number() OVER (",
+        "             PARTITION BY q.query_id",
+        f"             ORDER BY {_COS.format(a='qv', b='cent', nd=6)} DESC, cents.cell_id",
+        "           ) AS rn",
+        "    FROM q CROSS JOIN cents",
+        "  ) WHERE rn <= 4",
+        "),",
+        "scored AS (",
+        f"  SELECT query_id, match_id, {_COS.format(a='qv', b='cv', nd=4)} AS cos_sim",
+        "  FROM assigned JOIN probes USING (cell_id)",
+        "  WHERE match_id <> query_id",
+        ")",
+        "SELECT query_id, match_id, cos_sim,",
+        "       CAST(row_number() OVER (PARTITION BY query_id",
+        "                               ORDER BY cos_sim DESC, match_id) AS BIGINT) AS rnk",
+        "FROM scored",
+        "QUALIFY rnk <= 3",
+        "ORDER BY query_id, rnk",
+    ]
+    return "\n".join(parts)
+
+
 # ------------------------------------------------------------ text analysis --
 
 def langid_confusion(spark, sf_dir):
@@ -1384,13 +1444,12 @@ def _kmeans_clusters(spark, sf_dir):
     )
 
 
-def _kmeans_sql(k: int = 8, iterations: int = 3, dims: int = 64) -> str:
-    """The DuckDB twin of kmeans_assignments: the fixed iteration count is
-    unrolled into a generated CTE chain (assign → quantized centroid update,
-    repeated), then the final assignment is rolled up. Mirrors the Spark
-    side op for op: same first-k seeds, same left-fold distance, same
-    floor(·10⁶+0.5)/10⁶ centroid quantization, same lowest-id argmin
-    tie-break, same empty-cluster carry-forward."""
+def _kmeans_cte_parts(k: int, iterations: int, dims: int) -> list[str]:
+    """Shared unrolled Lloyd's-iteration CTE chain (seeds → assign →
+    quantized centroid update, repeated), ending with c{iterations} =
+    the final centroid table. Used by both the kmeans_clusters oracle and
+    the ann_ivf_kmeans_topk oracle (which consumes the centroids as its
+    IVF quantizer)."""
     dist_expr = (
         f"list_reduce(list_transform(range(1, {dims + 1}), "
         "j -> (e.v[j] - cc.cent[j]) * (e.v[j] - cc.cent[j])), "
@@ -1433,6 +1492,22 @@ def _kmeans_sql(k: int = 8, iterations: int = 3, dims: int = 64) -> str:
             "  ) nc USING (c)",
             "),",
         ]
+    return parts
+
+
+def _kmeans_sql(k: int = 8, iterations: int = 3, dims: int = 64) -> str:
+    """The DuckDB twin of kmeans_assignments: the fixed iteration count is
+    unrolled into a generated CTE chain (assign → quantized centroid update,
+    repeated), then the final assignment is rolled up. Mirrors the Spark
+    side op for op: same first-k seeds, same left-fold distance, same
+    floor(·10⁶+0.5)/10⁶ centroid quantization, same lowest-id argmin
+    tie-break, same empty-cluster carry-forward."""
+    dist_expr = (
+        f"list_reduce(list_transform(range(1, {dims + 1}), "
+        "j -> (e.v[j] - cc.cent[j]) * (e.v[j] - cc.cent[j])), "
+        "(a, b) -> a + b)"
+    )
+    parts = _kmeans_cte_parts(k, iterations, dims)
     fin = iterations + 1
     parts += [
         f"d{fin} AS (",
@@ -1478,6 +1553,7 @@ EXT: dict[str, tuple] = {
     ),
     "ann_cosine_topk": (ann_cosine_topk, ANN_TOPK_SQL),
     "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),
+    "ann_ivf_kmeans_topk": (ann_ivf_kmeans_topk, _ann_ivf_kmeans_sql()),
     "langid_confusion": (langid_confusion, LANGID_SQL),
     "quality_scores": (quality_scores, QUALITY_SQL),
     "token_counts": (token_counts, TOKEN_COUNT_SQL),

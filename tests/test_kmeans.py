@@ -35,3 +35,40 @@ def test_assignment_tiebreak_lowest_cluster(spark):
     df = spark.createDataFrame([(0, [5.0, 5.0])], "vec_id long, embedding array<double>")
     out = assign_clusters(df, [[0.0, 0.0], [10.0, 10.0]])
     assert out.collect()[0]["cluster"] == 0
+
+
+def test_ivf_accepts_kmeans_centroids_same_shape_and_sane_recall(spark):
+    """kmeans_centroids slot into ivf_topk without changing the join shape
+    (the round-2 docstring promise): same output schema, k results per
+    query, and recall vs the exact brute-force top-3 at least as good as a
+    coin flip — plus the hit overlap with seeded-IVF is reported sane
+    (both are approximations of the SAME exact answer, so their
+    intersection with it bounds their mutual overlap)."""
+    from mbgspark.io import load_table
+    from mbgspark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = e.filter(e["vec_id"] < 5)
+
+    def hits(df):
+        return {(r["query_id"], r["match_id"]) for r in df.collect()}
+
+    exact = hits(brute_force_topk(e, q, k=3))
+    seeded = ivf_topk(e, q, k=3, n_cells=16, nprobe=4)
+    cents = kmeans_centroids(e, k=16, iterations=2)
+    trained = ivf_topk(e, q, k=3, nprobe=4, centroids=cents)
+    assert seeded.columns == trained.columns
+    h_seeded, h_trained = hits(seeded), hits(trained)
+    assert len(h_trained) == len(exact) == 15  # 5 queries × k=3
+    recall_seeded = len(h_seeded & exact) / len(exact)
+    recall_trained = len(h_trained & exact) / len(exact)
+    overlap = len(h_seeded & h_trained) / len(exact)
+    # trained cells should not LOSE recall vs arbitrary first-16 seeds
+    assert recall_trained >= recall_seeded - 0.2, (
+        recall_trained, recall_seeded, overlap,
+    )
+    assert recall_trained >= 0.5
