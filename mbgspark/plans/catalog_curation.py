@@ -529,6 +529,48 @@ ORDER BY source
 """
 
 
+# --------------------------------------- corpus shuffle + shard balance --
+
+def corpus_shuffle_shards(spark, sf_dir):
+    """Deterministic seeded corpus shuffle + exact-ntile shard balance
+    (operators/shuffle.py — the post-packing step of a pretraining
+    pipeline; VERDICT r3 item 6), summarized per shard so the gate checks
+    BOTH the balance (row counts ±1) and the order (min/max shuffle key
+    per shard must tile the md5 keyspace in shard order). The oracle is
+    the naive single-partition formulation — ``ntile(7) OVER (ORDER BY
+    key)`` — which the distributed bucket-offset plan must reproduce
+    bit-for-bit."""
+    from mbgspark.operators.shuffle import deterministic_shuffle_shards
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    sharded = deterministic_shuffle_shards(d, "doc_id", "r4seed", 7)
+    return (
+        sharded.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("shuffle_key").alias("first_key"),
+            F.max("shuffle_key").alias("last_key"),
+        )
+        .orderBy("shard")
+    )
+
+
+SHUFFLE_SHARDS_SQL = """
+WITH keyed AS (
+  SELECT doc_id,
+         md5('r4seed' || '|' || CAST(doc_id AS VARCHAR)) AS k
+  FROM documents
+),
+t AS (
+  SELECT doc_id, k,
+         CAST(ntile(7) OVER (ORDER BY k, doc_id) AS BIGINT) AS shard
+  FROM keyed
+)
+SELECT shard, count(*) AS n_rows, min(k) AS first_key, max(k) AS last_key
+FROM t GROUP BY shard ORDER BY shard
+"""
+
+
 CURATION = {
     "contamination_check": (contamination_check, CONTAMINATION_SQL),
     "repetition_stats": (repetition_stats, REPETITION_SQL),
@@ -541,4 +583,5 @@ CURATION = {
     "line_filter_stats": (line_filter_stats, LINE_FILTER_SQL),
     "quality_surprise": (quality_surprise, SURPRISE_SQL),
     "tfidf_terms": (tfidf_terms, TFIDF_SQL),
+    "corpus_shuffle_shards": (corpus_shuffle_shards, SHUFFLE_SHARDS_SQL),
 }

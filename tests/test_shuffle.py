@@ -1,0 +1,90 @@
+"""Deterministic corpus shuffle + balanced shard assignment."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from mbgspark.operators.shuffle import (
+    deterministic_shuffle_shards,
+    write_corpus_shards,
+)
+
+
+def _expected_ntile(ids, seed, n_shards):
+    keyed = sorted(
+        (hashlib.md5(f"{seed}|{i}".encode()).hexdigest(), i) for i in ids
+    )
+    n = len(keyed)
+    q, r = divmod(n, n_shards)
+    out = {}
+    for z, (_k, i) in enumerate(keyed):
+        if z < (q + 1) * r:
+            out[i] = z // (q + 1) + 1
+        else:
+            out[i] = r + (z - (q + 1) * r) // max(q, 1) + 1
+    return out
+
+
+def test_shards_match_exact_ntile_and_balance(spark):
+    """The distributed bucket-offset plan must reproduce the naive
+    ntile() OVER (ORDER BY md5key) bit-for-bit, with ±1 balanced shards.
+    503 rows / 7 shards exercises the remainder (503 = 7*71 + 6)."""
+    ids = list(range(503))
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id bigint")
+    out = deterministic_shuffle_shards(df, "doc_id", "s1", 7)
+    got = {r["doc_id"]: r["shard"] for r in out.collect()}
+    assert got == _expected_ntile(ids, "s1", 7)
+    sizes = sorted(
+        r["c"] for r in out.groupBy("shard").agg(F.count("*").alias("c")).collect()
+    )
+    assert sizes == [71, 72, 72, 72, 72, 72, 72]
+
+
+def test_shuffle_seeded_and_deterministic(spark):
+    df = spark.createDataFrame([(i,) for i in range(100)], "doc_id bigint")
+    a = {r["doc_id"]: (r["shard"], r["shuffle_key"])
+         for r in deterministic_shuffle_shards(df, "doc_id", "x", 4).collect()}
+    b = {r["doc_id"]: (r["shard"], r["shuffle_key"])
+         for r in deterministic_shuffle_shards(df, "doc_id", "x", 4).collect()}
+    c = {r["doc_id"]: (r["shard"], r["shuffle_key"])
+         for r in deterministic_shuffle_shards(df, "doc_id", "y", 4).collect()}
+    assert a == b          # reproducible
+    assert a != c          # a new seed reshuffles
+    # fewer rows than shards: ntile gives the first n shards one row each
+    tiny = spark.createDataFrame([(1,), (2,)], "doc_id bigint")
+    got = sorted(
+        r["shard"]
+        for r in deterministic_shuffle_shards(tiny, "doc_id", "s", 5).collect()
+    )
+    assert got == [1, 2]
+
+
+def test_shuffle_plan_has_no_global_corpus_sort(spark):
+    """The scale pin (VERDICT r3 item 6): rank comes from a window
+    PARTITIONED BY the key-prefix bucket plus broadcast offsets — the
+    corpus is never globally sorted (no global=true Sort in the plan) and
+    the only single-partition step is the tiny per-bucket offsets
+    rollup."""
+    df = spark.createDataFrame([(i,) for i in range(1000)], "doc_id bigint")
+    out = deterministic_shuffle_shards(df, "doc_id", "s", 8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "global=true" not in plan
+    assert "windowspecdefinition(__bk" in plan  # rank is bucket-partitioned
+
+
+def test_write_corpus_shards_one_dir_per_shard(spark, tmp_path):
+    path = str(tmp_path / "shards")
+    df = spark.createDataFrame(
+        [(i, f"doc{i}") for i in range(40)], "doc_id bigint, text string"
+    )
+    write_corpus_shards(df, path, "doc_id", "s1", 4)
+    back = spark.read.parquet(path)
+    sizes = {
+        r["shard"]: r["c"]
+        for r in back.groupBy("shard").agg(F.count("*").alias("c")).collect()
+    }
+    assert sizes == {1: 10, 2: 10, 3: 10, 4: 10}
+    assert back.count() == 40
+    assert sorted(r["doc_id"] for r in back.collect()) == list(range(40))
