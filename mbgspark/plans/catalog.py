@@ -29,51 +29,30 @@ _ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
 }
 
 # The driver's correctness gate checks the FIRST 50 queries() entries
-# (observed in rounds 1-2: exactly the first 50 insertion-order keys got
+# (observed in rounds 1-3: exactly the first 50 insertion-order keys got
 # CORRECTNESS rows). Order therefore encodes verification priority.
-# Round-3 packing (VERDICT r2 item 3 — after this round no entry's most
-# recent driver row is older than one round):
-#   1. queries whose oracle or semantics changed THIS round (the two r2
-#      reds' BIGINT-cast fix; the location match-order/boundary rework and
-#      everything that routes through detect_locations; the domain_mixture
-#      raw-count multiplier; the rangejoin rewrite; the NTZ-affected asof),
-#   2. the 36 entries whose last driver row is r1 (q1-q28 incl. q18r + the
-#      7 aux queries) — two rounds stale if skipped again,
-#   3. r2-green canaries from each suite fill the window to exactly 50;
-#      the rest (warehouse joins, remaining curation/dedup/text — all
-#      r2-green, unchanged) rotate one round behind.
+# Round-4 packing (VERDICT r3 item 1 — after this round every entry's
+# most recent driver row is r3 or r4):
+#   1. the 41 entries whose latest driver row is r2 (r3's catalog
+#      positions 51-91) — LSH/shingle/TF-IDF code changed AFTER their
+#      last driver check, which is exactly where a silent regression
+#      would hide; local 91/91 type-sensitive parity says they're fine,
+#      but the gate is the truth,
+#   2. queries NEW or semantics-touched this round (multiprobe embedding
+#      dedup, kmeans-IVF, corpus shuffle shards; locate_full_dim's
+#      unicode-boundary + token-guard rework; dedup_semantic_keep_best
+#      rides on the components/star changes),
+#   3. r3-green cross-suite canaries fill the window to exactly 50; the
+#      rest (q2-q28 and the r3 priority block — all r3-green, unchanged)
+#      rotate one round behind.
 _PRIORITY = [
-    # -- 1: oracle/semantics changed or NEW this round --
-    "pivot_event_types",
-    "curate_corpus",
-    "locate_full_dim",
-    "etl_lifecycle",
-    "reprocess_idempotent",
-    "domain_mixture",
-    "stratified_sample_counts",
-    "range_join_value_tiers",
-    "asof_click_view",
-    "dedup_semantic_keep_best",
-    "url_stats",
-    "line_filter_stats",
-    "quality_surprise",
-    "tfidf_terms",
-    # -- 2: last driver row is r1 --
-    *CORE.keys(),  # q1..q28 + q18r (29)
-    "fingerprints",
-    "dedup_embedding",
-    "ann_cosine_topk",
-    "label_centroids",
-    "locate_two_pass",
-    "salted_segment_revenue",
-    "rollup_status_priority",
-    # -- past the 50-window: r2-green, unchanged --
+    # -- 1: last driver row is r2 (41 entries) --
     "dedup_minhash_lsh",
     "dup_components",
     "kmeans_clusters",
     "contamination_check",
     "multimodal_features",
-    *JOINS.keys(),
+    *JOINS.keys(),  # 17 warehouse-join queries
     "trend_moving_avg",
     "percentile_by_status",
     "grouped_string_agg",
@@ -93,6 +72,19 @@ _PRIORITY = [
     "pii_redaction",
     "sequence_packing",
     "top_bigrams",
+    # -- 2: NEW or semantics-touched this round --
+    "dedup_embedding_multiprobe",
+    "ann_ivf_kmeans_topk",
+    "corpus_shuffle_shards",
+    "locate_full_dim",
+    "dedup_semantic_keep_best",
+    # -- 3: r3-green cross-suite canaries (scan, window dedup,
+    #       curation chain, lifecycle) --
+    "q1",
+    "q9",
+    "curate_corpus",
+    "etl_lifecycle",
+    # -- past the 50-window: r3-green, unchanged --
 ]
 
 CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
