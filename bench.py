@@ -17,10 +17,18 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from mbgspark.plans.catalog import query_map
+from mbgspark.plans.catalog import CATALOG, query_map
 from mbgspark.session import get_spark
 
 QUERIES = query_map()  # plan-cached builders — the driver-facing surface
+
+# Iterative queries materialize state (localCheckpoint / driver-side
+# model loops) while their plan is BUILT, so the session plan cache would
+# hand later runs already-computed RDDs — materialized DATA, unlike every
+# other query's compiled-plan-only cache (VERDICT r3 item 4). Their plan
+# is rebuilt per timed run so every measurement pays the full iterative
+# compute; the reported number is cold-honest.
+ITERATIVE = {"dup_components"}
 
 # Representative headline set: scan, equi-join, agg, rollup, multi-join agg,
 # top-k explode, calendar projection, regex chain, lexicon UDF-free model,
@@ -39,7 +47,10 @@ HEADLINE = [
 
 def run_one(spark, name: str, sf_dir: str) -> float:
     t0 = time.time()
-    df = QUERIES[name](spark, sf_dir)
+    if name in ITERATIVE:
+        df = CATALOG[name][0](spark, sf_dir)  # uncached: redo materialization
+    else:
+        df = QUERIES[name](spark, sf_dir)
     df.write.format("noop").mode("overwrite").save()
     return time.time() - t0
 

@@ -474,7 +474,18 @@ def embedding_near_dups_multiprobe(
     All equi-joins; no corpus crossJoin on any path; scales like the LSH
     text pipeline. Requires ``tables · block_bits ≤ dim`` (out-of-range
     dims make element_at return NULL and concat_ws silently shortens the
-    key, degrading selectivity, not correctness)."""
+    key, degrading selectivity, not correctness).
+
+    SIZE block_bits FOR THE CORPUS: bucket occupancy is ~n/2^block_bits
+    per table, so candidate volume grows as tables · n²/2^(block_bits+1)
+    — fixed bits means quadratic candidates once n outgrows the bucket
+    count (measured at 20k vectors: (4,4) = 16 buckets/table took 182 s
+    where (8,8) took 21.6 s at HIGHER recall, 0.994 vs 0.989). Rule:
+    block_bits ≈ log2(n / target_bucket_size), then raise ``tables`` to
+    recover recall (miss probability is (1 − p^bits)^tables for per-dim
+    sign-stability p; p ≈ 0.9 for the +0.03 perturbation here). The
+    defaults fit ~10³–10⁴ vectors; axis-subset tables need
+    tables·block_bits ≤ dim, e.g. (8, 8) saturates 64 dims."""
     tbl = emb.select(
         F.col(id_col).alias("id"),
         F.posexplode(

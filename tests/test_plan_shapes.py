@@ -64,6 +64,22 @@ def test_minhash_stays_equijoin(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_embedding_multiprobe_stays_equijoin(spark):
+    # multi-table blocking is the LSH band-OR for dense vectors: candidate
+    # generation must be a (table, bucket) equi-join — the all-pairs
+    # crossJoin exists only behind the explicit block_bits=0 opt-in
+    plan = plan_of(spark, "dedup_embedding_multiprobe")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_corpus_shuffle_has_no_global_sort_of_corpus(spark):
+    # balanced sharding computes rank per key-prefix bucket; the only
+    # single-partition window is the <=65k-row offsets rollup
+    plan = plan_of(spark, "corpus_shuffle_shards")
+    assert "windowspecdefinition(__bk" in plan
+
+
 def test_q14_aggregate_has_mapside_partial(spark):
     # partial (map-side) aggregation before the shuffle
     plan = plan_of(spark, "q14")
