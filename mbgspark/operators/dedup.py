@@ -380,6 +380,40 @@ def minhash_near_dups(
     return jaccard_verify_arrays(arrays, pairs, id_col, threshold, "__shingles")
 
 
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 6,
+    min_docs: int = 2,
+    top: int = 50,
+) -> DataFrame:
+    """Substring-level duplication candidates — the exact-substring dedup
+    family (Lee et al. 2021, "Deduplicating Training Data Makes Language
+    Models Better"): k-word spans appearing in >= ``min_docs`` DISTINCT
+    documents, ranked by document frequency with an example (min-id)
+    document per span. Doc-level dedup (exact/MinHash) misses a
+    boilerplate paragraph shared by otherwise-different documents; this
+    surfaces exactly those spans. Merging adjacent hit spans into maximal
+    duplicated substrings is a downstream row-local step.
+
+    Shape: the zero-shuffle shingle map (per-doc distinct spans, so
+    count(*) == distinct-doc frequency) + ONE hash aggregate keyed on the
+    span + TakeOrderedAndProject for the top-k — linear in corpus size,
+    same discipline as the corpus n-gram stats."""
+    sh = with_word_shingles(df, id_col, text_col, k, out="span")
+    return (
+        sh.groupBy("span")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min(id_col).alias("example_doc"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+        .orderBy(F.desc("n_docs"), "span")
+        .limit(top)
+    )
+
+
 # ------------------------------------------------------------- simhash ----
 
 def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -76,11 +76,11 @@ _PRIORITY = [
     "dedup_embedding_multiprobe",
     "ann_ivf_kmeans_topk",
     "corpus_shuffle_shards",
+    "dup_spans",
     "locate_full_dim",
     "dedup_semantic_keep_best",
-    # -- 3: r3-green cross-suite canaries (scan, window dedup,
-    #       curation chain, lifecycle) --
-    "q1",
+    # -- 3: r3-green cross-suite canaries (window dedup, curation
+    #       chain, lifecycle) --
     "q9",
     "curate_corpus",
     "etl_lifecycle",

@@ -163,6 +163,36 @@ SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.5 ORDER BY id_a, id_b
 """
 
 
+def dup_spans(spark, sf_dir):
+    """Substring-level duplication candidates over the perturbed corpus:
+    6-word spans in >= 2 distinct docs, top-50 by doc frequency — the
+    exact-substring dedup surface doc-level dedup misses (a shared
+    boilerplate paragraph inside otherwise-different documents)."""
+    corpus = _dup_corpus(spark, sf_dir)
+    return dd.duplicated_spans(corpus, "id", "t", k=6, min_docs=2, top=50)
+
+
+_SPAN6 = "concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3], tk[i+4], tk[i+5])"
+
+DUP_SPANS_SQL = f"""
+WITH unioned AS ({DUP_SQL_UNION}),
+toks AS (SELECT id, string_split_regex(t, '\\s+') AS tk FROM unioned),
+sh AS (
+  SELECT DISTINCT id, {_SPAN6} AS span
+  FROM toks, LATERAL unnest(generate_series(1, greatest(len(tk) - 5, 1))) AS g(i)
+  WHERE {_SPAN6} <> ''
+),
+agg AS (
+  SELECT span, CAST(count(*) AS BIGINT) AS n_docs, min(id) AS example_doc
+  FROM sh GROUP BY span
+)
+SELECT span, n_docs, example_doc FROM agg
+WHERE n_docs >= 2
+ORDER BY n_docs DESC, span
+LIMIT 50
+"""
+
+
 def dedup_simhash(spark, sf_dir):
     """32-bit SimHash signature per document over the perturbed corpus."""
     corpus = _dup_corpus(spark, sf_dir)
@@ -1542,6 +1572,7 @@ EXT: dict[str, tuple] = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_SQL),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
+    "dup_spans": (dup_spans, DUP_SPANS_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
     "dedup_semantic_keep_best": (dedup_semantic_keep_best, DEDUP_KEEP_BEST_SQL),
     "dup_components": (dup_components, DUP_COMPONENTS_SQL),

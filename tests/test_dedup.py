@@ -98,6 +98,29 @@ def test_lsh_bucket_cap_bounds_viral_duplicate(spark):
     assert len(monitored) == 4 and all(r["bucket_n"] == 50 for r in monitored)
 
 
+def test_duplicated_spans_surface_shared_boilerplate(spark):
+    """Substring-level dedup candidates: a boilerplate sentence shared by
+    otherwise-different docs must surface with its distinct-doc count and
+    min-id example; unique text must not."""
+    boiler = "please subscribe to our newsletter for more updates today"
+    rows = [
+        (1, "alpha beta gamma " + boiler),
+        (2, boiler + " delta epsilon zeta"),
+        (3, "totally unrelated words here nothing shared at all okay"),
+        (4, "alpha beta gamma " + boiler),  # exact dup of 1
+    ]
+    df = spark.createDataFrame(rows, "id bigint, t string")
+    out = dd.duplicated_spans(df, "id", "t", k=6, min_docs=2, top=100)
+    got = {r["span"]: (r["n_docs"], r["example_doc"]) for r in out.collect()}
+    # every 6-gram inside the boilerplate is shared by docs 1, 2, 4
+    assert got["please subscribe to our newsletter for"] == (3, 1)
+    # doc-3 text stays below min_docs
+    assert not any("unrelated" in s for s in got)
+    # ranking: shared-by-3 spans come before shared-by-2 spans
+    first = out.first()
+    assert first["n_docs"] == 3
+
+
 def test_multiprobe_embedding_recall(spark):
     """MEASURED recall gate for approximate embedding dedup (VERDICT r3
     item 2): on the embeddings table with +0.03-perturbed copies planted
