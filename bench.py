@@ -42,6 +42,10 @@ HEADLINE = [
     # round 3: curation suite joins the headline set (compare totals to r2
     # on the first 16 queries — these three are additive)
     "contamination_check", "repetition_stats", "dup_components",
+    # round 4: the new training-data ops join (additive — compare totals
+    # to r3 on the first 19; dup_components is additionally cold-honest
+    # this round, see ITERATIVE)
+    "corpus_shuffle_shards", "dedup_embedding_multiprobe",
 ]
 
 

@@ -238,3 +238,41 @@ def test_stream_stream_interval_join(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert [r["_id"] for r in rows] == ["1"]
+
+
+def test_stream_curation_gate_composes_with_dedup_and_merge(spark, tmp_path):
+    """The curation column operators (quality score, lang-ID, token
+    counts) are pure projections, so they must run UNCHANGED on a
+    streaming DataFrame — a nightly-batch curation gate and a streaming
+    ingest gate are the same code. Pipeline: readStream → quality/token
+    gate → cross-batch dedup → idempotent merge sink; low-quality rows
+    never reach the store, re-deliveries update instead of duplicate."""
+    from mbgspark.operators.textstats import (
+        with_quality_score,
+        with_token_counts,
+    )
+
+    src = tmp_path / "cur_src"
+    store = str(tmp_path / "cur_store")
+    good = {
+        **R1,
+        "text": "the quick brown fox jumps over a lazy dog of the meadow today",
+    }
+    short = {**R1, "_id": "9", "text": "tiny"}  # fails the n_tokens gate
+    _write_batch(src, [good, {**good, "like_count": 7}, short])
+
+    stream = read_tweet_stream(spark, str(src))
+    gated = with_token_counts(
+        with_quality_score(stream, "text"), "text"
+    ).filter((F.col("n_tokens") >= 5) & (F.col("quality_score") >= 0.2))
+    q = start_merge_sink(
+        dedup_stream(gated.drop("n_chars")),
+        store,
+        str(tmp_path / "cur_ck"),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    back = spark.read.parquet(store)
+    rows = back.collect()
+    assert [r["_id"] for r in rows] == ["1"]  # short doc gated out, dup deduped
+    assert rows[0]["ws_tokens"] == 13 and rows[0]["quality_score"] >= 0.2
