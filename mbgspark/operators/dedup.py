@@ -449,6 +449,71 @@ def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def simhash_near_dups(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup PAIRS via hamming-distance bucketing (Manku et
+    al., "Detecting Near-Duplicates for Web Crawling", WWW'07): the
+    32-bit signature splits into ``bands`` contiguous bit-bands; any pair
+    within hamming distance < bands shares at least one band EXACTLY
+    (pigeonhole), so candidates are a (band_idx, band_value) equi-join —
+    never all-pairs — and the verify is one ``bit_count(xor)`` per
+    candidate. Requires ``max_hamming < bands`` for the pigeonhole
+    guarantee (enforced).
+
+    Band width trades selectivity for corpus size like the embedding
+    blocker's bits: 32/bands bits per band gives 2^(32/bands) buckets, so
+    the default (4 × 8-bit bands, 256 buckets) fits ~10³-10⁴ docs; at
+    larger corpora use fewer/wider bands (bands=2 → 65,536 buckets but
+    pigeonhole only covers hamming ≤ 1) or a wider signature. MinHash+LSH
+    remains the primary near-dup path (Jaccard on shingles is a sharper
+    similarity than 32-bit hamming); this is the cheap-signature
+    alternative the SimHash family exists for."""
+    if max_hamming >= bands:
+        raise ValueError(
+            f"pigeonhole guarantee needs max_hamming < bands; got "
+            f"max_hamming={max_hamming}, bands={bands}"
+        )
+    if 32 % bands:
+        raise ValueError(f"bands must divide 32, got {bands}")
+    sig = simhash32(df, id_col, text_col)
+    bits_per = 32 // bands
+    mask = (1 << bits_per) - 1
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.expr(f"shiftright(simhash, {b * bits_per}) & {mask}").alias(
+                    "band_val"
+                ),
+            )
+            for b in range(bands)
+        ]
+    )
+    bands_df = sig.select(
+        F.col(id_col), F.col("simhash"), F.explode(band_arr).alias("bd")
+    ).select(id_col, "simhash", "bd.band_idx", "bd.band_val")
+    a, b = bands_df.alias("a"), bands_df.alias("b")
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("__sa"),
+            F.col("b.simhash").alias("__sb"),
+        )
+        .distinct()
+        .withColumn("hamming", F.expr("CAST(bit_count(__sa ^ __sb) AS INT)"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 # -------------------------------------------------- embedding near-dup ----
 
 def cosine_sim(a: Column, b: Column) -> Column:

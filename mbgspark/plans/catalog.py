@@ -77,11 +77,10 @@ _PRIORITY = [
     "ann_ivf_kmeans_topk",
     "corpus_shuffle_shards",
     "dup_spans",
+    "dedup_simhash_pairs",
     "locate_full_dim",
     "dedup_semantic_keep_best",
-    # -- 3: r3-green cross-suite canaries (window dedup, curation
-    #       chain, lifecycle) --
-    "q9",
+    # -- 3: r3-green cross-suite canaries (curation chain, lifecycle) --
     "curate_corpus",
     "etl_lifecycle",
     # -- past the 50-window: r3-green, unchanged --

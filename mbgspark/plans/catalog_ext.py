@@ -219,6 +219,56 @@ FROM votes GROUP BY id ORDER BY id
 """.format(union=DUP_SQL_UNION)
 
 
+def dedup_simhash_pairs(spark, sf_dir):
+    """SimHash hamming-bucket near-dup pairs (Manku WWW'07 shape) over the
+    bounded perturbed corpus (id < 300 ∪ perturbed — same subset as the
+    n-gram suite: 8-bit bands give 256 buckets, so candidates stay
+    bounded at gate SFs; the operator docstring carries the band-width
+    sizing rule for larger corpora)."""
+    corpus = _dup_corpus(spark, sf_dir).filter(
+        (F.col("id") < 300) | (F.col("id") >= 1000000)
+    )
+    return dd.simhash_near_dups(
+        corpus, "id", "t", bands=4, max_hamming=3
+    ).orderBy("id_a", "id_b")
+
+
+DEDUP_SIMHASH_PAIRS_SQL = """
+WITH unioned0 AS ({union}),
+unioned AS (SELECT * FROM unioned0 WHERE id < 300 OR id >= 1000000),
+toks AS (
+  SELECT id, unnest(string_split_regex(t, '\\s+')) AS tok FROM unioned
+),
+bits AS (
+  SELECT id, g.i - 1 AS bit,
+         CASE WHEN substr(md5(tok), CAST(g.i AS INTEGER), 1)
+                   IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END AS vote
+  FROM (SELECT id, tok FROM toks WHERE tok <> '') x,
+       LATERAL unnest(generate_series(1, 32)) AS g(i)
+),
+votes AS (SELECT id, bit, sum(vote) AS v FROM bits GROUP BY id, bit),
+sig AS (
+  SELECT id,
+         CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INTEGER))
+                       ELSE 0 END) AS BIGINT) AS simhash
+  FROM votes GROUP BY id
+),
+bands AS (
+  SELECT id, simhash, b.b AS band_idx, (simhash >> (b.b * 8)) & 255 AS band_val
+  FROM sig, (VALUES (0), (1), (2), (3)) AS b(b)
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         a.simhash AS sa, b.simhash AS sb
+  FROM bands a JOIN bands b USING (band_idx, band_val)
+  WHERE a.id < b.id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+ORDER BY id_a, id_b
+""".format(union=DUP_SQL_UNION)
+
+
 def dedup_ngram_jaccard(spark, sf_dir):
     """Exact n-gram (3-word shingle) Jaccard similarity join: candidate pairs
     = any shared shingle (equi-join on shingle, no LSH), verified ≥ 0.5.
@@ -1573,6 +1623,7 @@ EXT: dict[str, tuple] = {
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_SQL),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
     "dup_spans": (dup_spans, DUP_SPANS_SQL),
+    "dedup_simhash_pairs": (dedup_simhash_pairs, DEDUP_SIMHASH_PAIRS_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
     "dedup_semantic_keep_best": (dedup_semantic_keep_best, DEDUP_KEEP_BEST_SQL),
     "dup_components": (dup_components, DUP_COMPONENTS_SQL),

@@ -98,6 +98,53 @@ def test_lsh_bucket_cap_bounds_viral_duplicate(spark):
     assert len(monitored) == 4 and all(r["bucket_n"] == 50 for r in monitored)
 
 
+def _py_simhash32(text: str) -> int:
+    """Python mirror of simhash32's portable construction (bit b = MSB of
+    md5 hex nibble b, ±1 votes, positive-sum bits set)."""
+    import hashlib
+
+    votes = [0] * 32
+    for tok in text.lower().strip().split():
+        if not tok:
+            continue
+        h = hashlib.md5(tok.encode()).hexdigest()
+        for b in range(32):
+            votes[b] += 1 if h[b] in "89abcdef" else -1
+    return sum(1 << b for b in range(32) if votes[b] > 0)
+
+
+def test_simhash_near_dups_hamming_buckets(spark):
+    """Manku-style pair generation: identical texts pair at hamming 0;
+    whether a perturbed text pairs is decided by the SAME arithmetic as a
+    Python mirror of the signature (SimHash is majority-vote based, so a
+    one-word edit flips exactly the bits whose vote margin it crosses —
+    the mirror computes which); unrelated texts don't pair; the
+    pigeonhole precondition is enforced."""
+    import pytest
+
+    words = [f"w{i}" for i in range(40)]
+    base = " ".join(words)
+    near = " ".join(["CHANGED"] + words[1:])
+    other = " ".join(f"zz{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, near), (4, other)], "id bigint, t string"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dd.simhash_near_dups(df, "id", "t", bands=4, max_hamming=3).collect()
+    }
+    assert got[(1, 2)] == 0
+    exp_near = bin(_py_simhash32(base) ^ _py_simhash32(near)).count("1")
+    if exp_near <= 3:
+        assert got[(1, 3)] == exp_near
+    else:
+        assert (1, 3) not in got
+    exp_other = bin(_py_simhash32(base) ^ _py_simhash32(other)).count("1")
+    assert exp_other > 3 and not any(4 in p for p in got)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        dd.simhash_near_dups(df, "id", "t", bands=4, max_hamming=4)
+
+
 def test_duplicated_spans_surface_shared_boilerplate(spark):
     """Substring-level dedup candidates: a boilerplate sentence shared by
     otherwise-different docs must surface with its distinct-doc count and
