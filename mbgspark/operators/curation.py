@@ -437,3 +437,51 @@ def domain_mixture(
             ),
         )
     return out
+
+
+def apply_domain_mixture(
+    df: DataFrame,
+    domain_col: str = "source",
+    token_col: str = "bpe_tokens",
+    target_weights: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The mixing step ``domain_mixture`` accounts for, actually applied:
+    domains OVER their target (multiplier < 1) are deterministically
+    downsampled at rate = multiplier via the same md5-bucket filter as
+    ``stratified_sample``; domains at/under target keep every row —
+    upweighting needs duplication, which is the trainer's epoch-repeat
+    concern, not a filter (the accounting frame says by how much).
+
+    Exact integer arithmetic end-to-end: the keep cutoff is
+    multiplier_e4 · 65536 div 10⁴ rendered as 4-digit lowercase hex and
+    string-compared against the row's 4-hex md5 bucket (fixed-width
+    lowercase hex compares numerically; only multipliers < 1 reach the
+    compare, so the 5-hex '10000' rate-1.0 bug class can't occur).
+    Sampling is keyed on (domain, id) so it is reproducible under any
+    partitioning and independent across domains. Plan shape: the
+    accounting aggregate collapses to |domains| rows and broadcast-joins
+    back — two scans of the input, zero corpus-sized shuffles."""
+    mix = domain_mixture(df, domain_col, token_col, target_weights)
+    rates = mix.select(domain_col, "multiplier_e4")
+    joined = df.join(F.broadcast(rates), domain_col, "left")
+    bucket = F.substring(
+        F.md5(
+            F.concat_ws("|", F.col(domain_col), F.col(id_col).cast("string"))
+        ),
+        1,
+        4,
+    )
+    cutoff_hex = F.lpad(
+        F.lower(
+            F.hex(F.expr("CAST(multiplier_e4 * 65536 div 10000 AS BIGINT)"))
+        ),
+        4,
+        "0",
+    )
+    keep = (
+        F.col("multiplier_e4").isNull()
+        | (F.col("multiplier_e4") >= 10000)
+        | (bucket < cutoff_hex)
+    )
+    return joined.filter(keep).drop("multiplier_e4")

@@ -78,10 +78,10 @@ _PRIORITY = [
     "corpus_shuffle_shards",
     "dup_spans",
     "dedup_simhash_pairs",
+    "mixture_resample",
     "locate_full_dim",
     "dedup_semantic_keep_best",
-    # -- 3: r3-green cross-suite canaries (curation chain, lifecycle) --
-    "curate_corpus",
+    # -- 3: r3-green cross-suite canary (the flagship lifecycle) --
     "etl_lifecycle",
     # -- past the 50-window: r3-green, unchanged --
 ]

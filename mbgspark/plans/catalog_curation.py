@@ -529,6 +529,59 @@ ORDER BY source
 """
 
 
+def mixture_resample(spark, sf_dir):
+    """domain_mixture APPLIED (operators/curation.apply_domain_mixture):
+    over-target domains deterministically downsampled at their multiplier
+    rate, under-target domains kept whole; summarized per source so the
+    gate checks both which rows survived (md5-bucket determinism) and the
+    integer cutoff arithmetic. Oracle replays multiplier → hex cutoff →
+    filter → rollup in SQL."""
+    from mbgspark.operators.curation import apply_domain_mixture
+
+    d = _t(spark, sf_dir, "documents")
+    d = with_token_counts(d, "text")
+    kept = apply_domain_mixture(
+        d, "source", "bpe_tokens", target_weights=MIX_WEIGHTS, id_col="doc_id"
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("docs_after"),
+            F.sum(F.col("bpe_tokens").cast("bigint")).alias("tokens_after"),
+        )
+        .orderBy("source")
+    )
+
+
+MIXTURE_RESAMPLE_SQL = """
+WITH tok AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_extract_all(lower(trim(text)),
+              '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS bpe_tokens
+  FROM documents
+),
+a AS (SELECT source, sum(bpe_tokens) AS tokens FROM tok GROUP BY source),
+m AS (
+  SELECT source,
+         CASE WHEN tokens > 0 THEN
+           CAST(floor(0.05 * 10000 * CAST((SELECT sum(tokens) FROM a) AS DOUBLE)
+                      / tokens + 0.5) AS BIGINT)
+         END AS multiplier_e4
+  FROM a
+),
+kept AS (
+  SELECT t.source, t.bpe_tokens
+  FROM tok t JOIN m USING (source)
+  WHERE m.multiplier_e4 IS NULL OR m.multiplier_e4 >= 10000
+     OR substr(md5(t.source || '|' || CAST(t.doc_id AS VARCHAR)), 1, 4)
+        < lpad(lower(hex(CAST(m.multiplier_e4 * 65536 // 10000 AS BIGINT))), 4, '0')
+)
+SELECT source, CAST(count(*) AS BIGINT) AS docs_after,
+       CAST(sum(bpe_tokens) AS BIGINT) AS tokens_after
+FROM kept GROUP BY source ORDER BY source
+"""
+
+
 # --------------------------------------- corpus shuffle + shard balance --
 
 def corpus_shuffle_shards(spark, sf_dir):
@@ -584,4 +637,5 @@ CURATION = {
     "quality_surprise": (quality_surprise, SURPRISE_SQL),
     "tfidf_terms": (tfidf_terms, TFIDF_SQL),
     "corpus_shuffle_shards": (corpus_shuffle_shards, SHUFFLE_SHARDS_SQL),
+    "mixture_resample": (mixture_resample, MIXTURE_RESAMPLE_SQL),
 }

@@ -205,6 +205,38 @@ def test_domain_mixture_sub_ppm_domain_gets_finite_multiplier(spark):
     assert out["big"]["multiplier_e4"] == 9000  # 0.9 / ~1.0
 
 
+def test_apply_domain_mixture_downsamples_only_over_target(spark):
+    """The mixing step applied: a domain holding ~3x its target weight is
+    downsampled to ~1/3 deterministically; the under-target domain keeps
+    every row; unlisted domains (null multiplier) keep every row."""
+    from mbgspark.operators.curation import apply_domain_mixture
+
+    rows = (
+        [(i, "big", 10) for i in range(600)]
+        + [(1000 + i, "small", 10) for i in range(100)]
+        + [(2000 + i, "other", 10) for i in range(50)]
+    )
+    d = spark.createDataFrame(rows, "doc_id bigint, source string, tok bigint")
+    kept = apply_domain_mixture(
+        d, "source", "tok", {"big": 0.3, "small": 0.3}, "doc_id"
+    )
+    by_src = {
+        r["source"]: r["c"]
+        for r in kept.groupBy("source").agg(F.count("*").alias("c")).collect()
+    }
+    # big: target 0.3 of 7500 tokens = 2250 vs actual 6000 -> rate 0.375
+    assert 150 < by_src["big"] < 300  # ~600 * 0.375, md5-bucket variance
+    assert by_src["small"] == 100    # under target: kept whole
+    assert by_src["other"] == 50     # unlisted: null multiplier, kept
+    # deterministic: the same rows survive on re-run
+    again = apply_domain_mixture(
+        d, "source", "tok", {"big": 0.3, "small": 0.3}, "doc_id"
+    )
+    assert sorted(r["doc_id"] for r in kept.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+
+
 def test_star_components_long_chain_converges_logarithmically(spark):
     """A 60-node path (diameter 59) — the adversarial shape for label
     propagation (templated spam drifting one token per doc). The default
