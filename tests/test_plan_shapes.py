@@ -80,6 +80,24 @@ def test_corpus_shuffle_has_no_global_sort_of_corpus(spark):
     assert "windowspecdefinition(__bk" in plan
 
 
+@pytest.mark.parametrize("name", ["dup_spans", "dedup_simhash_pairs"])
+def test_new_dedup_surfaces_stay_equijoin(spark, name):
+    # span aggregation has no join at all; simhash candidates are a
+    # (band_idx, band_val) equi-join — neither may plan a cross product
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mixture_resample_broadcasts_rates_back(spark):
+    # the |domains|-row accounting frame must broadcast back onto the
+    # corpus — the corpus itself never shuffles for the resample filter
+    plan = plan_of(spark, "mixture_resample")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_q14_aggregate_has_mapside_partial(spark):
     # partial (map-side) aggregation before the shuffle
     plan = plan_of(spark, "q14")
