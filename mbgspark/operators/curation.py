@@ -485,3 +485,54 @@ def apply_domain_mixture(
         | (bucket < cutoff_hex)
     )
     return joined.filter(keep).drop("multiplier_e4")
+
+
+# ------------------------------------------- embedding decontamination ----
+
+
+def embedding_contamination(
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-space benchmark decontamination: for every corpus vector,
+    the max cosine similarity against the (broadcast) benchmark set, plus a
+    contamination flag at ``threshold``. The semantic complement of
+    ``contamination_flags`` — n-gram overlap misses paraphrased eval items;
+    embedding similarity catches them.
+
+    Plan shape for 100 TB: the benchmark side is eval-suite-sized (10^3-10^4
+    vectors) and is broadcast; the corpus is scanned ONCE, each row scored
+    against the replicated bench rows (cosine via zip_with/aggregate —
+    JVM-side codegen, no Python), then max-reduced per corpus id. The
+    groupBy's map-side partial collapses the |bench| scores per id inside
+    the scan partition, so the shuffle carries ONE narrow row per corpus
+    vector. The corpus is never self-joined and never collected.
+    """
+    from mbgspark.operators.dedup import cosine_sim
+
+    b = F.broadcast(
+        bench.select(
+            F.col(id_col).alias("__bench_id"), F.col(vec_col).alias("__bv")
+        )
+    )
+    c = corpus.select(F.col(id_col), F.col(vec_col).alias("__cv"))
+    return (
+        c.crossJoin(b)
+        .select(
+            F.col(id_col),
+            cosine_sim(F.col("__cv"), F.col("__bv")).alias("__sim"),
+        )
+        .groupBy(id_col)
+        .agg(F.round(F.max("__sim"), 4).alias("max_bench_sim"))
+        .select(
+            id_col,
+            "max_bench_sim",
+            (F.col("max_bench_sim") >= threshold).cast("bigint").alias(
+                "is_contaminated"
+            ),
+        )
+        .orderBy(id_col)
+    )

@@ -1,0 +1,212 @@
+"""Dataset profiling & diagnostics operators — the observability surface a
+training-data pipeline runs before/after every curation stage.
+
+Extends the reference's ad-hoc inspection queries (summary counts in
+resilient_etl.py's logging and the dashboard aggregates, SURVEY.md A8) into
+first-class, scale-shaped operators:
+
+- ``profile_table``     — one-pass per-column profiler (null rate, distinct,
+                          min/max, avg serialized length);
+- ``heavy_hitters``     — skew diagnostic: top-k keys by frequency with
+                          exact ppm share of total;
+- ``split_assign``      — deterministic train/val/test assignment by hash
+                          bucket (the split analog of
+                          ``curation.stratified_sample``);
+- ``group_sample``      — deterministic per-group inspection sample
+                          (hash-ordered row_number ≤ k);
+- ``length_histogram``  — log2-bucketed length distribution with exact
+                          integer bucket arithmetic.
+
+Portability rules as everywhere in this repo: md5-only hashing, exact
+integer surfaces (ppm / e2 fixed-point via floor(x + 0.5)), total ordering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------------------ profiler ----
+
+
+def profile_table(df: DataFrame, columns: list[str]) -> DataFrame:
+    """One-pass column profiler: for each named column emit
+    ``(column_name, n_rows, n_null, n_distinct, min_val, max_val,
+    avg_len_e2)`` — min/max/len computed on the value cast to string so the
+    output schema is uniform across types (safe for string / integer /
+    date / timestamp columns; binary floats are the caller's risk since
+    engines format them differently).
+
+    Plan shape: ONE aggregation over ONE scan. The multiple exact
+    ``count(DISTINCT)`` aggregates compile to Spark's Expand operator — a
+    single pass with a ×(k+1) row expansion, all map-side partial — not k
+    separate scans. avg_len is emitted as an exact e2 fixed-point integer
+    (mean chars ×100, half-up) so the hash can't float-drift.
+    """
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for c in columns:
+        s = F.col(c).cast("string")
+        aggs += [
+            F.count(F.col(c)).alias(f"__nn_{c}"),
+            F.countDistinct(F.col(c)).alias(f"__nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__mn_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__mx_{c}"),
+            F.sum(F.length(s)).alias(f"__sl_{c}"),
+        ]
+    row = df.agg(*aggs)
+    per_col = []
+    for c in columns:
+        nn = F.col(f"__nn_{c}")
+        per_col.append(
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col("__rows").cast("bigint").alias("n_rows"),
+                (F.col("__rows") - nn).cast("bigint").alias("n_null"),
+                F.col(f"__nd_{c}").cast("bigint").alias("n_distinct"),
+                F.col(f"__mn_{c}").alias("min_val"),
+                F.col(f"__mx_{c}").alias("max_val"),
+                F.floor(
+                    F.when(nn > 0, F.col(f"__sl_{c}") * 100.0 / nn).otherwise(0.0)
+                    + F.lit(0.5)
+                ).cast("bigint").alias("avg_len_e2"),
+            )
+        )
+    return (
+        row.select(F.explode(F.array(*per_col)).alias("p"))
+        .select("p.*")
+        .orderBy("column_name")
+    )
+
+
+# -------------------------------------------------------- heavy hitters ----
+
+
+def heavy_hitters(df: DataFrame, key_col: str, k: int = 20) -> DataFrame:
+    """Skew diagnostic: the k most frequent keys with their exact ppm share
+    of total rows — the query you run before deciding a join needs salting
+    (see ``operators.skew``).
+
+    Plan shape: one hash aggregate (map-side partial) for per-key counts,
+    one single-row aggregate for the total, combined via a broadcast-able
+    1-row cross join — NOT an unpartitioned window over the key counts,
+    which would funnel every distinct key through one task at 100 TB.
+    Top-k itself is TakeOrderedAndProject (per-partition heaps + driver
+    merge of k rows), never a global sort.
+    """
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("cnt"))
+    total = df.agg(F.count(F.lit(1)).alias("__total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            F.col(key_col),
+            F.col("cnt").cast("bigint").alias("cnt"),
+            F.floor(F.col("cnt") * 1000000.0 / F.col("__total") + F.lit(0.5))
+            .cast("bigint")
+            .alias("share_ppm"),
+        )
+        .orderBy(F.col("cnt").desc(), F.col(key_col))
+        .limit(k)
+    )
+
+
+# --------------------------------------------------------- split assign ----
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str,
+    splits: list[tuple[str, float]] = (("train", 0.90), ("val", 0.05), ("test", 0.05)),
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic dataset-split assignment: a row lands in the first
+    split whose cumulative probability cutoff exceeds its hash bucket
+    (first 4 hex digits of md5(id || salt), the same encoding as
+    ``curation.stratified_sample``). Stateless and row-local — zero
+    shuffles, reproducible across runs/engines/partitionings, and stable
+    under corpus growth (a doc's split never changes when other docs are
+    added, unlike any rand()- or ntile-based scheme).
+
+    Cutoffs use floor(cum_rate * 65536) hex-encoded, so Spark and any SQL
+    oracle agree bit-for-bit. The final split absorbs the remainder
+    (cutoff 'ffff'+1), so fractions need not sum to exactly 1.0.
+    """
+    bucket = F.substring(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 4
+    )
+    names = [s for s, _ in splits]
+    cutoffs: list[tuple[str, str]] = []
+    cum = 0.0
+    for name, rate in splits[:-1]:
+        cum += rate
+        cutoffs.append((name, f"{min(65535, int(cum * 65536)):04x}"))
+    # chained WHENs in cutoff order: the FIRST (smallest-cutoff) match wins
+    expr = None
+    for name, cutoff in cutoffs:
+        cond = bucket < F.lit(cutoff)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    return df.withColumn("split", expr)
+
+
+# --------------------------------------------------------- group sample ----
+
+
+def group_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    k: int = 5,
+    salt: str = "",
+    prefilter_rate: float | None = None,
+) -> DataFrame:
+    """Deterministic per-group inspection sample: the k rows whose
+    md5(id || salt) sorts first within each group — a reproducible
+    "reservoir" (same k docs every run, engine-independent) for eyeballing
+    each language/domain slice.
+
+    Plan shape: row_number over (group, hash) — a per-group sort. For
+    groups of ~anything up to millions that is fine (sort is within the
+    group's shuffle partitions); for a 100 TB group pass
+    ``prefilter_rate`` to hash-filter first (keep ~rate of rows row-locally,
+    THEN rank) — since rank order IS hash order, the k smallest hashes
+    survive any prefilter that keeps ≥ k rows per group; the trade is that
+    a group smaller than ~k/rate may return < k rows.
+    """
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    out = df.withColumn("__h", h)
+    if prefilter_rate is not None:
+        cutoff = f"{max(0, int(prefilter_rate * 65536)):04x}"
+        out = out.filter(F.substring(F.col("__h"), 1, 4) < F.lit(cutoff))
+    w = Window.partitionBy(group_col).orderBy(F.col("__h"), F.col(id_col))
+    return (
+        out.withColumn("sample_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("sample_rank") <= k)
+        .drop("__h")
+    )
+
+
+# ----------------------------------------------------- length histogram ----
+
+
+def length_histogram(df: DataFrame, len_col: str = "n_chars") -> DataFrame:
+    """Log2-bucketed length distribution: bucket = bit-length of the value
+    (= floor(log2(n)) + 1, computed EXACTLY via length(bin(n)) — no float
+    log whose boundary rounding could differ across engines), with row
+    count and total length per bucket. Non-positive lengths land in
+    bucket 0.
+
+    Plan shape: one narrow projection + one hash aggregate over ≤ 64
+    buckets — map-side partials collapse everything before the shuffle.
+    """
+    n = F.col(len_col).cast("bigint")
+    bucket = F.when(n > 0, F.length(F.bin(n))).otherwise(F.lit(0)).cast("bigint")
+    return (
+        df.select(bucket.alias("len_bucket"), n.alias("__n"))
+        .groupBy("len_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.sum("__n").cast("bigint").alias("total_len"),
+        )
+        .orderBy("len_bucket")
+    )

@@ -301,3 +301,70 @@ def tfidf_top_terms(
         F.col("__e.t").alias("term"),
         (-F.col("__e.n")).cast("bigint").alias("score_micro"),
     )
+
+
+# ------------------------------------------- composite quality filter ----
+
+
+def gopher_quality_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 5,
+    max_tokens: int = 100000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 12.0,
+    min_stop_hits: int = 1,
+    min_alpha_word_e4: int = 6000,
+) -> DataFrame:
+    """Composite document-quality gate in the style of Gopher's quality
+    rules (Rae et al. 2021, table A1 — public): token-count bounds, mean
+    word length bounds, a minimum stopword requirement, and a minimum
+    fraction of words containing an alphabetic character. Emits
+    ``keep`` (bigint 0/1) and ``drop_reasons`` — the ';'-joined sorted rule
+    names that fired (empty string = clean) — so a curation run can both
+    filter AND account for WHY documents fell out, per domain.
+
+    Entirely row-local narrow projection: zero shuffles, zero UDFs — every
+    rule is a codegen'd column expression, so this runs at scan speed over
+    100 TB. Ratios use exact e4 fixed-point so the oracle can't fp-drift.
+    """
+    t = F.trim(F.col(text_col))
+    toks = F.split(F.lower(t), r"\s+")
+    n_tokens = F.size(toks).cast("bigint")
+    n_chars = F.length(t).cast("bigint")
+    # mean word length bounds, compared in exact integer cross-multiplied
+    # form: n_chars/n_tokens < lo  <=>  n_chars*10 < lo*10*n_tokens
+    mean_lo = (n_chars * 10 < int(min_mean_word_len * 10) * n_tokens)
+    mean_hi = (n_chars * 10 > int(max_mean_word_len * 10) * n_tokens)
+    stop_hits = F.expr(
+        "size(filter(split(lower(trim(" + text_col + ")), '\\\\s+'),"
+        " t -> t IN ('the','a','of','and','to')))"
+    ).cast("bigint")
+    alpha_words = F.expr(
+        "size(filter(split(lower(trim(" + text_col + ")), '\\\\s+'),"
+        " t -> t rlike '[a-z]'))"
+    ).cast("bigint")
+    rules = [
+        ("too_few_tokens", n_tokens < min_tokens),
+        ("too_many_tokens", n_tokens > max_tokens),
+        ("mean_word_len_low", mean_lo),
+        ("mean_word_len_high", mean_hi),
+        ("too_few_stopwords", stop_hits < min_stop_hits),
+        (
+            "low_alpha_ratio",
+            # alpha_words/n_tokens < min_alpha_word_e4/10000, exact
+            alpha_words * 10000 < F.lit(min_alpha_word_e4) * n_tokens,
+        ),
+    ]
+    reason_arr = F.array_sort(
+        F.filter(
+            F.array(*[F.when(cond, F.lit(name)) for name, cond in rules]),
+            lambda x: x.isNotNull(),
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        F.concat_ws(";", reason_arr).alias("drop_reasons"),
+        (F.size(reason_arr) == 0).cast("bigint").alias("keep"),
+    ).orderBy(id_col)

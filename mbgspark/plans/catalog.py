@@ -18,6 +18,7 @@ from mbgspark.plans.catalog_ext import EXT
 from mbgspark.plans.catalog_joins import JOINS
 from mbgspark.plans.catalog_lifecycle import LIFECYCLE
 from mbgspark.plans.catalog_locations import LOCATIONS_CATALOG
+from mbgspark.plans.catalog_profiling import PROFILING
 
 _ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     **CORE,
@@ -26,6 +27,7 @@ _ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     **LIFECYCLE,
     **LOCATIONS_CATALOG,
     **CURATION,
+    **PROFILING,
 }
 
 # The driver's correctness gate checks the FIRST 50 queries() entries
@@ -81,9 +83,20 @@ _PRIORITY = [
     "mixture_resample",
     "locate_full_dim",
     "dedup_semantic_keep_best",
-    # -- 3: r3-green cross-suite canary (the flagship lifecycle) --
+    # -- 3: the most substantial of the profiling-suite queries added later
+    # this round takes the 50th slot (a NEW query outranks a canary re-run;
+    # etl_lifecycle is r3-green and unchanged, so it rotates just behind) --
+    "contamination_embedding",
+    # -- past the 50-window: the rest of the new profiling suite FIRST (no
+    # driver row yet — pack these at the front of the r5 window), then
+    # etl_lifecycle and q1-q28 etc. (all r3-green, unchanged) --
+    "profile_orders",
+    "heavy_hitter_keys",
+    "split_assign_counts",
+    "group_sample_per_lang",
+    "doc_length_histogram",
+    "gopher_quality",
     "etl_lifecycle",
-    # -- past the 50-window: r3-green, unchanged --
 ]
 
 CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {

@@ -1,0 +1,236 @@
+"""Profiling / diagnostics query set: the observability layer of a
+training-data pipeline — column profiling, skew diagnostics, deterministic
+dataset splits, per-group inspection samples, length distributions,
+embedding-space decontamination, and the Gopher composite quality gate.
+
+Extends the reference's summary/inspection surface (dashboard aggregates,
+resilient_etl.py's per-run count logging — SURVEY.md A8/M4) to the checks a
+100 TB curation run needs between stages. Contract rules as in
+catalog_core: identical aliases in Spark and SQL, total ordering, exact
+integer fixed-point surfaces (ppm / e2 / e4), md5-only hashing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mbgspark.operators.curation import embedding_contamination
+from mbgspark.operators.profiling import (
+    group_sample,
+    heavy_hitters,
+    length_histogram,
+    profile_table,
+    split_assign,
+)
+from mbgspark.operators.textstats import gopher_quality_filter
+from mbgspark.plans.catalog_core import _t
+
+# ------------------------------------------------------ column profiler --
+
+
+def profile_orders(spark, sf_dir):
+    """One-pass profile of four orders columns (string / int / timestamp) —
+    null counts, exact distinct counts, min/max, mean serialized length."""
+    return profile_table(
+        _t(spark, sf_dir, "orders"),
+        ["o_custkey", "o_orderdate", "o_orderpriority", "o_orderstatus"],
+    )
+
+
+def _profile_col_sql(c: str) -> str:
+    return f"""
+SELECT '{c}' AS column_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count({c}) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(min({c}) AS VARCHAR) AS min_val,
+       CAST(max({c}) AS VARCHAR) AS max_val,
+       CAST(floor(CASE WHEN count({c}) > 0
+                       THEN sum(length(CAST({c} AS VARCHAR))) * 100.0 / count({c})
+                       ELSE 0.0 END + 0.5) AS BIGINT) AS avg_len_e2
+FROM orders"""
+
+
+PROFILE_ORDERS_SQL = (
+    " UNION ALL ".join(
+        _profile_col_sql(c)
+        for c in ["o_custkey", "o_orderdate", "o_orderpriority", "o_orderstatus"]
+    )
+    + " ORDER BY column_name"
+)
+
+
+# ------------------------------------------------------- heavy hitters --
+
+
+def heavy_hitter_keys(spark, sf_dir):
+    """Top-20 lineitem supplier keys by row count with exact ppm share —
+    the pre-join skew diagnostic feeding operators.skew's salting levers."""
+    return heavy_hitters(_t(spark, sf_dir, "lineitem"), "l_suppkey", k=20)
+
+
+HEAVY_HITTERS_SQL = """
+WITH c AS (SELECT l_suppkey, count(*) AS cnt FROM lineitem GROUP BY l_suppkey),
+t AS (SELECT count(*) AS total FROM lineitem)
+SELECT l_suppkey, CAST(cnt AS BIGINT) AS cnt,
+       CAST(floor(cnt * 1000000.0 / total + 0.5) AS BIGINT) AS share_ppm
+FROM c CROSS JOIN t
+ORDER BY cnt DESC, l_suppkey
+LIMIT 20
+"""
+
+
+# -------------------------------------------------------- split assign --
+
+# cutoffs: floor(0.90 * 65536) = 58982 = 0xe666; floor(0.95 * 65536) = 0xf333
+_SPLIT_BUCKET = "substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)"
+
+
+def split_assign_counts(spark, sf_dir):
+    """Deterministic 90/5/5 train/val/test assignment by md5 bucket of
+    doc_id, rolled up per (split, lang). Row-local assignment: a document's
+    split never changes as the corpus grows."""
+    d = split_assign(_t(spark, sf_dir, "documents"), "doc_id")
+    return (
+        d.groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .orderBy("split", "lang")
+    )
+
+
+SPLIT_ASSIGN_SQL = f"""
+WITH s AS (
+  SELECT lang,
+         CASE WHEN {_SPLIT_BUCKET} < 'e666' THEN 'train'
+              WHEN {_SPLIT_BUCKET} < 'f333' THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents)
+SELECT split, lang, CAST(count(*) AS BIGINT) AS cnt
+FROM s GROUP BY split, lang ORDER BY split, lang
+"""
+
+
+# -------------------------------------------------------- group sample --
+
+
+def group_sample_per_lang(spark, sf_dir):
+    """Deterministic 5-doc inspection sample per language: the five docs
+    whose md5(doc_id) sorts first within each lang — same five every run."""
+    return group_sample(
+        _t(spark, sf_dir, "documents"), "lang", "doc_id", k=5
+    ).select("doc_id", "lang", "sample_rank").orderBy("lang", "sample_rank")
+
+
+GROUP_SAMPLE_SQL = """
+SELECT doc_id, lang, sample_rank FROM (
+  SELECT doc_id, lang,
+         CAST(row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS sample_rank
+  FROM documents)
+WHERE sample_rank <= 5
+ORDER BY lang, sample_rank
+"""
+
+
+# ---------------------------------------------------- length histogram --
+
+
+def doc_length_histogram(spark, sf_dir):
+    """Log2-bucketed document length distribution (bucket = bit-length of
+    n_chars, exact integer arithmetic — no float log at bucket edges)."""
+    return length_histogram(_t(spark, sf_dir, "documents"), "n_chars")
+
+
+LENGTH_HISTOGRAM_SQL = """
+SELECT CAST(CASE WHEN n_chars > 0 THEN length(bin(n_chars)) ELSE 0 END AS BIGINT)
+         AS len_bucket,
+       CAST(count(*) AS BIGINT) AS cnt,
+       CAST(sum(n_chars) AS BIGINT) AS total_len
+FROM documents
+GROUP BY len_bucket
+ORDER BY len_bucket
+"""
+
+
+# ----------------------------------------- embedding decontamination ----
+
+
+def contamination_embedding(spark, sf_dir):
+    """Embedding-space decontamination: vectors with vec_id % 50 == 0 stand
+    in for the eval suite; every other vector reports its max cosine
+    against that (broadcast) benchmark set, flagged at 0.30. The semantic
+    complement of the n-gram contamination_check."""
+    e = _t(spark, sf_dir, "embeddings")
+    corpus = e.filter(F.col("vec_id") % 50 != 0)
+    bench = e.filter(F.col("vec_id") % 50 == 0)
+    return embedding_contamination(corpus, bench, "vec_id", "embedding", threshold=0.30)
+
+
+CONTAMINATION_EMBEDDING_SQL = """
+WITH b AS (SELECT CAST(embedding AS DOUBLE[]) AS bv
+           FROM embeddings WHERE vec_id % 50 = 0),
+c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings WHERE vec_id % 50 <> 0),
+m AS (
+  SELECT vec_id,
+         round(max(list_dot_product(cv, bv)
+               / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(bv, bv)))),
+               4) AS max_bench_sim
+  FROM c CROSS JOIN b GROUP BY vec_id)
+SELECT vec_id, max_bench_sim,
+       CAST(CASE WHEN max_bench_sim >= 0.30 THEN 1 ELSE 0 END AS BIGINT)
+         AS is_contaminated
+FROM m ORDER BY vec_id
+"""
+
+
+# ------------------------------------------------- gopher quality gate --
+
+
+def gopher_quality(spark, sf_dir):
+    """Composite Gopher-style quality gate over documents: keep flag +
+    ';'-joined sorted drop reasons, all codegen'd row-local expressions."""
+    return gopher_quality_filter(_t(spark, sf_dir, "documents"))
+
+
+GOPHER_QUALITY_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         string_split_regex(lower(trim(text)), '\\s+') AS tk,
+         length(trim(text)) AS n_chars
+  FROM documents),
+r AS (
+  SELECT doc_id, n_chars,
+         len(tk) AS n_tokens,
+         len(list_filter(tk, x -> x IN ('the','a','of','and','to'))) AS stop_hits,
+         len(list_filter(tk, x -> regexp_matches(x, '[a-z]'))) AS alpha_words
+  FROM t),
+f AS (
+  SELECT doc_id,
+         list_sort(list_filter([
+           CASE WHEN n_tokens < 5 THEN 'too_few_tokens' END,
+           CASE WHEN n_tokens > 100000 THEN 'too_many_tokens' END,
+           CASE WHEN n_chars * 10 < 30 * n_tokens THEN 'mean_word_len_low' END,
+           CASE WHEN n_chars * 10 > 120 * n_tokens THEN 'mean_word_len_high' END,
+           CASE WHEN stop_hits < 1 THEN 'too_few_stopwords' END,
+           CASE WHEN alpha_words * 10000 < 6000 * n_tokens THEN 'low_alpha_ratio' END
+         ], x -> x IS NOT NULL)) AS reasons
+  FROM r)
+SELECT doc_id,
+       -- array_to_string([]) is NULL in DuckDB; Spark's concat_ws gives ''
+       coalesce(array_to_string(reasons, ';'), '') AS drop_reasons,
+       CAST(CASE WHEN len(reasons) = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM f ORDER BY doc_id
+"""
+
+
+PROFILING = {
+    "contamination_embedding": (contamination_embedding, CONTAMINATION_EMBEDDING_SQL),
+    "profile_orders": (profile_orders, PROFILE_ORDERS_SQL),
+    "heavy_hitter_keys": (heavy_hitter_keys, HEAVY_HITTERS_SQL),
+    "split_assign_counts": (split_assign_counts, SPLIT_ASSIGN_SQL),
+    "group_sample_per_lang": (group_sample_per_lang, GROUP_SAMPLE_SQL),
+    "doc_length_histogram": (doc_length_histogram, LENGTH_HISTOGRAM_SQL),
+    "gopher_quality": (gopher_quality, GOPHER_QUALITY_SQL),
+}

@@ -1,0 +1,226 @@
+"""Profiling/diagnostics operator tests: functional edge cases the sf
+parquet can't produce (nulls, tiny groups, boundary buckets) plus the
+100 TB plan-shape pins for the new suite."""
+
+from pyspark.sql import functions as F
+
+from mbgspark.operators.curation import embedding_contamination
+from mbgspark.operators.profiling import (
+    group_sample,
+    heavy_hitters,
+    length_histogram,
+    profile_table,
+    split_assign,
+)
+from mbgspark.operators.textstats import gopher_quality_filter
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# ------------------------------------------------------------ profiler ----
+
+
+def test_profile_table_nulls_and_metrics(spark):
+    df = spark.createDataFrame(
+        [(1, "aa"), (2, None), (3, "bbbb"), (None, "aa")],
+        "k: int, s: string",
+    )
+    rows = {r["column_name"]: r for r in profile_table(df, ["k", "s"]).collect()}
+    assert rows["k"]["n_rows"] == 4 and rows["k"]["n_null"] == 1
+    assert rows["k"]["n_distinct"] == 3
+    assert rows["k"]["min_val"] == "1" and rows["k"]["max_val"] == "3"
+    assert rows["k"]["avg_len_e2"] == 100  # "1","2","3" are 1 char each
+    assert rows["s"]["n_null"] == 1 and rows["s"]["n_distinct"] == 2
+    # (2+2+4)/3 * 100 = 266.67 -> 267 half-up
+    assert rows["s"]["avg_len_e2"] == 267
+
+
+def test_profile_table_is_single_scan(spark):
+    df = spark.read.parquet(f"{SF}/orders.parquet")
+    plan = _plan(profile_table(df, ["o_custkey", "o_orderstatus"]))
+    # multi-distinct compiles to ONE scan + Expand, not one scan per column
+    assert plan.count("FileScan parquet") == 1
+    assert "Expand" in plan
+
+
+# -------------------------------------------------------- heavy hitters ----
+
+
+def test_heavy_hitters_exact_shares(spark):
+    df = spark.createDataFrame(
+        [(k,) for k in ["a"] * 6 + ["b"] * 3 + ["c"]], "k: string"
+    )
+    out = heavy_hitters(df, "k", k=2).collect()
+    assert [(r["k"], r["cnt"], r["share_ppm"]) for r in out] == [
+        ("a", 6, 600000),
+        ("b", 3, 300000),
+    ]
+
+
+def test_heavy_hitters_no_unpartitioned_window(spark):
+    df = spark.read.parquet(f"{SF}/lineitem.parquet")
+    plan = _plan(heavy_hitters(df, "l_suppkey", k=20))
+    # total joins in as a broadcast single-row agg, not a global window
+    # funnelling every distinct key through one task
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+# --------------------------------------------------------- split assign ----
+
+
+def test_split_assign_first_match_wins_and_total(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    out = split_assign(df, "doc_id")
+    counts = {r["split"]: r["cnt"] for r in
+              out.groupBy("split").agg(F.count("*").alias("cnt")).collect()}
+    assert sum(counts.values()) == 2000
+    # md5 is uniform: 90/5/5 within generous tolerance at n=2000
+    assert 1700 < counts["train"] < 1900
+    assert 40 < counts["val"] < 180
+    assert 40 < counts["test"] < 180
+    # determinism: same assignment on re-run and independent of partitioning
+    again = {r["split"]: r["cnt"] for r in
+             split_assign(df.repartition(7), "doc_id")
+             .groupBy("split").agg(F.count("*").alias("cnt")).collect()}
+    assert again == counts
+
+
+def test_split_assign_is_row_local(spark):
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(split_assign(df, "doc_id"))
+    assert "Exchange" not in plan  # zero shuffles
+
+
+def test_split_assign_salt_draws_independent_assignment(spark):
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    a = split_assign(df, "doc_id").select("doc_id", "split")
+    b = split_assign(df, "doc_id", salt="v2").select(
+        "doc_id", F.col("split").alias("split_b")
+    )
+    moved = a.join(b, "doc_id").filter(F.col("split") != F.col("split_b")).count()
+    assert moved > 0
+
+
+# --------------------------------------------------------- group sample ----
+
+
+def test_group_sample_deterministic_and_bounded(spark):
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    out = group_sample(df, "lang", "doc_id", k=3)
+    sizes = out.groupBy("lang").agg(F.count("*").alias("c")).collect()
+    assert all(r["c"] <= 3 for r in sizes)
+    ids1 = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    ids2 = sorted(
+        r["doc_id"]
+        for r in group_sample(df.repartition(11), "lang", "doc_id", k=3)
+        .select("doc_id").collect()
+    )
+    assert ids1 == ids2
+
+
+def test_group_sample_prefilter_matches_exact_when_generous(spark):
+    # rank order IS hash order, so any prefilter keeping >= k rows per
+    # group preserves the exact sample
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    exact = sorted(
+        r["doc_id"]
+        for r in group_sample(df, "lang", "doc_id", k=2).select("doc_id").collect()
+    )
+    pre = sorted(
+        r["doc_id"]
+        for r in group_sample(df, "lang", "doc_id", k=2, prefilter_rate=0.8)
+        .select("doc_id").collect()
+    )
+    assert pre == exact
+
+
+# ----------------------------------------------------- length histogram ----
+
+
+def test_length_histogram_exact_bit_buckets(spark):
+    df = spark.createDataFrame(
+        [(0,), (1,), (2,), (3,), (4,), (1023,), (1024,), (None,)],
+        "n: int",
+    )
+    out = {r["len_bucket"]: (r["cnt"], r["total_len"])
+           for r in length_histogram(df, "n").collect()}
+    assert out[0] == (2, None) or out[0][0] == 2  # 0 and NULL both bucket 0
+    assert out[1] == (1, 1)          # 1 -> bit length 1
+    assert out[2] == (2, 5)          # 2,3
+    assert out[3] == (1, 4)          # 4
+    assert out[10] == (1, 1023)      # 1023 -> 10 bits
+    assert out[11] == (1, 1024)      # 1024 -> 11 bits (exact boundary)
+
+
+# ------------------------------------------- embedding decontamination ----
+
+
+def test_embedding_contamination_broadcasts_bench(spark):
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    corpus = e.filter(F.col("vec_id") % 50 != 0)
+    bench = e.filter(F.col("vec_id") % 50 == 0)
+    df = embedding_contamination(corpus, bench, "vec_id", "embedding", 0.3)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    # map-side partial max: the shuffle carries one row per corpus vector
+    assert "partial_max" in plan
+
+
+def test_embedding_contamination_flags_planted_copy(spark):
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    bench = e.filter(F.col("vec_id") < 3)
+    # plant an exact copy of bench vector 1 into the corpus
+    corpus = e.filter(F.col("vec_id").isin([1, 10, 11])).withColumn(
+        "vec_id", F.col("vec_id") + 1000
+    )
+    out = {r["vec_id"]: r for r in
+           embedding_contamination(corpus, bench, "vec_id", "embedding", 0.99)
+           .collect()}
+    assert out[1001]["is_contaminated"] == 1
+    assert out[1001]["max_bench_sim"] == 1.0
+
+
+# ------------------------------------------------- gopher quality gate ----
+
+
+def test_gopher_quality_reasons(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat of the mat and went to sleep"),  # clean
+            (2, "a b"),                       # too few tokens + mean len low
+            (3, "0 1 2 3 4 5 6 7 8 9 10 11"),  # no stopwords, no alpha
+            (4, "aaaaaaaaaaaaaaaaaaaaaaaaa " * 5 + "the of a to and"),
+        ],
+        "doc_id: long, text: string",
+    )
+    out = {r["doc_id"]: r for r in gopher_quality_filter(df).collect()}
+    assert out[1]["keep"] == 1 and out[1]["drop_reasons"] == ""
+    assert out[2]["keep"] == 0
+    assert "too_few_tokens" in out[2]["drop_reasons"]
+    assert "mean_word_len_low" in out[2]["drop_reasons"]
+    assert out[3]["keep"] == 0
+    assert "too_few_stopwords" in out[3]["drop_reasons"]
+    assert "low_alpha_ratio" in out[3]["drop_reasons"]
+    assert out[4]["keep"] == 0
+    assert "mean_word_len_high" in out[4]["drop_reasons"]
+    # reasons are sorted
+    for r in out.values():
+        parts = r["drop_reasons"].split(";") if r["drop_reasons"] else []
+        assert parts == sorted(parts)
+
+
+def test_gopher_quality_is_row_local(spark):
+    # every rule is a codegen'd column expression: no Python eval, no
+    # aggregate; the ONLY exchange is the final orderBy's range partitioner
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(gopher_quality_filter(df, "doc_id", "text"))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Aggregate" not in plan
+    assert plan.count("Exchange") == 1 and "rangepartitioning" in plan
