@@ -380,6 +380,106 @@ def minhash_near_dups(
     return jaccard_verify_arrays(arrays, pairs, id_col, threshold, "__shingles")
 
 
+def minhash_near_dups_incremental(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.6,
+    max_bucket_size: int | None = 1000,
+    on_oversized=None,
+) -> DataFrame:
+    """Incremental near-dup detection — the production mode at 100 TB: a
+    new ingest batch is checked against the EXISTING corpus (and against
+    itself) without ever re-pairing the corpus with itself. Corpus-corpus
+    pairs were found when those docs were ingested; regenerating them every
+    batch is the quadratic cost this operator exists to avoid.
+
+    Output: (id_a, id_b, jaccard, match_source) with id_a always a batch
+    doc; match_source is 'corpus' (id_b in corpus) or 'batch' (batch-
+    internal pair, id_a < id_b). Batch and corpus ids must be disjoint.
+
+    Shape: both sides get the same shingle -> packed-signature lineage as
+    ``minhash_near_dups``; candidate generation joins BATCH band rows
+    against corpus band rows and against themselves — never corpus x
+    corpus — so per-batch cost is ~|batch| x bucket-overlap, independent
+    of corpus pair volume. At production scale the corpus band rows and
+    shingle arrays are a persisted index (write them once per ingest with
+    the batch's own signatures: the 'index' IS this lineage materialized);
+    recomputing them here keeps the operator self-contained for the gate.
+    The ``max_bucket_size`` skew guard counts the COMBINED (batch+corpus)
+    bucket population: a viral corpus bucket joined by even one batch row
+    would otherwise emit bucket_n pairs per batch doc."""
+    rows_per_band = num_hashes // bands
+
+    def packed(df: DataFrame) -> DataFrame:
+        sh = with_word_shingles(df, id_col, text_col, k)
+        aggs = [
+            F.min(F.substring(F.md5(F.col("shingle")), 2 * i + 1, 16)).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+        return sh.groupBy(id_col).agg(
+            *aggs, F.collect_list("shingle").alias("__shingles")
+        )
+
+    def band_rows(p: DataFrame) -> DataFrame:
+        sig = p.select(
+            F.col(id_col),
+            F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"),
+        )
+        return _lsh_band_rows(sig, id_col, bands, rows_per_band)
+
+    pb, pc = packed(batch), packed(corpus)
+    bb, bc = band_rows(pb), band_rows(pc)
+
+    if max_bucket_size is not None:
+        combined = bb.select("band_idx", "band_key").unionByName(
+            bc.select("band_idx", "band_key")
+        )
+        oversized = (
+            combined.groupBy("band_idx", "band_key")
+            .agg(F.count("*").alias("__n"))
+            .filter(F.col("__n") > max_bucket_size)
+        )
+        if on_oversized is not None:
+            on_oversized(
+                oversized.select(
+                    "band_idx", "band_key", F.col("__n").cast("bigint").alias("bucket_n")
+                )
+            )
+        drop = oversized.select("band_idx", "band_key")
+        bb = bb.join(drop, ["band_idx", "band_key"], "left_anti")
+        bc = bc.join(drop, ["band_idx", "band_key"], "left_anti")
+
+    a = bb.select("band_idx", "band_key", F.col(id_col).alias("id_a"))
+    vs_corpus = (
+        a.join(bc.select("band_idx", "band_key", F.col(id_col).alias("id_b")),
+               ["band_idx", "band_key"])
+        .select("id_a", "id_b").distinct()
+        .withColumn("match_source", F.lit("corpus"))
+    )
+    vs_batch = (
+        a.join(bb.select("band_idx", "band_key", F.col(id_col).alias("id_b")),
+               ["band_idx", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b").distinct()
+        .withColumn("match_source", F.lit("batch"))
+    )
+    pairs = vs_corpus.unionByName(vs_batch)
+    arrays = pb.select(id_col, "__shingles").unionByName(
+        pc.select(id_col, "__shingles")
+    )
+    verified = jaccard_verify_arrays(
+        arrays, pairs.select("id_a", "id_b"), id_col, threshold, "__shingles"
+    )
+    return verified.join(pairs, ["id_a", "id_b"]).select(
+        "id_a", "id_b", "jaccard", "match_source"
+    )
+
+
 def duplicated_spans(
     df: DataFrame,
     id_col: str,

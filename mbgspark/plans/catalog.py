@@ -96,6 +96,7 @@ _PRIORITY = [
     "group_sample_per_lang",
     "doc_length_histogram",
     "gopher_quality",
+    "dedup_incremental",
     "etl_lifecycle",
 ]
 

@@ -163,6 +163,103 @@ SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.5 ORDER BY id_a, id_b
 """
 
 
+def dedup_incremental(spark, sf_dir):
+    """Incremental MinHash near-dup: a 45-doc ingest batch (two perturbed
+    copies per source doc — first token dropped, ids +1M / +2M) checked
+    against the documents corpus and against itself; corpus-corpus pairs
+    are never generated (they were found at their own ingest time).
+    match_source says which side each hit came from."""
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.select(
+        F.col("doc_id").alias("id"), F.lower(F.trim("text")).alias("t")
+    ).repartition(min(16, spark.sparkContext.defaultParallelism))
+    drop_first = F.lower(F.trim(F.expr("substring(text, instr(text, ' ') + 1)")))
+    b1 = d.filter(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 1000000).alias("id"), drop_first.alias("t")
+    )
+    b2 = d.filter(F.col("doc_id") < 15).select(
+        (F.col("doc_id") + 2000000).alias("id"), drop_first.alias("t")
+    )
+    return dd.minhash_near_dups_incremental(
+        b1.unionByName(b2), corpus, "id", "t",
+        k=3, num_hashes=8, bands=4, threshold=0.5,
+    ).orderBy("id_a", "id_b")
+
+
+def _minhash_side_sql(side: str) -> str:
+    """Shared shingle -> signature -> band CTE chain for one side."""
+    bands = "\n  UNION ALL\n".join(
+        f"  SELECT id, {b} AS band_idx, md5(h{2*b} || '|' || h{2*b+1}) AS band_key"
+        f" FROM {side}sig"
+        for b in range(4)
+    )
+    return f"""
+{side}toks AS (SELECT id, string_split_regex(t, '\\s+') AS tk FROM {side}),
+{side}sh AS (
+  SELECT DISTINCT id, concat_ws(' ', tk[i], tk[i+1], tk[i+2]) AS shingle
+  FROM {side}toks,
+       LATERAL unnest(generate_series(1, greatest(len(tk) - 2, 1))) AS g(i)
+  WHERE concat_ws(' ', tk[i], tk[i+1], tk[i+2]) <> ''
+),
+{side}sig AS (
+  SELECT id, {_MINHASH_SIG_COLS}
+  FROM {side}sh GROUP BY id
+),
+{side}bands AS (
+{bands}
+)"""
+
+
+DEDUP_INCREMENTAL_SQL = f"""
+WITH corpus AS (SELECT doc_id AS id, lower(trim(text)) AS t FROM documents),
+batch AS (
+  SELECT doc_id + 1000000 AS id,
+         lower(trim(substr(text, strpos(text, ' ') + 1))) AS t
+  FROM documents WHERE doc_id < 30
+  UNION ALL
+  SELECT doc_id + 2000000 AS id,
+         lower(trim(substr(text, strpos(text, ' ') + 1))) AS t
+  FROM documents WHERE doc_id < 15
+),{_minhash_side_sql('corpus')},{_minhash_side_sql('batch')},
+comb AS (
+  SELECT band_idx, band_key FROM corpusbands
+  UNION ALL SELECT band_idx, band_key FROM batchbands
+),
+ok AS (
+  SELECT band_idx, band_key FROM comb
+  GROUP BY band_idx, band_key HAVING count(*) <= 1000
+),
+bok AS (SELECT b.* FROM batchbands b JOIN ok USING (band_idx, band_key)),
+cok AS (SELECT c.* FROM corpusbands c JOIN ok USING (band_idx, band_key)),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, 'corpus' AS match_source
+  FROM bok a JOIN cok b USING (band_idx, band_key)
+  UNION
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, 'batch' AS match_source
+  FROM bok a JOIN bok b USING (band_idx, band_key) WHERE a.id < b.id
+),
+allsh AS (SELECT * FROM corpussh UNION ALL SELECT * FROM batchsh),
+counts AS (SELECT id, count(*) AS n_sh FROM allsh GROUP BY id),
+inter AS (
+  SELECT c.id_a, c.id_b, c.match_source, count(*) AS n_inter
+  FROM cand c
+  JOIN allsh sa ON sa.id = c.id_a
+  JOIN allsh sb ON sb.id = c.id_b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2, 3
+),
+jac AS (
+  SELECT id_a, id_b,
+         round(n_inter / CAST(ca.n_sh + cb.n_sh - n_inter AS DOUBLE), 4) AS jaccard,
+         match_source
+  FROM inter
+  JOIN counts ca ON ca.id = id_a
+  JOIN counts cb ON cb.id = id_b
+)
+SELECT id_a, id_b, jaccard, match_source
+FROM jac WHERE jaccard >= 0.5 ORDER BY id_a, id_b
+"""
+
+
 def dup_spans(spark, sf_dir):
     """Substring-level duplication candidates over the perturbed corpus:
     6-word spans in >= 2 distinct docs, top-50 by doc frequency — the
@@ -1621,6 +1718,7 @@ EXT: dict[str, tuple] = {
     ),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_SQL),
+    "dedup_incremental": (dedup_incremental, DEDUP_INCREMENTAL_SQL),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
     "dup_spans": (dup_spans, DUP_SPANS_SQL),
     "dedup_simhash_pairs": (dedup_simhash_pairs, DEDUP_SIMHASH_PAIRS_SQL),

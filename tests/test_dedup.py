@@ -214,3 +214,57 @@ def test_multiprobe_embedding_recall(spark):
     assert multi_recall >= 0.95, (multi_recall, single_recall)
     # approximate blocking never invents pairs: both are verified subsets
     assert single <= exact and multi <= exact
+
+
+def test_incremental_never_pairs_corpus_with_itself(spark):
+    """The corpus contains two identical docs (9001/9002) — a batch-vs-corpus
+    run must NOT emit that pair (it was found at their own ingest time),
+    while batch docs match both corpus and each other with sources tagged."""
+    from mbgspark.operators.dedup import minhash_near_dups_incremental
+
+    dup_text = "the quick brown fox jumps over the lazy dog again and again"
+    corpus = spark.createDataFrame(
+        [
+            (9001, dup_text),
+            (9002, dup_text),  # corpus-internal exact dup: must not pair
+            (9003, "completely different content about spark physical plans"),
+        ],
+        "id: long, t: string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, dup_text),  # matches corpus 9001+9002
+            (2, dup_text),  # and batch-internal with id 1
+            (3, "unrelated fresh text with no duplicate anywhere at all ok"),
+        ],
+        "id: long, t: string",
+    )
+    out = minhash_near_dups_incremental(
+        batch, corpus, "id", "t", k=3, num_hashes=8, bands=4, threshold=0.5
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["match_source"] for r in out}
+    assert (9001, 9002) not in pairs and (9002, 9001) not in pairs
+    assert pairs[(1, 9001)] == "corpus" and pairs[(2, 9002)] == "corpus"
+    assert pairs[(1, 2)] == "batch"
+    assert all(a in (1, 2, 3) for a, _ in pairs)  # id_a is always a batch doc
+    assert not any(a == 3 or b == 3 for a, b in pairs)
+
+
+def test_incremental_bucket_cap_counts_combined_population(spark):
+    """A viral corpus bucket (many near-identical corpus docs) must be
+    dropped even though the BATCH side alone is under the cap."""
+    from mbgspark.operators.dedup import minhash_near_dups_incremental
+
+    viral = "spam spam spam wonderful spam spam spam baked beans spam"
+    corpus = spark.createDataFrame(
+        [(100 + i, viral) for i in range(30)], "id: long, t: string"
+    )
+    batch = spark.createDataFrame([(1, viral)], "id: long, t: string")
+    capped = minhash_near_dups_incremental(
+        batch, corpus, "id", "t", threshold=0.5, max_bucket_size=10
+    ).count()
+    uncapped = minhash_near_dups_incremental(
+        batch, corpus, "id", "t", threshold=0.5, max_bucket_size=None
+    ).count()
+    assert capped == 0
+    assert uncapped == 30
