@@ -210,3 +210,47 @@ def length_histogram(df: DataFrame, len_col: str = "n_chars") -> DataFrame:
         )
         .orderBy("len_bucket")
     )
+
+
+# -------------------------------------------------------- snapshot diff ----
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    content_cols: list[str],
+    keep_unchanged: bool = False,
+) -> DataFrame:
+    """Row-level diff between two corpus snapshots: ``status`` is 'added'
+    (id only in new), 'removed' (id only in old), 'changed' (id in both,
+    md5 of the '|'-joined content columns differs) or 'unchanged'
+    (excluded unless ``keep_unchanged``) — the between-runs audit a
+    versioned 100 TB corpus needs (what did this ingest actually change?).
+
+    Shape: each side reduces to (id, content_hash) in a narrow row-local
+    projection BEFORE the join, so the full-outer equi-join shuffles two
+    slim columns, never document bodies. One shuffle per side, hashed on
+    the id — co-partitioned/bucketed snapshots would eliminate even that.
+    """
+    def hashed(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.md5(
+                F.concat_ws("|", *[F.col(c).cast("string") for c in content_cols])
+            ).alias(f"__h_{tag}"),
+        )
+
+    o, n = hashed(old, "old"), hashed(new, "new")
+    status = (
+        F.when(F.col("__h_old").isNull(), F.lit("added"))
+        .when(F.col("__h_new").isNull(), F.lit("removed"))
+        .when(F.col("__h_old") != F.col("__h_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    out = o.join(n, id_col, "full_outer").select(
+        F.col(id_col), status.alias("status")
+    )
+    if not keep_unchanged:
+        out = out.filter(F.col("status") != "unchanged")
+    return out

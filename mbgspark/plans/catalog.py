@@ -97,6 +97,7 @@ _PRIORITY = [
     "doc_length_histogram",
     "gopher_quality",
     "dedup_incremental",
+    "corpus_snapshot_diff",
     "etl_lifecycle",
 ]
 

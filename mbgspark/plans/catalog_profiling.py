@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from mbgspark.operators.curation import embedding_contamination
 from mbgspark.operators.profiling import (
     group_sample,
+    snapshot_diff,
     heavy_hitters,
     length_histogram,
     profile_table,
@@ -225,6 +226,51 @@ FROM f ORDER BY doc_id
 """
 
 
+# -------------------------------------------------------- snapshot diff --
+
+
+def corpus_snapshot_diff(spark, sf_dir):
+    """Between-runs corpus audit: snapshot v2 removes doc_id % 97 == 0,
+    appends ' v2' to text of doc_id % 89 == 0, and adds 20 new docs
+    (ids + 500000); the diff reports every added/removed/changed id."""
+    d = _t(spark, sf_dir, "documents")
+    old = d.select("doc_id", "text")
+    changed = F.when(
+        F.col("doc_id") % 89 == 0, F.concat(F.col("text"), F.lit(" v2"))
+    ).otherwise(F.col("text"))
+    new = (
+        d.filter(F.col("doc_id") % 97 != 0)
+        .select("doc_id", changed.alias("text"))
+        .unionByName(
+            d.filter(F.col("doc_id") < 20).select(
+                (F.col("doc_id") + 500000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return snapshot_diff(old, new, "doc_id", ["text"]).orderBy("doc_id")
+
+
+SNAPSHOT_DIFF_SQL = """
+WITH oh AS (SELECT doc_id, md5(coalesce(text, '')) AS h FROM documents),
+newsnap AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 89 = 0 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 97 <> 0
+  UNION ALL
+  SELECT doc_id + 500000, text FROM documents WHERE doc_id < 20
+),
+nh AS (SELECT doc_id, md5(coalesce(text, '')) AS h FROM newsnap),
+j AS (
+  SELECT coalesce(oh.doc_id, nh.doc_id) AS doc_id,
+         CASE WHEN oh.h IS NULL THEN 'added'
+              WHEN nh.h IS NULL THEN 'removed'
+              WHEN oh.h <> nh.h THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM oh FULL OUTER JOIN nh ON oh.doc_id = nh.doc_id)
+SELECT doc_id, status FROM j WHERE status <> 'unchanged' ORDER BY doc_id
+"""
+
+
 PROFILING = {
     "contamination_embedding": (contamination_embedding, CONTAMINATION_EMBEDDING_SQL),
     "profile_orders": (profile_orders, PROFILE_ORDERS_SQL),
@@ -233,4 +279,5 @@ PROFILING = {
     "group_sample_per_lang": (group_sample_per_lang, GROUP_SAMPLE_SQL),
     "doc_length_histogram": (doc_length_histogram, LENGTH_HISTOGRAM_SQL),
     "gopher_quality": (gopher_quality, GOPHER_QUALITY_SQL),
+    "corpus_snapshot_diff": (corpus_snapshot_diff, SNAPSHOT_DIFF_SQL),
 }

@@ -224,3 +224,36 @@ def test_gopher_quality_is_row_local(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Aggregate" not in plan
     assert plan.count("Exchange") == 1 and "rangepartitioning" in plan
+
+
+# -------------------------------------------------------- snapshot diff ----
+
+
+def test_snapshot_diff_statuses(spark):
+    from mbgspark.operators.profiling import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id: long, text: string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B2"), (4, "d")], "id: long, text: string"
+    )
+    out = {r["id"]: r["status"]
+           for r in snapshot_diff(old, new, "id", ["text"]).collect()}
+    assert out == {2: "changed", 3: "removed", 4: "added"}
+    full = {r["id"]: r["status"]
+            for r in snapshot_diff(old, new, "id", ["text"],
+                                   keep_unchanged=True).collect()}
+    assert full[1] == "unchanged" and len(full) == 4
+
+
+def test_snapshot_diff_joins_hashes_not_bodies(spark):
+    from mbgspark.operators.profiling import snapshot_diff
+
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(snapshot_diff(df, df, "doc_id", ["text"]))
+    # the join input is (id, md5) — document text is hashed BEFORE the
+    # shuffle, so no exchange carries the text column
+    for exch in plan.split("Exchange")[1:]:
+        first_line = exch.split("\n")[0]
+        assert "text" not in first_line, first_line
