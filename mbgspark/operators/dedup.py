@@ -393,6 +393,32 @@ def minhash_near_dups(
     return jaccard_verify_arrays(arrays, pairs, id_col, threshold, "__shingles")
 
 
+def build_minhash_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> tuple[DataFrame, DataFrame]:
+    """The ingest-time MinHash index: (band_rows, shingle_arrays) for a
+    corpus — the two lineages every incremental near-dup lookup needs.
+    Production persists BOTH (parquet partitioned by band_key prefix, or
+    .persist() for a resident corpus): Spark's ReuseExchange only
+    collapses duplicated subtrees whose canonical plans are identical,
+    and per-consumer column pruning makes them differ, so an UN-persisted
+    corpus lineage is recomputed once per plan consumer (measured: the
+    self-contained incremental path pays ~6 corpus passes). With the
+    index materialized, a batch lookup touches the corpus zero times."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(
+        with_word_shingles(df, id_col, text_col, k), id_col, num_hashes
+    )
+    band_rows = _lsh_band_rows(sig, id_col, bands, rows_per_band)
+    arrays = with_shingle_array(df, id_col, text_col, k, out="__shingles")
+    return band_rows, arrays
+
+
 def minhash_near_dups_incremental(
     batch: DataFrame,
     corpus: DataFrame,
@@ -404,6 +430,7 @@ def minhash_near_dups_incremental(
     threshold: float = 0.6,
     max_bucket_size: int | None = 1000,
     on_oversized=None,
+    corpus_index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Incremental near-dup detection — the production mode at 100 TB: a
     new ingest batch is checked against the EXISTING corpus (and against
@@ -426,37 +453,32 @@ def minhash_near_dups_incremental(
     The ``max_bucket_size`` skew guard counts the COMBINED (batch+corpus)
     bucket population: a viral corpus bucket joined by even one batch row
     would otherwise emit bucket_n pairs per batch doc."""
-    rows_per_band = num_hashes // bands
-
-    # ONE tagged union -> ONE shingle lineage -> ONE packed aggregation.
-    # Every consumer (band rows for both sides, the combined bucket-size
-    # guard, both verify array sides) filters/projects the SAME aggregated
-    # subplan, so Spark plans a single exchange and ReusedExchange for the
-    # rest — the identical discipline (and measured ~3x win) as
-    # minhash_near_dups' packed agg. Building the two sides' signatures
-    # separately planned 60+ scans and zero reuse.
-    tagged = (
-        batch.select(F.col(id_col), F.col(text_col), F.lit("b").alias("__side"))
-        .unionByName(
-            corpus.select(F.col(id_col), F.col(text_col), F.lit("c").alias("__side"))
+    # Index discipline (measured at 100k corpus rows, N=20 stress): an
+    # un-materialized corpus lineage is recomputed once per plan consumer
+    # — Spark's ReuseExchange only collapses subtrees whose CANONICAL
+    # plans are identical, and per-consumer column pruning (one consumer
+    # needs min-hash windows, another shingle arrays) makes every copy
+    # unique, so the self-contained path pays ~6 corpus passes (~20 s,
+    # 2x the full non-incremental pipeline at that scale). Production
+    # therefore materializes the corpus index ONCE at ingest and passes
+    # it here (``corpus_index`` from ``build_minhash_index`` — persisted
+    # or parquet-backed): a batch lookup then touches the corpus
+    # lineage zero times, and cost scales with the BATCH. The
+    # self-contained fallback (corpus_index=None) stays for bounded
+    # gate-SF runs and one-shot jobs.
+    b_bands, b_arrays = build_minhash_index(
+        batch, id_col, text_col, k, num_hashes, bands
+    )
+    if corpus_index is None:
+        c_bands, c_arrays = build_minhash_index(
+            corpus, id_col, text_col, k, num_hashes, bands
         )
+    else:
+        c_bands, c_arrays = corpus_index
+
+    band_rows = b_bands.withColumn("__side", F.lit("b")).unionByName(
+        c_bands.withColumn("__side", F.lit("c"))
     )
-    sh = with_word_shingles(tagged, id_col, text_col, k, carry=("__side",))
-    aggs = [
-        F.min(F.substring(F.md5(F.col("shingle")), 2 * i + 1, 16)).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    packed = sh.groupBy(id_col).agg(
-        F.min("__side").alias("__side"),
-        *aggs,
-        F.collect_list("shingle").alias("__shingles"),
-    )
-    sig = packed.select(
-        F.col(id_col),
-        F.col("__side"),
-        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"),
-    )
-    band_rows = _lsh_band_rows(sig, id_col, bands, rows_per_band, carry=("__side",))
 
     if max_bucket_size is not None:
         # combined (batch+corpus) bucket population: a viral corpus bucket
@@ -478,35 +500,50 @@ def minhash_near_dups_incremental(
             "left_anti",
         )
 
-    bb = band_rows.filter(F.col("__side") == "b").select(
+    # ONE bucket join: batch rows against ALL rows, corpus-corpus pairs
+    # excluded by the side predicate — never generated, never filtered out
+    a = band_rows.filter(F.col("__side") == "b").select(
         "band_idx", "band_key", F.col(id_col).alias("id_a")
     )
-    bc = band_rows.filter(F.col("__side") == "c").select(
-        "band_idx", "band_key", F.col(id_col).alias("id_b")
+    b = band_rows.select(
+        "band_idx", "band_key", F.col(id_col).alias("id_b"),
+        F.col("__side").alias("__side_b"),
     )
-    vs_corpus = (
-        bb.join(bc, ["band_idx", "band_key"])
-        .select("id_a", "id_b").distinct()
-        .withColumn("match_source", F.lit("corpus"))
-    )
-    vs_batch = (
-        bb.join(
-            band_rows.filter(F.col("__side") == "b").select(
-                "band_idx", "band_key", F.col(id_col).alias("id_b")
-            ),
-            ["band_idx", "band_key"],
+    pairs = (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(
+            (F.col("__side_b") == "c")
+            | ((F.col("__side_b") == "b") & (F.col("id_a") < F.col("id_b")))
         )
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b").distinct()
-        .withColumn("match_source", F.lit("batch"))
+        .select(
+            "id_a",
+            "id_b",
+            F.when(F.col("__side_b") == "c", F.lit("corpus"))
+            .otherwise(F.lit("batch"))
+            .alias("match_source"),
+        )
+        .distinct()
     )
-    pairs = vs_corpus.unionByName(vs_batch)
-    arrays = packed.select(id_col, "__shingles")
-    # match_source rides THROUGH the verify join (carry) — re-joining the
-    # pair lineage afterwards would duplicate the whole candidate subtree
-    # in the plan (measured: the re-join variant planned 78 scans)
-    return jaccard_verify_arrays(
-        arrays, pairs, id_col, threshold, "__shingles", carry=("match_source",)
+    arrays = b_arrays.unionByName(c_arrays)
+    # Verify inline with PAIRS consumed exactly once: jaccard_verify_arrays
+    # joins the pair frame twice (probe + candidate-id semi-join), which
+    # duplicates the whole candidate subtree in the plan — tolerable when
+    # pairs is cheap, but here the pair tree holds the band join + bucket
+    # guard. The pair side is small by LSH construction, so AQE broadcasts
+    # it into both array joins and the (indexed or narrow-map) arrays are
+    # probed in place, never shuffled; match_source rides through.
+    sa = arrays.select(F.col(id_col).alias("id_a"), F.col("__shingles").alias("__sa"))
+    sb = arrays.select(F.col(id_col).alias("id_b"), F.col("__shingles").alias("__sb"))
+    inter = F.size(F.array_intersect("__sa", "__sb"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(inter / (F.size("__sa") + F.size("__sb") - inter), 4),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard", "match_source")
     )
 
 

@@ -223,6 +223,53 @@ def main() -> None:
     sig = dd.minhash_signature(dd.with_word_shingles(viral, "id", "t", 3), "id", 8)
     run("lsh_oversized_monitor", dd.lsh_oversized_buckets(sig, "id", 4, 2, 1000))
 
+    # ---- round-4 additions: incremental dedup + profiling suite ----
+    # incremental: a 30-doc batch (fresh perturbations of copy-0 docs)
+    # against the FULL scaled corpus. The contract under test at scale:
+    # per-batch verify-pair volume tracks the BATCH (~30 + 30 planted
+    # overlaps), not the corpus's own 30*n planted pairs — corpus-corpus
+    # pairs are never regenerated.
+    batch = (
+        corpus.filter(F.col("id") < 30)
+        .select(
+            (F.col("id") + 2_000_000).alias("id"),
+            F.expr("substring(t, instr(t, ' ') + 1)").alias("t"),
+        )
+    )
+    run(
+        "incremental_neardup_b30",
+        dd.minhash_near_dups_incremental(batch, corpus, "id", "t", 3, 8, 4, 0.5),
+    )
+    # production mode: the corpus index is materialized once at ingest
+    # (here persist(); at 100 TB a parquet write) and batch lookups reuse it
+    bands_idx, arrays_idx = dd.build_minhash_index(corpus, "id", "t", 3, 8, 4)
+    bands_idx, arrays_idx = bands_idx.persist(), arrays_idx.persist()
+    t0 = time.time()
+    bands_idx.count(); arrays_idx.count()
+    results["incremental_index_build"] = {"sec": round(time.time() - t0, 2)}
+    print(f"{'incremental_index_build':24s} {results['incremental_index_build']['sec']:7.2f}s  (one-time at ingest)")
+    run(
+        "incremental_neardup_indexed",
+        dd.minhash_near_dups_incremental(
+            batch, corpus, "id", "t", 3, 8, 4, 0.5,
+            corpus_index=(bands_idx, arrays_idx),
+        ),
+    )
+
+    from mbgspark.operators.profiling import heavy_hitters, profile_table, snapshot_diff
+    from mbgspark.operators.textstats import gopher_quality_filter
+
+    run("gopher_quality_gate", gopher_quality_filter(corpus, "id", "t"))
+    mutated = corpus.select(
+        "id",
+        F.when(F.col("id") % 97 == 0, F.concat("t", F.lit(" v2"))).otherwise(
+            F.col("t")
+        ).alias("t"),
+    ).filter(F.col("id") % 89 != 0)
+    run("snapshot_diff", snapshot_diff(corpus, mutated, "id", ["t"]))
+    run("profile_2col", profile_table(corpus, ["id", "t"]))
+    run("heavy_hitters_mod1k", heavy_hitters(corpus.select((F.col("id") % 1000).alias("k")), "k"))
+
     expected_pairs = 30 * n
     found = results["minhash_lsh_neardup"]["out_rows"]
     print(
@@ -234,6 +281,7 @@ def main() -> None:
                 "minhash_pairs_found": found,
                 "skew_capped_pairs": results["minhash_lsh_skew_capped"]["out_rows"],
                 "skew_dropped_buckets": results["lsh_oversized_monitor"]["out_rows"],
+                "incremental_pairs": results["incremental_neardup_b30"]["out_rows"],
                 "ops": results,
             }
         )
