@@ -46,6 +46,9 @@ HEADLINE = [
     # to r3 on the first 19; dup_components is additionally cold-honest
     # this round, see ITERATIVE)
     "corpus_shuffle_shards", "dedup_embedding_multiprobe",
+    # round 4 continuation: profiling/diagnostics + incremental dedup
+    # (additive — compare to the r4 21-query basis on the first 21)
+    "contamination_embedding", "gopher_quality", "dedup_incremental",
 ]
 
 

@@ -254,3 +254,52 @@ def snapshot_diff(
     if not keep_unchanged:
         out = out.filter(F.col("status") != "unchanged")
     return out
+
+
+# ------------------------------------------------------ numeric profiler ----
+
+
+def profile_numeric(df: DataFrame, columns: list[str]) -> DataFrame:
+    """Numeric twin of ``profile_table``: per-column count/nulls/min/max/
+    mean plus EXACT median and p95 (sort-based ``percentile``, not the
+    t-digest approximation — deterministic and engine-portable, which
+    approx sketches are not). All float surfaces rounded to 4 dp in the
+    aggregate itself so summation/interpolation noise can't flip a hash.
+
+    Plan shape: one aggregation pass over one scan; the percentile
+    aggregates sort per column WITHIN the single final aggregate (driver
+    holds only the k result rows). For 100 TB profile runs where an exact
+    sort-percentile is too heavy, swap ``percentile`` for
+    ``percentile_approx`` at the call site — same plan, bounded memory.
+    """
+    aggs = []
+    for c in columns:
+        col = F.col(c).cast("double")
+        aggs += [
+            F.count(col).alias(f"__n_{c}"),
+            F.count(F.lit(1)).alias(f"__r_{c}"),
+            F.round(F.min(col), 4).alias(f"__mn_{c}"),
+            F.round(F.max(col), 4).alias(f"__mx_{c}"),
+            F.round(F.avg(col), 4).alias(f"__av_{c}"),
+            F.round(F.expr(f"percentile({c}, 0.5)"), 4).alias(f"__md_{c}"),
+            F.round(F.expr(f"percentile({c}, 0.95)"), 4).alias(f"__p95_{c}"),
+        ]
+    row = df.agg(*aggs)
+    per_col = [
+        F.struct(
+            F.lit(c).alias("column_name"),
+            F.col(f"__n_{c}").cast("bigint").alias("n_values"),
+            (F.col(f"__r_{c}") - F.col(f"__n_{c}")).cast("bigint").alias("n_null"),
+            F.col(f"__mn_{c}").alias("min_val"),
+            F.col(f"__mx_{c}").alias("max_val"),
+            F.col(f"__av_{c}").alias("avg_val"),
+            F.col(f"__md_{c}").alias("median_val"),
+            F.col(f"__p95_{c}").alias("p95_val"),
+        )
+        for c in columns
+    ]
+    return (
+        row.select(F.explode(F.array(*per_col)).alias("p"))
+        .select("p.*")
+        .orderBy("column_name")
+    )

@@ -91,6 +91,7 @@ _PRIORITY = [
     # driver row yet — pack these at the front of the r5 window), then
     # etl_lifecycle and q1-q28 etc. (all r3-green, unchanged) --
     "profile_orders",
+    "profile_lineitem_numeric",
     "heavy_hitter_keys",
     "split_assign_counts",
     "group_sample_per_lang",

@@ -20,6 +20,7 @@ from mbgspark.operators.profiling import (
     snapshot_diff,
     heavy_hitters,
     length_histogram,
+    profile_numeric,
     profile_table,
     split_assign,
 )
@@ -56,6 +57,36 @@ PROFILE_ORDERS_SQL = (
     " UNION ALL ".join(
         _profile_col_sql(c)
         for c in ["o_custkey", "o_orderdate", "o_orderpriority", "o_orderstatus"]
+    )
+    + " ORDER BY column_name"
+)
+
+
+def profile_lineitem_numeric(spark, sf_dir):
+    """Numeric profile of three lineitem measures: exact sort-based median
+    and p95 alongside count/null/min/max/mean, one aggregation pass."""
+    return profile_numeric(
+        _t(spark, sf_dir, "lineitem"),
+        ["l_discount", "l_extendedprice", "l_quantity"],
+    )
+
+
+def _profile_num_sql(c: str) -> str:
+    return f"""
+SELECT '{c}' AS column_name,
+       CAST(count({c}) AS BIGINT) AS n_values,
+       CAST(count(*) - count({c}) AS BIGINT) AS n_null,
+       round(min(CAST({c} AS DOUBLE)), 4) AS min_val,
+       round(max(CAST({c} AS DOUBLE)), 4) AS max_val,
+       round(avg(CAST({c} AS DOUBLE)), 4) AS avg_val,
+       round(quantile_cont(CAST({c} AS DOUBLE), 0.5), 4) AS median_val,
+       round(quantile_cont(CAST({c} AS DOUBLE), 0.95), 4) AS p95_val
+FROM lineitem"""
+
+
+PROFILE_NUMERIC_SQL = (
+    " UNION ALL ".join(
+        _profile_num_sql(c) for c in ["l_discount", "l_extendedprice", "l_quantity"]
     )
     + " ORDER BY column_name"
 )
@@ -274,6 +305,7 @@ SELECT doc_id, status FROM j WHERE status <> 'unchanged' ORDER BY doc_id
 PROFILING = {
     "contamination_embedding": (contamination_embedding, CONTAMINATION_EMBEDDING_SQL),
     "profile_orders": (profile_orders, PROFILE_ORDERS_SQL),
+    "profile_lineitem_numeric": (profile_lineitem_numeric, PROFILE_NUMERIC_SQL),
     "heavy_hitter_keys": (heavy_hitter_keys, HEAVY_HITTERS_SQL),
     "split_assign_counts": (split_assign_counts, SPLIT_ASSIGN_SQL),
     "group_sample_per_lang": (group_sample_per_lang, GROUP_SAMPLE_SQL),

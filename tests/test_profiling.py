@@ -257,3 +257,28 @@ def test_snapshot_diff_joins_hashes_not_bodies(spark):
     for exch in plan.split("Exchange")[1:]:
         first_line = exch.split("\n")[0]
         assert "text" not in first_line, first_line
+
+
+# ----------------------------------------------------- numeric profiler ----
+
+
+def test_profile_numeric_exact_percentiles(spark):
+    from mbgspark.operators.profiling import profile_numeric
+
+    df = spark.createDataFrame(
+        [(1.0,), (2.0,), (3.0,), (4.0,), (None,)], "v: double"
+    )
+    r = profile_numeric(df, ["v"]).collect()[0]
+    assert r["n_values"] == 4 and r["n_null"] == 1
+    assert r["min_val"] == 1.0 and r["max_val"] == 4.0
+    assert r["avg_val"] == 2.5
+    assert r["median_val"] == 2.5          # exact interpolated
+    assert r["p95_val"] == 3.85            # 1 + 0.95*3 interpolation
+
+
+def test_profile_numeric_single_scan(spark):
+    from mbgspark.operators.profiling import profile_numeric
+
+    df = spark.read.parquet(f"{SF}/lineitem.parquet")
+    plan = _plan(profile_numeric(df, ["l_quantity", "l_discount"]))
+    assert plan.count("FileScan parquet") == 1
