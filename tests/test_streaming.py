@@ -276,3 +276,53 @@ def test_stream_curation_gate_composes_with_dedup_and_merge(spark, tmp_path):
     rows = back.collect()
     assert [r["_id"] for r in rows] == ["1"]  # short doc gated out, dup deduped
     assert rows[0]["ws_tokens"] == 13 and rows[0]["quality_score"] >= 0.2
+
+
+def test_neardup_gate_admits_each_document_once(spark, tmp_path):
+    from mbgspark.streaming import start_neardup_gate_sink
+
+    src = tmp_path / "gate_src"
+    store = str(tmp_path / "gate_store")
+    ck = tmp_path / "gate_ck"
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    near = "quick brown fox jumps over the lazy dog near the river bank"  # 1st tok dropped
+    other = "completely unrelated text about catalyst physical plan pruning rules"
+
+    def run(batch_rows, ckpt):
+        _write_batch(src, batch_rows)
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .json(str(src))
+        )
+        q = start_neardup_gate_sink(
+            stream, store, str(ckpt), threshold=0.5, available_now=True
+        )
+        q.awaitTermination(120)
+        return sorted(r["doc_id"] for r in spark.read.parquet(store).collect())
+
+    # batch 1: doc 1 + its batch-internal near-dup 2 (lower id wins) + 3
+    got = run(
+        [
+            {"doc_id": 1, "text": base},
+            {"doc_id": 2, "text": near},
+            {"doc_id": 3, "text": other},
+        ],
+        ck / "1",
+    )
+    assert got == [1, 3]
+
+    # batch 2: near-dup of stored doc 1 is rejected, novel doc admitted
+    got = run(
+        [
+            {"doc_id": 10, "text": near},
+            {"doc_id": 11, "text": "fresh novel content with entirely new vocabulary tokens"},
+        ],
+        ck / "2",
+    )
+    assert got == [1, 3, 11]
+
+    # replay the same source with a fresh checkpoint: the store is a
+    # fixpoint of the gate (exact self-dups all rejected)
+    got = run([], ck / "3")
+    assert got == [1, 3, 11]
