@@ -268,3 +268,39 @@ def test_incremental_bucket_cap_counts_combined_population(spark):
     ).count()
     assert capped == 0
     assert uncapped == 30
+
+
+def test_incremental_indexed_mode_never_rescans_corpus(spark):
+    """With a persisted ingest-time index, a batch lookup's plan must not
+    contain a single scan of the corpus parquet — the whole corpus side
+    reads from the cached index frames."""
+    from mbgspark.operators.dedup import (
+        build_minhash_index,
+        minhash_near_dups_incremental,
+    )
+
+    corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        F.col("doc_id").alias("id"), F.col("text").alias("t")
+    )
+    bands, arrays = build_minhash_index(corpus, "id", "t")
+    bands, arrays = bands.persist(), arrays.persist()
+    try:
+        batch = spark.createDataFrame(
+            [(9_000_001, "some fresh batch document text here")], "id: long, t: string"
+        )
+        df = minhash_near_dups_incremental(
+            batch, corpus, "id", "t", corpus_index=(bands, arrays)
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # InMemoryTableScan's toString embeds the CACHED child plan (its
+        # original FileScan included), so "no FileScan substring" is not
+        # the right pin. The invariant: every parquet-scan string in the
+        # plan belongs to a cached-relation description — live rescans
+        # would make FileScan occurrences exceed InMemoryRelation ones.
+        assert plan.count("InMemoryTableScan") > 0
+        assert plan.count("FileScan parquet") == plan.count("InMemoryRelation"), (
+            "corpus parquet rescanned outside the cached index in indexed mode"
+        )
+    finally:
+        bands.unpersist()
+        arrays.unpersist()
