@@ -536,3 +536,53 @@ def embedding_contamination(
         )
         .orderBy(id_col)
     )
+
+
+# ------------------------------------------------- mixture interleave ----
+
+
+def mixture_interleave(
+    df: DataFrame,
+    domain_col: str,
+    weights_e4: dict[str, int],
+    id_col: str = "doc_id",
+    default_e4: int = 10000,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic weighted domain interleave — the ORDERING counterpart
+    of ``apply_domain_mixture`` (which decides what to keep, this decides
+    in what sequence a pretraining run consumes it): the r-th document of
+    domain d (r = md5-hash rank within the domain) gets the exact integer
+    position key ``pos_key = r * 1e8 div weight_e4(d)``, so a domain with
+    weight 0.5 contributes every 2nd slot, 0.1 every 10th — a weighted
+    round-robin with no randomness, reproducible across engines.
+
+    No global sort: pos_key is a COLUMN; the writer that materializes the
+    curriculum range-partitions on it (same discipline as
+    ``shuffle.corpus_shuffle``). The only shuffle here is the per-domain
+    rank window. Weights are e4 fixed-point integers; the arithmetic is
+    bigint-exact in Spark and any SQL oracle.
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    w = Window.partitionBy(domain_col).orderBy(h, F.col(id_col))
+    weight = F.lit(default_e4)
+    for dom in sorted(weights_e4):
+        weight = F.when(F.col(domain_col) == dom, F.lit(weights_e4[dom])).otherwise(
+            weight
+        )
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(domain_col),
+            F.row_number().over(w).cast("bigint").alias("within_rank"),
+            weight.cast("bigint").alias("__w"),
+        )
+        # true integer division (div), not float `/` + cast — the latter
+        # truncates a double and drifts from any bigint-exact oracle
+        .withColumn(
+            "pos_key", F.expr("(within_rank * 100000000) div __w").cast("bigint")
+        )
+        .drop("__w")
+    )

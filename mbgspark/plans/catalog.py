@@ -99,6 +99,7 @@ _PRIORITY = [
     "gopher_quality",
     "dedup_incremental",
     "corpus_snapshot_diff",
+    "mixture_interleave",
     "etl_lifecycle",
 ]
 

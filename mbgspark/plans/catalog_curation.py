@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from mbgspark.operators.curation import (
     contamination_flags,
+    mixture_interleave,
     domain_mixture,
     pack_sequences,
     stratified_sample,
@@ -624,6 +625,32 @@ FROM t GROUP BY shard ORDER BY shard
 """
 
 
+def mixture_interleave_plan(spark, sf_dir):
+    """Deterministic weighted curriculum interleave: down-weighted sources
+    (src1 x0.5, src2 x0.2, src3 x0.1) spread proportionally later/father
+    apart in the integer pos_key order a pretraining reader consumes."""
+    return mixture_interleave(
+        _t(spark, sf_dir, "documents"),
+        "source",
+        {"src1": 5000, "src2": 2000, "src3": 1000},
+    ).orderBy("pos_key", "source", "doc_id")
+
+
+MIXTURE_INTERLEAVE_SQL = """
+WITH r AS (
+  SELECT doc_id, source,
+         CAST(row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS within_rank,
+         CASE source WHEN 'src1' THEN 5000 WHEN 'src2' THEN 2000
+                     WHEN 'src3' THEN 1000 ELSE 10000 END AS w
+  FROM documents)
+SELECT doc_id, source, within_rank,
+       CAST((within_rank * 100000000) // w AS BIGINT) AS pos_key
+FROM r ORDER BY pos_key, source, doc_id
+"""
+
+
 CURATION = {
     "contamination_check": (contamination_check, CONTAMINATION_SQL),
     "repetition_stats": (repetition_stats, REPETITION_SQL),
@@ -638,4 +665,5 @@ CURATION = {
     "tfidf_terms": (tfidf_terms, TFIDF_SQL),
     "corpus_shuffle_shards": (corpus_shuffle_shards, SHUFFLE_SHARDS_SQL),
     "mixture_resample": (mixture_resample, MIXTURE_RESAMPLE_SQL),
+    "mixture_interleave": (mixture_interleave_plan, MIXTURE_INTERLEAVE_SQL),
 }

@@ -390,3 +390,31 @@ def test_line_filter_c4_rules(spark):
         'This line has enough words here.\nShe said "stop now please!"'
     )
     assert out[2]["n_kept_lines"] == 0 and out[2]["line_filtered_text"] == ""
+
+
+def test_mixture_interleave_spacing_and_determinism(spark):
+    from mbgspark.operators.curation import mixture_interleave
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, "heavy" if i % 2 == 0 else "light") for i in range(200)],
+        "doc_id: long, domain: string",
+    )
+    out = mixture_interleave(df, "domain", {"light": 5000}, id_col="doc_id")
+    rows = out.collect()
+    # exact integer spacing: default-weight docs every 1e4 slots, the
+    # half-weight domain every 2e4 — its r-th doc lands twice as far out
+    for r in rows:
+        w = 5000 if r["domain"] == "light" else 10000
+        assert r["pos_key"] == (r["within_rank"] * 100000000) // w
+    # partitioning-independent
+    again = mixture_interleave(
+        df.repartition(7), "domain", {"light": 5000}, id_col="doc_id"
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    # consumption order: among the first 100 slots by pos_key, the heavy
+    # domain contributes ~2x the light one
+    first = sorted(rows, key=lambda r: (r["pos_key"], r["domain"], r["doc_id"]))[:99]
+    heavy = sum(1 for r in first if r["domain"] == "heavy")
+    assert abs(heavy - 66) <= 1
