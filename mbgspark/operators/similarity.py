@@ -59,6 +59,55 @@ def brute_force_topk(
     )
 
 
+def build_ivf_index(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """The ingest-time IVF index: every corpus vector assigned to its
+    nearest centroid cell — ``(match_id, cv, cell_id)``. The ANN analog of
+    ``dedup.build_minhash_index`` and subject to the same plan reality:
+    an un-materialized assignment lineage is recomputed by every consumer
+    (per-consumer pruning defeats ReuseExchange), so production persists
+    this frame (parquet partitioned by cell_id — then a probe reads ONLY
+    its nprobe cell partitions) and passes it to ``ivf_topk`` via
+    ``corpus_index``; re-centering (new k-means centroids) is an offline
+    rebuild, exactly like a FAISS IVF retrain."""
+    cents = _centroid_table(corpus, n_cells, id_col, vec_col, centroids)
+    w_assign = Window.partitionBy("match_id").orderBy(F.desc("a_sim"), F.asc("cell_id"))
+    return (
+        corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("cv"))
+        .crossJoin(cents)
+        .withColumn("a_sim", F.round(cosine_sim(F.col("cv"), F.col("cent")), 6))
+        .withColumn("__rn", F.row_number().over(w_assign))
+        .filter(F.col("__rn") == 1)
+        .select("match_id", "cv", "cell_id")
+    )
+
+
+def _centroid_table(
+    corpus: DataFrame,
+    n_cells: int,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]] | None,
+) -> DataFrame:
+    if centroids is not None:
+        return F.broadcast(
+            corpus.sparkSession.createDataFrame(
+                [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+                "cell_id int, cent array<double>",
+            )
+        )
+    return F.broadcast(
+        corpus.orderBy(id_col).limit(n_cells).select(
+            F.col(id_col).alias("cell_id"), F.col(vec_col).alias("cent")
+        )
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -68,6 +117,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: list[list[float]] | None = None,
+    corpus_index: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k via IVF cells.
 
@@ -81,29 +131,16 @@ def ivf_topk(
     true neighbors concentrate in fewer probed cells, which is where IVF
     recall comes from at a fixed nprobe. Assignment and probing are
     broadcast joins against the tiny centroid table; the candidate join is
-    an equi-join on cell id."""
-    if centroids is not None:
-        cents = F.broadcast(
-            corpus.sparkSession.createDataFrame(
-                [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
-                "cell_id int, cent array<double>",
-            )
-        )
-    else:
-        cents = F.broadcast(
-            corpus.orderBy(id_col).limit(n_cells).select(
-                F.col(id_col).alias("cell_id"), F.col(vec_col).alias("cent")
-            )
-        )
-    # corpus → nearest cell (top-1 by cosine)
-    w_assign = Window.partitionBy("match_id").orderBy(F.desc("a_sim"), F.asc("cell_id"))
+    an equi-join on cell id. Pass ``corpus_index`` (a materialized
+    ``build_ivf_index`` frame) to skip corpus assignment entirely — the
+    same ingest-time-index contract as incremental dedup; centroids must
+    then match the ones the index was built with."""
+    cents = _centroid_table(corpus, n_cells, id_col, vec_col, centroids)
+    # corpus → nearest cell (top-1 by cosine), or the prebuilt index
     assigned = (
-        corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("cv"))
-        .crossJoin(cents)
-        .withColumn("a_sim", F.round(cosine_sim(F.col("cv"), F.col("cent")), 6))
-        .withColumn("__rn", F.row_number().over(w_assign))
-        .filter(F.col("__rn") == 1)
-        .select("match_id", "cv", "cell_id")
+        corpus_index
+        if corpus_index is not None
+        else build_ivf_index(corpus, n_cells, id_col, vec_col, centroids)
     )
     # query → nprobe nearest cells
     w_probe = Window.partitionBy("query_id").orderBy(F.desc("p_sim"), F.asc("cell_id"))

