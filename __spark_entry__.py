@@ -1,17 +1,21 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 entry()      — flagship §3.1 ETL lifecycle on sf0.001.
-queries()    — 85 catalog queries: SURVEY.md §2.11 core (q1–q28), the
+queries()    — 108 catalog queries: SURVEY.md §2.11 core (q1–q28), the
                warehouse join suite, the LLM-data-pipeline suite (dedup /
                similarity / text analysis / multimodal plumbing), the
                corpus-curation suite (decontamination, repetition filters,
                PII redaction, stratified sampling, sequence packing,
-               n-gram stats, domain mixture), the full 602-term location
-               dictionary, k-means, and the reprocess idempotence
-               invariant. ALL 85 carry DuckDB oracles.
-               Ordered by verification priority: entries the round-1 gate
-               never checked come first (the driver checks the first 50);
-               q1–q28 — fully green in CORRECTNESS_r01 — rotate last.
+               n-gram stats, domain mixture/resample/interleave), the
+               profiling/diagnostics suite (column + numeric profilers,
+               heavy hitters, splits, samples, histograms, snapshot diff,
+               embedding decontamination, Gopher gate, incremental
+               dedup), the full 602-term location dictionary, k-means,
+               and the reprocess idempotence invariant. ALL 108 carry
+               DuckDB oracles.
+               Ordered by verification priority (the driver checks the
+               first 50): see mbgspark/plans/catalog.py for the round-4
+               window packing rationale.
 oracle_sql() — matching DuckDB SQL per query.
 
 Implementation lives in the ``mbgspark`` package.

@@ -509,7 +509,10 @@ def embedding_contamination(
     JVM-side codegen, no Python), then max-reduced per corpus id. The
     groupBy's map-side partial collapses the |bench| scores per id inside
     the scan partition, so the shuffle carries ONE narrow row per corpus
-    vector. The corpus is never self-joined and never collected.
+    vector. The corpus is never self-joined and never collected. An
+    EMPTY benchmark yields an empty result (inner cross join), not
+    all-clean rows — callers should treat "no benchmark" as "skip the
+    check", not call this with zero bench rows.
     """
     from mbgspark.operators.dedup import cosine_sim
 
@@ -565,6 +568,12 @@ def mixture_interleave(
     """
     from pyspark.sql import Window
 
+    if default_e4 <= 0 or any(w <= 0 for w in weights_e4.values()):
+        raise ValueError(
+            "mixture_interleave weights must be positive e4 integers; "
+            "drop a domain entirely with apply_domain_mixture/stratified_sample "
+            "instead of weighting it 0"
+        )
     h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
     w = Window.partitionBy(domain_col).orderBy(h, F.col(id_col))
     weight = F.lit(default_e4)

@@ -440,7 +440,11 @@ def minhash_near_dups_incremental(
 
     Output: (id_a, id_b, jaccard, match_source) with id_a always a batch
     doc; match_source is 'corpus' (id_b in corpus) or 'batch' (batch-
-    internal pair, id_a < id_b). Batch and corpus ids must be disjoint.
+    internal pair, id_a < id_b). Ids SHOULD be disjoint across sides;
+    an id present in both pairs with itself (jaccard 1.0) and is
+    reported as a corpus match — the streaming near-dup gate relies on
+    exactly this for replay idempotence (a re-delivered doc matches its
+    stored copy and is rejected).
 
     Shape: both sides get the same shingle -> packed-signature lineage as
     ``minhash_near_dups``; candidate generation joins BATCH band rows

@@ -42,7 +42,9 @@ def profile_table(df: DataFrame, columns: list[str]) -> DataFrame:
     ``count(DISTINCT)`` aggregates compile to Spark's Expand operator — a
     single pass with a ×(k+1) row expansion, all map-side partial — not k
     separate scans. avg_len is emitted as an exact e2 fixed-point integer
-    (mean chars ×100, half-up) so the hash can't float-drift.
+    (mean chars ×100, half-up) so the hash can't float-drift. Column
+    names feed internal aliases — pass simple identifiers, not
+    expressions or dotted paths.
     """
     aggs = [F.count(F.lit(1)).alias("__rows")]
     for c in columns:
