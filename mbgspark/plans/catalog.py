@@ -54,7 +54,27 @@ _PRIORITY = [
     "kmeans_clusters",
     "contamination_check",
     "multimodal_features",
-    *JOINS.keys(),  # 17 warehouse-join queries
+    # the 17 r2-checked warehouse-join queries, pinned BY NAME: JOINS
+    # grew six new TPC-H shapes later this round, and splatting
+    # JOINS.keys() would silently push the round's new entries past the
+    # 50-row driver window
+    "shipping_priority_top10",
+    "region_nation_revenue",
+    "cube_flag_status",
+    "dod_order_delta",
+    "customer_period_sets",
+    "big_spenders_vs_avg",
+    "exists_shipped_priority",
+    "cust_order_histogram",
+    "spend_quartiles",
+    "daily_gapfill",
+    "top3_orders_per_segment",
+    "segment_revenue_share",
+    "pricing_summary",
+    "forecast_revenue",
+    "grouping_sets_status",
+    "returned_item_customers",
+    "promo_revenue_share",
     "trend_moving_avg",
     "percentile_by_status",
     "grouped_string_agg",
@@ -100,6 +120,12 @@ _PRIORITY = [
     "dedup_incremental",
     "corpus_snapshot_diff",
     "mixture_interleave",
+    "volume_shipping",
+    "market_share",
+    "small_qty_revenue",
+    "large_orders",
+    "disjunctive_part_revenue",
+    "trailing_30d_revenue",
     "etl_lifecycle",
 ]
 

@@ -763,6 +763,271 @@ WHERE l_shipdate >= '1996-09-01' AND l_shipdate < '1996-10-01'
 """
 
 
+# ------------------------------------------------------------ TPC-H Q7 ----
+def volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: bilateral trade volume between a nation pair by
+    ship year — lineitem⋈orders shuffle with supplier/customer/nation(×2)
+    all broadcast; the OR-of-pairs predicate evaluates after the two
+    nation hops, everything else pushes to the scans."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+VOLUME_SHIPPING_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+  AND l_shipdate >= '1996-01-01' AND l_shipdate < '1998-01-01'
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+# ------------------------------------------------------------ TPC-H Q8 ----
+def market_share(spark, sf_dir):
+    """TPC-H Q8 shape: NATION_1's share of ASIA-region PROMO-part revenue
+    by order year — numerator and denominator in ONE conditional
+    aggregate pass over the joined fact, all dims broadcast."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    n_s = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    n_c = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_regionkey").alias("c_regionkey")
+    )
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = _revenue()
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n_s), F.col("s_nationkey") == F.col("ns_key"))
+        .join(F.broadcast(n_c), F.col("c_nationkey") == F.col("nc_key"))
+        .join(F.broadcast(r), F.col("c_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_1", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+MARKET_SHARE_SQL = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       round(sum(CASE WHEN n1.n_name = 'NATION_1'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS mkt_share
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+JOIN region   ON n2.n_regionkey = r_regionkey
+WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+  AND o_orderdate >= '1996-01-01' AND o_orderdate < '1998-01-01'
+GROUP BY 1 ORDER BY 1
+"""
+
+
+# ----------------------------------------------------------- TPC-H Q17 ---
+def small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: revenue from lineitems under half their part's
+    average quantity — the correlated scalar subquery decorrelated into a
+    per-part aggregate joined back to the fact (broadcast: one row per
+    part)."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#4")
+    part_avg = l.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.avg("l_quantity").alias("aq")
+    )
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(part_avg), F.col("l_partkey") == F.col("pk"))
+        .filter(F.col("l_quantity") < 0.5 * F.col("aq"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).cast("bigint").alias("n_small"),
+        )
+    )
+
+
+SMALL_QTY_SQL = """
+WITH pa AS (SELECT l_partkey AS pk, avg(l_quantity) AS aq FROM lineitem GROUP BY 1)
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+       CAST(count(*) AS BIGINT) AS n_small
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN pa   ON pk = l_partkey
+WHERE p_brand = 'Brand#4' AND l_quantity < 0.5 * aq
+"""
+
+
+# ----------------------------------------------------------- TPC-H Q18 ---
+def large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: orders whose total quantity exceeds 300 — the
+    HAVING subquery is the same lineitem aggregate the outer query needs,
+    so it is computed once and semi-reused as the join input."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    return (
+        big.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.round("total_qty", 2).alias("total_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+    )
+
+
+LARGE_ORDERS_SQL = """
+WITH big AS (
+  SELECT l_orderkey, sum(l_quantity) AS total_qty
+  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 300
+)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       round(total_qty, 2) AS total_qty
+FROM big
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+"""
+
+
+# ----------------------------------------------------------- TPC-H Q19 ---
+def disjunctive_part_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: OR-of-conjuncts across the join — the common
+    l_partkey = p_partkey equi-join stays a hash join and the per-branch
+    brand/size/quantity predicates evaluate post-join; per-column ranges
+    that hold across ALL branches still push to the scans."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    b1 = (
+        (F.col("p_brand") == "Brand#4")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    )
+    b2 = (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 30)
+    )
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(b1 | b2)
+        .agg(
+            F.round(F.sum(_revenue()), 2).alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        )
+    )
+
+
+DISJUNCTIVE_SQL = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+       AND l_quantity BETWEEN 10 AND 30)
+"""
+
+
+# ------------------------------------------------- RANGE-frame window -----
+def trailing_30d_revenue(spark, sf_dir):
+    """Time-RANGE window frame (not ROWS): per-customer trailing-30-day
+    order revenue — the frame is defined by the timestamp interval, so
+    ties and gaps behave identically however rows are batched. Bounded:
+    the window partitions by customer and sorts only each customer's
+    orders."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 20)
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.expr(
+                "round(sum(o_totalprice) OVER ("
+                "PARTITION BY o_custkey ORDER BY o_orderdate "
+                "RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW), 2)"
+            ).alias("trailing_30d"),
+        )
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    )
+
+
+TRAILING_30D_SQL = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       round(sum(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate
+         RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW), 2)
+         AS trailing_30d
+FROM orders
+WHERE o_custkey < 20
+ORDER BY o_custkey, o_orderdate, o_orderkey
+"""
+
+
 JOINS: dict[str, tuple] = {
     "shipping_priority_top10": (shipping_priority_top10, SHIPPING_PRIORITY_SQL),
     "region_nation_revenue": (region_nation_revenue, REGION_NATION_SQL),
@@ -781,4 +1046,10 @@ JOINS: dict[str, tuple] = {
     "grouping_sets_status": (grouping_sets_status, GROUPING_SETS_SQL),
     "returned_item_customers": (returned_item_customers, RETURNED_CUSTOMERS_SQL),
     "promo_revenue_share": (promo_revenue_share, PROMO_SHARE_SQL),
+    "volume_shipping": (volume_shipping, VOLUME_SHIPPING_SQL),
+    "market_share": (market_share, MARKET_SHARE_SQL),
+    "small_qty_revenue": (small_qty_revenue, SMALL_QTY_SQL),
+    "large_orders": (large_orders, LARGE_ORDERS_SQL),
+    "disjunctive_part_revenue": (disjunctive_part_revenue, DISJUNCTIVE_SQL),
+    "trailing_30d_revenue": (trailing_30d_revenue, TRAILING_30D_SQL),
 }

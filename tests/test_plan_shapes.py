@@ -329,3 +329,46 @@ def test_minhash_bucket_cap_stays_cheap_and_equijoin(spark):
     # uncapped plan has no Window either, so the whole pipeline stays
     # window-free
     assert "Window" not in pc and "Window" not in pu
+
+
+def test_dedup_incremental_stays_equijoin(spark):
+    # candidate generation is a band-bucket equi-join: a regression to a
+    # cartesian/nested-loop pairing would be quadratic in the corpus
+    plan = plan_of(spark, "dedup_incremental")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mixture_interleave_one_window_no_global_sort(spark):
+    # one rank window partitioned by source; pos_key is a column, so the
+    # only unpartitioned sort is the catalog query's own output orderBy
+    plan = plan_of(spark, "mixture_interleave")
+    assert plan.count("Window") == 1
+    assert "windowspecdefinition(source" in plan
+
+
+def test_snapshot_diff_full_outer_on_hashes(spark):
+    plan = plan_of(spark, "corpus_snapshot_diff")
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_volume_shipping_all_dims_broadcast(spark):
+    plan = plan_of(spark, "volume_shipping")
+    # supplier/customer/nation×2 all broadcast; the one shuffle join is
+    # lineitem⋈orders
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+
+
+def test_trailing_30d_is_range_frame_partitioned(spark):
+    plan = plan_of(spark, "trailing_30d_revenue")
+    assert "RangeFrame" in plan and "INTERVAL '-30' DAY" in plan
+    assert "windowspecdefinition(o_custkey" in plan
+
+
+def test_large_orders_single_lineitem_agg(spark):
+    # the HAVING subquery IS the outer aggregate — lineitem scanned once
+    plan = plan_of(spark, "large_orders")
+    assert plan.count("FileScan parquet") <= 3  # lineitem + orders + customer
