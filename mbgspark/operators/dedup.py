@@ -827,3 +827,28 @@ def embedding_near_dups(
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+def mask_spans(
+    df: DataFrame,
+    spans: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "masked_text",
+) -> DataFrame:
+    """Exact-substring dedup TRANSFORMATION (Lee et al. 2021 §4): remove
+    every occurrence of the given duplicated spans from each document.
+    ``spans`` is the bounded output of ``duplicated_spans`` (top-k by doc
+    frequency — a model parameter, same contract as k-means centroids),
+    applied longest-first so an overlapping shorter span cannot break a
+    longer one before it is removed, then whitespace is re-collapsed.
+
+    Row-local: the span list compiles into a chain of replace() calls in
+    ONE codegen'd projection — zero shuffles, zero UDFs, linear at any
+    corpus size. Masking is on lower(trim(text)) — the same normalized
+    surface the span mining runs on."""
+    expr = F.lower(F.trim(F.col(text_col)))
+    for s in sorted(spans, key=len, reverse=True):
+        expr = F.replace(expr, F.lit(s), F.lit(" "))
+    expr = F.trim(F.regexp_replace(expr, r"\s+", " "))
+    return df.withColumn(out_col, expr)

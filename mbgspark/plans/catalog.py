@@ -126,6 +126,7 @@ _PRIORITY = [
     "large_orders",
     "disjunctive_part_revenue",
     "trailing_30d_revenue",
+    "dup_span_report",
     "etl_lifecycle",
 ]
 

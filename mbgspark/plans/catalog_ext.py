@@ -1708,6 +1708,50 @@ def _kmeans_sql(k: int = 8, iterations: int = 3, dims: int = 64) -> str:
 KMEANS_SQL = _kmeans_sql()
 
 
+
+
+def dup_span_report(spark, sf_dir):
+    """Per-document exact-substring duplication report: which of the
+    corpus's top-50 duplicated 6-word spans each document contains —
+    the doc-level accounting that drives span masking (mask_spans). The
+    top-span list is bounded (model parameter); the per-doc containment
+    join is the shingle explode against that broadcast list."""
+    corpus = _dup_corpus(spark, sf_dir)
+    top = dd.duplicated_spans(corpus, "id", "t", k=6, min_docs=2, top=50).select("span")
+    sh = dd.with_word_shingles(corpus, "id", "t", k=6, out="span")
+    return (
+        sh.join(F.broadcast(top), "span")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_dup_spans"),
+            F.concat_ws("|", F.array_sort(F.collect_list("span"))).alias("spans"),
+        )
+        .orderBy("id")
+    )
+
+
+_SPAN6_REPORT = _SPAN6  # same 6-word span construction as dup_spans
+
+DUP_SPAN_REPORT_SQL = f"""
+WITH unioned AS ({DUP_SQL_UNION}),
+toks AS (SELECT id, string_split_regex(t, '\\s+') AS tk FROM unioned),
+sh AS (
+  SELECT DISTINCT id, {_SPAN6_REPORT} AS span
+  FROM toks, LATERAL unnest(generate_series(1, greatest(len(tk) - 5, 1))) AS g(i)
+  WHERE {_SPAN6_REPORT} <> ''
+),
+agg AS (
+  SELECT span, count(*) AS n_docs
+  FROM sh GROUP BY span HAVING count(*) >= 2
+),
+top AS (SELECT span FROM agg ORDER BY n_docs DESC, span LIMIT 50)
+SELECT id, CAST(count(*) AS BIGINT) AS n_dup_spans,
+       array_to_string(list_sort(list(span ORDER BY span)), '|') AS spans
+FROM sh JOIN top USING (span)
+GROUP BY id ORDER BY id
+"""
+
+
 EXT: dict[str, tuple] = {
     "curate_corpus": (curate_corpus, CURATE_SQL),
     "chunk_windows": (chunk_windows, CHUNK_WINDOWS_SQL),
@@ -1721,6 +1765,7 @@ EXT: dict[str, tuple] = {
     "dedup_incremental": (dedup_incremental, DEDUP_INCREMENTAL_SQL),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
     "dup_spans": (dup_spans, DUP_SPANS_SQL),
+    "dup_span_report": (dup_span_report, DUP_SPAN_REPORT_SQL),
     "dedup_simhash_pairs": (dedup_simhash_pairs, DEDUP_SIMHASH_PAIRS_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
     "dedup_semantic_keep_best": (dedup_semantic_keep_best, DEDUP_KEEP_BEST_SQL),

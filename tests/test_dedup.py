@@ -304,3 +304,38 @@ def test_incremental_indexed_mode_never_rescans_corpus(spark):
     finally:
         bands.unpersist()
         arrays.unpersist()
+
+
+def test_mask_spans_removes_boilerplate_longest_first(spark):
+    from mbgspark.operators.dedup import mask_spans
+
+    df = spark.createDataFrame(
+        [
+            (1, "INTRO the shared legal disclaimer text END unique tail one"),
+            (2, "the shared legal disclaimer text END and another body"),
+            (3, "nothing duplicated in here at all"),
+        ],
+        "doc_id: long, text: string",
+    )
+    spans = [
+        "the shared legal disclaimer text end",      # longer span
+        "shared legal disclaimer",                    # overlapping shorter
+    ]
+    out = {r["doc_id"]: r["masked_text"] for r in mask_spans(df, spans).collect()}
+    assert out[1] == "intro unique tail one"
+    assert out[2] == "and another body"
+    assert out[3] == "nothing duplicated in here at all"
+    # longest-first: the long span was removed intact, so the shorter
+    # overlapping one never split it
+    assert "disclaimer" not in out[1] and "disclaimer" not in out[2]
+
+
+def test_mask_spans_is_row_local(spark):
+    from mbgspark.operators.dedup import mask_spans
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        mask_spans(df, ["some span here", "another span"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
