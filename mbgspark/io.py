@@ -181,6 +181,47 @@ def write_partitioned(
     )
 
 
+def compact_store(
+    spark: SparkSession,
+    path: str,
+    partition_col: str = "event_date",
+    max_records_per_file: int = 5_000_000,
+) -> int:
+    """Store maintenance: rewrite a partitioned parquet store so every
+    partition holds one file per ``max_records_per_file`` records —
+    undoing small-files accumulation from months of incremental
+    ``mode=append`` batches (each append leaves one-file-per-task; a 100 TB
+    store appended daily reads thousands of tiny footers per partition
+    until compacted). Returns the number of files after compaction.
+
+    The rewrite goes through a temp sibling directory then an atomic-ish
+    rename (a reader mid-swap sees the old store or the new one, not a
+    half-written mix); partition values are preserved exactly. Run this
+    from the maintenance window of an ingest pipeline, not per-batch —
+    per-batch compaction is write amplification.
+    """
+    import os
+    import shutil
+
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "__compact_tmp"
+    (
+        df.repartition(partition_col)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", str(max_records_per_file))
+        .partitionBy(partition_col)
+        .parquet(tmp)
+    )
+    old = path.rstrip("/") + "__compact_old"
+    shutil.move(path, old)
+    shutil.move(tmp, path)
+    shutil.rmtree(old)
+    n = 0
+    for root, _dirs, files in os.walk(path):
+        n += sum(1 for f in files if f.endswith(".parquet"))
+    return n
+
+
 def merge_by_key(
     existing: DataFrame,
     updates: DataFrame,

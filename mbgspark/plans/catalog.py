@@ -127,6 +127,7 @@ _PRIORITY = [
     "disjunctive_part_revenue",
     "trailing_30d_revenue",
     "dup_span_report",
+    "window_rank_features",
     "etl_lifecycle",
 ]
 

@@ -1028,6 +1028,51 @@ ORDER BY o_custkey, o_orderdate, o_orderkey
 """
 
 
+# --------------------------------------------- window rank features -------
+def window_rank_features(spark, sf_dir):
+    """Ranking-function breadth in one partitioned pass: percent_rank,
+    cume_dist, quartile ntile, and the 2nd-highest order value per
+    priority class — one Window sort per partition, no global sort
+    (output ordering is the catalog's own orderBy)."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_orderpriority",
+            "o_orderkey",
+            "o_totalprice",
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            F.ntile(4).over(w).cast("bigint").alias("quartile"),
+            F.nth_value("o_totalprice", 2).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ).alias("second_highest"),
+        )
+        .orderBy("o_orderpriority", F.desc("o_totalprice"), "o_orderkey")
+    )
+
+
+WINDOW_RANK_SQL = """
+SELECT o_orderpriority, o_orderkey, o_totalprice,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+       nth_value(o_totalprice, 2) OVER (
+         PARTITION BY o_orderpriority
+         ORDER BY o_totalprice DESC, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_highest
+FROM orders
+WHERE o_custkey < 50
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice DESC, o_orderkey)
+ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey
+"""
+
+
 JOINS: dict[str, tuple] = {
     "shipping_priority_top10": (shipping_priority_top10, SHIPPING_PRIORITY_SQL),
     "region_nation_revenue": (region_nation_revenue, REGION_NATION_SQL),
@@ -1052,4 +1097,5 @@ JOINS: dict[str, tuple] = {
     "large_orders": (large_orders, LARGE_ORDERS_SQL),
     "disjunctive_part_revenue": (disjunctive_part_revenue, DISJUNCTIVE_SQL),
     "trailing_30d_revenue": (trailing_30d_revenue, TRAILING_30D_SQL),
+    "window_rank_features": (window_rank_features, WINDOW_RANK_SQL),
 }

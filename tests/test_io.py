@@ -159,3 +159,32 @@ def test_csv_roundtrip_with_schema_and_complex_guard(spark, tmp_path):
 
     with pytest.raises(ValueError, match="complex columns"):
         write_csv(d.withColumn("arr", F.array("id")), str(tmp_path / "bad"))
+
+
+def test_compact_store_reduces_files_preserves_rows(spark, tmp_path):
+    import os
+
+    from mbgspark.io import compact_store
+
+    store = str(tmp_path / "frag_store")
+    # simulate months of appends: 6 small batches -> many files per partition
+    for b in range(6):
+        (
+            spark.range(b * 100, (b + 1) * 100)
+            .selectExpr(
+                "id", "CAST(date_add('2025-01-01', CAST(id % 3 AS INT)) AS STRING) AS event_date"
+            )
+            .repartition(4)
+            .write.mode("append")
+            .partitionBy("event_date")
+            .parquet(store)
+        )
+    before = sum(
+        1 for _, _, fs in os.walk(store) for f in fs if f.endswith(".parquet")
+    )
+    rows_before = sorted(r["id"] for r in spark.read.parquet(store).collect())
+    after = compact_store(spark, store, "event_date")
+    rows_after = sorted(r["id"] for r in spark.read.parquet(store).collect())
+    assert rows_after == rows_before
+    assert after <= 3  # one file per partition
+    assert after < before
