@@ -128,6 +128,7 @@ _PRIORITY = [
     "trailing_30d_revenue",
     "dup_span_report",
     "window_rank_features",
+    "quality_by_domain",
     "etl_lifecycle",
 ]
 

@@ -302,6 +302,61 @@ SELECT doc_id, status FROM j WHERE status <> 'unchanged' ORDER BY doc_id
 """
 
 
+# ------------------------------------------- quality reasons by domain --
+
+
+def quality_by_domain(spark, sf_dir):
+    """Per-source curation accounting: how many docs each Gopher rule
+    drops in each source — the dashboard a 100 TB curation run watches to
+    catch a crawler or domain gone bad. One gate pass + one explode of
+    the (tiny) per-doc reason list + one hash aggregate."""
+    d = _t(spark, sf_dir, "documents")
+    gated = gopher_quality_filter(d, "doc_id", "text")
+    joined = gated.join(d.select("doc_id", "source"), "doc_id")
+    return (
+        joined.filter(F.col("keep") == 0)
+        .select(
+            "source",
+            F.explode(F.split("drop_reasons", ";")).alias("reason"),
+        )
+        .groupBy("source", "reason")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .orderBy("source", "reason")
+    )
+
+
+QUALITY_BY_DOMAIN_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         string_split_regex(lower(trim(text)), '\\s+') AS tk,
+         length(trim(text)) AS n_chars
+  FROM documents),
+r AS (
+  SELECT doc_id, n_chars,
+         len(tk) AS n_tokens,
+         len(list_filter(tk, x -> x IN ('the','a','of','and','to'))) AS stop_hits,
+         len(list_filter(tk, x -> regexp_matches(x, '[a-z]'))) AS alpha_words
+  FROM t),
+f AS (
+  SELECT doc_id,
+         list_sort(list_filter([
+           CASE WHEN n_tokens < 5 THEN 'too_few_tokens' END,
+           CASE WHEN n_tokens > 100000 THEN 'too_many_tokens' END,
+           CASE WHEN n_chars * 10 < 30 * n_tokens THEN 'mean_word_len_low' END,
+           CASE WHEN n_chars * 10 > 120 * n_tokens THEN 'mean_word_len_high' END,
+           CASE WHEN stop_hits < 1 THEN 'too_few_stopwords' END,
+           CASE WHEN alpha_words * 10000 < 6000 * n_tokens THEN 'low_alpha_ratio' END
+         ], x -> x IS NOT NULL)) AS reasons
+  FROM r),
+x AS (
+  SELECT d.source, unnest(f.reasons) AS reason
+  FROM f JOIN documents d USING (doc_id)
+  WHERE len(f.reasons) > 0)
+SELECT source, reason, CAST(count(*) AS BIGINT) AS cnt
+FROM x GROUP BY source, reason ORDER BY source, reason
+"""
+
+
 PROFILING = {
     "contamination_embedding": (contamination_embedding, CONTAMINATION_EMBEDDING_SQL),
     "profile_orders": (profile_orders, PROFILE_ORDERS_SQL),
@@ -312,4 +367,5 @@ PROFILING = {
     "doc_length_histogram": (doc_length_histogram, LENGTH_HISTOGRAM_SQL),
     "gopher_quality": (gopher_quality, GOPHER_QUALITY_SQL),
     "corpus_snapshot_diff": (corpus_snapshot_diff, SNAPSHOT_DIFF_SQL),
+    "quality_by_domain": (quality_by_domain, QUALITY_BY_DOMAIN_SQL),
 }
