@@ -129,6 +129,7 @@ _PRIORITY = [
     "dup_span_report",
     "window_rank_features",
     "quality_by_domain",
+    "curate_corpus_v2",
     "etl_lifecycle",
 ]
 

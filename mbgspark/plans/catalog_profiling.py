@@ -357,6 +357,69 @@ FROM x GROUP BY source, reason ORDER BY source, reason
 """
 
 
+# ------------------------------------------ curation pipeline v2 --------
+
+
+def curate_corpus_v2(spark, sf_dir):
+    """End-to-end curation with the round's new ops in ONE lineage:
+    Gopher gate -> exact dedup (md5 fingerprint, keep lowest id) ->
+    deterministic train/val/test split -> per-split doc/char accounting.
+    The batch pipeline a pretraining run executes before tokenization;
+    every stage is the already-oracled operator, composed."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    gated = gopher_quality_filter(d, "doc_id", "text").filter(F.col("keep") == 1)
+    kept = d.join(gated.select("doc_id"), "doc_id")
+    w = Window.partitionBy(F.md5(F.lower(F.trim("text")))).orderBy("doc_id")
+    uniq = kept.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") == 1
+    )
+    split = split_assign(uniq, "doc_id")
+    return (
+        split.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.length(F.trim("text"))).cast("bigint").alias("n_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+CURATE_V2_SQL = f"""
+WITH t AS (
+  SELECT doc_id, text,
+         string_split_regex(lower(trim(text)), '\\s+') AS tk,
+         length(trim(text)) AS n_chars
+  FROM documents),
+r AS (
+  SELECT doc_id, text, n_chars,
+         len(tk) AS n_tokens,
+         len(list_filter(tk, x -> x IN ('the','a','of','and','to'))) AS stop_hits,
+         len(list_filter(tk, x -> regexp_matches(x, '[a-z]'))) AS alpha_words
+  FROM t),
+keepers AS (
+  SELECT doc_id, text, n_chars FROM r
+  WHERE NOT (n_tokens < 5 OR n_tokens > 100000
+             OR n_chars * 10 < 30 * n_tokens OR n_chars * 10 > 120 * n_tokens
+             OR stop_hits < 1 OR alpha_words * 10000 < 6000 * n_tokens)),
+uniq AS (
+  SELECT doc_id, n_chars,
+         row_number() OVER (PARTITION BY md5(lower(trim(text)))
+                            ORDER BY doc_id) AS rn
+  FROM keepers),
+assigned AS (
+  SELECT doc_id, n_chars,
+         CASE WHEN {_SPLIT_BUCKET} < 'e666' THEN 'train'
+              WHEN {_SPLIT_BUCKET} < 'f333' THEN 'val'
+              ELSE 'test' END AS split
+  FROM uniq WHERE rn = 1)
+SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars
+FROM assigned GROUP BY split ORDER BY split
+"""
+
+
 PROFILING = {
     "contamination_embedding": (contamination_embedding, CONTAMINATION_EMBEDDING_SQL),
     "profile_orders": (profile_orders, PROFILE_ORDERS_SQL),
@@ -368,4 +431,5 @@ PROFILING = {
     "gopher_quality": (gopher_quality, GOPHER_QUALITY_SQL),
     "corpus_snapshot_diff": (corpus_snapshot_diff, SNAPSHOT_DIFF_SQL),
     "quality_by_domain": (quality_by_domain, QUALITY_BY_DOMAIN_SQL),
+    "curate_corpus_v2": (curate_corpus_v2, CURATE_V2_SQL),
 }
