@@ -846,7 +846,10 @@ def mask_spans(
     Row-local: the span list compiles into a chain of replace() calls in
     ONE codegen'd projection — zero shuffles, zero UDFs, linear at any
     corpus size. Masking is on lower(trim(text)) — the same normalized
-    surface the span mining runs on."""
+    surface the span mining runs on. NOT idempotent by construction: the
+    whitespace collapse can butt two fragments into a fresh occurrence
+    ('a a b b' with span 'a b' → 'a b'); run a second mine+mask round if
+    residual spans matter, exactly like chained str.replace would."""
     expr = F.lower(F.trim(F.col(text_col)))
     for s in sorted(spans, key=len, reverse=True):
         expr = F.replace(expr, F.lit(s), F.lit(" "))

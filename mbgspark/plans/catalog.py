@@ -130,6 +130,7 @@ _PRIORITY = [
     "window_rank_features",
     "quality_by_domain",
     "curate_corpus_v2",
+    "outlier_orders",
     "etl_lifecycle",
 ]
 

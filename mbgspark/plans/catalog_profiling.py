@@ -357,6 +357,64 @@ FROM x GROUP BY source, reason ORDER BY source, reason
 """
 
 
+# ---------------------------------------------------- outlier report ----
+
+
+def outlier_orders(spark, sf_dir):
+    """Extreme-value report per order-priority class: orders above their
+    class's exact p99, with the distance above it and a classic Tukey
+    1.5-IQR flag (informative on skewed real data; uniform synthetic data
+    has none, which the flag makes visible instead of silently emptying
+    the report). Per-class quantiles are a bounded aggregate (one row per
+    class) broadcast back onto the fact."""
+    o = _t(spark, sf_dir, "orders")
+    fences = (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.expr("percentile(o_totalprice, 0.25)").alias("__q1"),
+            F.expr("percentile(o_totalprice, 0.75)").alias("__q3"),
+            F.expr("percentile(o_totalprice, 0.99)").alias("__p99"),
+        )
+        .select(
+            "o_orderpriority",
+            F.col("__p99"),
+            (F.col("__q3") + 1.5 * (F.col("__q3") - F.col("__q1"))).alias("__tukey"),
+        )
+    )
+    return (
+        o.join(F.broadcast(fences), "o_orderpriority")
+        .filter(F.col("o_totalprice") > F.col("__p99"))
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            "o_totalprice",
+            F.round(F.col("o_totalprice") - F.col("__p99"), 2).alias("above_p99"),
+            (F.col("o_totalprice") > F.col("__tukey")).cast("bigint").alias(
+                "is_tukey_outlier"
+            ),
+        )
+        .orderBy("o_orderpriority", F.desc("o_totalprice"), "o_orderkey")
+    )
+
+
+OUTLIER_ORDERS_SQL = """
+WITH fences AS (
+  SELECT o_orderpriority,
+         quantile_cont(o_totalprice, 0.99) AS p99,
+         quantile_cont(o_totalprice, 0.75)
+           + 1.5 * (quantile_cont(o_totalprice, 0.75)
+                    - quantile_cont(o_totalprice, 0.25)) AS tukey
+  FROM orders GROUP BY o_orderpriority)
+SELECT o.o_orderpriority, o_orderkey, o_totalprice,
+       round(o_totalprice - p99, 2) AS above_p99,
+       CAST(CASE WHEN o_totalprice > tukey THEN 1 ELSE 0 END AS BIGINT)
+         AS is_tukey_outlier
+FROM orders o JOIN fences f ON o.o_orderpriority = f.o_orderpriority
+WHERE o_totalprice > p99
+ORDER BY 1, o_totalprice DESC, o_orderkey
+"""
+
+
 # ------------------------------------------ curation pipeline v2 --------
 
 
@@ -432,4 +490,5 @@ PROFILING = {
     "corpus_snapshot_diff": (corpus_snapshot_diff, SNAPSHOT_DIFF_SQL),
     "quality_by_domain": (quality_by_domain, QUALITY_BY_DOMAIN_SQL),
     "curate_corpus_v2": (curate_corpus_v2, CURATE_V2_SQL),
+    "outlier_orders": (outlier_orders, OUTLIER_ORDERS_SQL),
 }

@@ -106,3 +106,72 @@ def test_line_filter_is_idempotent_fixpoint(spark):
         & (F.col("text") != "")
     ).count()
     assert bad == 0
+
+
+@given(
+    ids=st.lists(st.integers(min_value=0, max_value=10**12), min_size=1,
+                 max_size=12, unique=True)
+)
+@SETTINGS
+def test_split_assign_total_function(spark, ids):
+    """Every row gets exactly one split, and the assignment of an id never
+    depends on which other ids are present (corpus-growth stability)."""
+    from mbgspark.operators.profiling import split_assign
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id: long")
+    rows = {r["doc_id"]: r["split"] for r in split_assign(df, "doc_id").collect()}
+    assert set(rows) == set(ids)
+    assert set(rows.values()) <= {"train", "val", "test"}
+    # stability: each id alone gets the same split as in the batch
+    solo = {
+        r["doc_id"]: r["split"]
+        for r in split_assign(
+            spark.createDataFrame([(ids[0],)], "doc_id: long"), "doc_id"
+        ).collect()
+    }
+    assert solo[ids[0]] == rows[ids[0]]
+
+
+@given(texts=st.lists(TEXT, min_size=1, max_size=6))
+@SETTINGS
+def test_mask_spans_matches_python_reference(spark, texts):
+    """Span masking equals the literal Python reference: chained
+    longest-first str.replace on the normalized surface, then whitespace
+    re-collapse. (Masking is deliberately NOT idempotent: the collapse
+    can butt two fragments together into a fresh span occurrence — e.g.
+    'a a b b' with span 'a b' — exactly as chained replace does; a second
+    pass is the caller's choice, same as re-running the span miner.)"""
+    from mbgspark.operators.dedup import mask_spans
+
+    spans = ["a b", "the quick fox"]
+
+    def ref(t: str) -> str:
+        s = t.strip().lower()
+        for sp in sorted(spans, key=len, reverse=True):
+            s = s.replace(sp, " ")
+        return " ".join(s.split())
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id: long, text: string")
+    got = {r["doc_id"]: r["masked_text"] for r in mask_spans(df, spans).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == ref(t), (t, got[i], ref(t))
+
+
+@given(
+    vals=st.lists(st.integers(min_value=0, max_value=10**15), min_size=1,
+                  max_size=20)
+)
+@SETTINGS
+def test_length_histogram_partitions_all_rows(spark, vals):
+    """Bucket counts sum to the row count and every bucket is the exact
+    bit length of its members (no float-log boundary drift)."""
+    from mbgspark.operators.profiling import length_histogram
+
+    df = spark.createDataFrame([(v,) for v in vals], "n: long")
+    out = length_histogram(df, "n").collect()
+    assert sum(r["cnt"] for r in out) == len(vals)
+    expect = {}
+    for v in vals:
+        b = v.bit_length() if v > 0 else 0
+        expect[b] = expect.get(b, 0) + 1
+    assert {r["len_bucket"]: r["cnt"] for r in out} == expect
