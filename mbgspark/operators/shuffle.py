@@ -104,3 +104,51 @@ def write_corpus_shards(
         .partitionBy("shard")
         .parquet(path)
     )
+
+
+def budget_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    budget: int,
+    seed: str = "",
+    bucket_chars: int = 4,
+    key_col: str = "shuffle_key",
+    cum_col: str = "cum_weight",
+) -> DataFrame:
+    """Fill an exact weight budget in seeded hash order: keep the prefix
+    of the md5(seed || id)-ordered corpus whose inclusive running
+    ``weight_col`` sum stays ≤ ``budget`` — "give me 10B tokens of this
+    corpus, reproducibly". Nested by construction: a larger budget's
+    sample is a strict superset of a smaller one's (same seed), which is
+    what scaling-law token-budget ladders need.
+
+    Same two-tier prefix-sum shape as ``deterministic_shuffle_shards``:
+    per-bucket weight sums → running offsets over ≤ 16^bucket_chars
+    aggregate rows (the only single-partition window, post-aggregation)
+    → within-bucket cumulative sum windows — the corpus is never
+    globally sorted and nothing corpus-sized reaches the driver.
+    """
+    keyed = df.withColumn(
+        key_col,
+        F.md5(F.concat_ws("|", F.lit(str(seed)), F.col(id_col).cast("string"))),
+    ).withColumn("__bk", F.substring(F.col(key_col), 1, bucket_chars))
+    sums = keyed.groupBy("__bk").agg(F.sum(weight_col).alias("__n"))
+    w_off = Window.orderBy("__bk").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sums.withColumn(
+        "__off", F.coalesce(F.sum("__n").over(w_off), F.lit(0))
+    ).drop("__n")
+    w_cum = (
+        Window.partitionBy("__bk")
+        .orderBy(key_col, id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        keyed.join(F.broadcast(offsets), "__bk")
+        .withColumn(
+            cum_col,
+            (F.col("__off") + F.sum(weight_col).over(w_cum)).cast("bigint"),
+        )
+        .filter(F.col(cum_col) <= budget)
+        .drop("__bk", "__off")
+    )

@@ -131,6 +131,7 @@ _PRIORITY = [
     "quality_by_domain",
     "curate_corpus_v2",
     "outlier_orders",
+    "token_budget_sample",
     "etl_lifecycle",
 ]
 

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from mbgspark.operators.shuffle import budget_sample
 from mbgspark.operators.curation import (
     contamination_flags,
     mixture_interleave,
@@ -651,6 +652,35 @@ FROM r ORDER BY pos_key, source, doc_id
 """
 
 
+def token_budget_sample(spark, sf_dir):
+    """Budget-filling sample: the seeded-hash-order prefix of documents
+    whose cumulative char count stays within 40,000 — the reproducible
+    "give me N tokens" ladder step, computed with distributed prefix
+    sums (never a global sort)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        budget_sample(d, "doc_id", "n_chars", budget=40000, seed="s1")
+        .select("doc_id", "n_chars", "cum_weight")
+        .orderBy("doc_id")
+    )
+
+
+TOKEN_BUDGET_SQL = """
+WITH k AS (
+  SELECT doc_id, n_chars,
+         md5('s1|' || CAST(doc_id AS VARCHAR)) AS key
+  FROM documents),
+c AS (
+  SELECT doc_id, n_chars,
+         CAST(sum(n_chars) OVER (
+           ORDER BY key, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_weight
+  FROM k)
+SELECT doc_id, n_chars, cum_weight FROM c
+WHERE cum_weight <= 40000 ORDER BY doc_id
+"""
+
+
 CURATION = {
     "contamination_check": (contamination_check, CONTAMINATION_SQL),
     "repetition_stats": (repetition_stats, REPETITION_SQL),
@@ -666,4 +696,5 @@ CURATION = {
     "corpus_shuffle_shards": (corpus_shuffle_shards, SHUFFLE_SHARDS_SQL),
     "mixture_resample": (mixture_resample, MIXTURE_RESAMPLE_SQL),
     "mixture_interleave": (mixture_interleave_plan, MIXTURE_INTERLEAVE_SQL),
+    "token_budget_sample": (token_budget_sample, TOKEN_BUDGET_SQL),
 }

@@ -88,3 +88,48 @@ def test_write_corpus_shards_one_dir_per_shard(spark, tmp_path):
     assert sizes == {1: 10, 2: 10, 3: 10, 4: 10}
     assert back.count() == 40
     assert sorted(r["doc_id"] for r in back.collect()) == list(range(40))
+
+
+def test_budget_sample_nested_and_exact(spark):
+    from pyspark.sql import functions as F
+
+    from mbgspark.operators.shuffle import budget_sample
+
+    df = spark.range(0, 500).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 97 + 10).alias("w")
+    )
+    small = budget_sample(df, "doc_id", "w", budget=3000, seed="z")
+    big = budget_sample(df, "doc_id", "w", budget=9000, seed="z")
+    s_ids = {r["doc_id"] for r in small.select("doc_id").collect()}
+    b_rows = {r["doc_id"]: r["cum_weight"] for r in big.collect()}
+    # nested: the smaller budget's sample is a subset of the larger's
+    assert s_ids <= set(b_rows)
+    # exact: every kept row's inclusive cumsum respects the budget, and
+    # total weight of the big sample is within one max-weight of 9000
+    assert all(v <= 9000 for v in b_rows.values())
+    total = sum(
+        r["w"] for r in df.filter(F.col("doc_id").isin(list(b_rows))).collect()
+    )
+    assert 9000 - 107 <= total <= 9000
+    # partitioning-independent
+    again = {
+        r["doc_id"]
+        for r in budget_sample(df.repartition(7), "doc_id", "w", 3000, seed="z")
+        .select("doc_id").collect()
+    }
+    assert again == s_ids
+
+
+def test_budget_sample_no_global_sort(spark):
+    from pyspark.sql import functions as F
+
+    from mbgspark.operators.shuffle import budget_sample
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        budget_sample(df, "doc_id", "n_chars", 10000)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the corpus-wide windows are partitioned by bucket; the only
+    # unpartitioned window runs over the <=65k aggregated bucket rows
+    assert "windowspecdefinition(__bk" in plan
