@@ -132,6 +132,7 @@ _PRIORITY = [
     "curate_corpus_v2",
     "outlier_orders",
     "token_budget_sample",
+    "dedup_embedding_keep_best",
     "etl_lifecycle",
 ]
 

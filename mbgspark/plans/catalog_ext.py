@@ -586,6 +586,86 @@ FROM ranked WHERE rn = 1 ORDER BY id
 """.replace("{DUP_SQL_UNION}", DUP_SQL_UNION)
 
 
+def dedup_embedding_keep_best(spark, sf_dir):
+    """The embedding-space dedup chain end-to-end — the dense-vector twin
+    of dedup_semantic_keep_best: exact cosine pairs (>= 0.99) over
+    vec_id < 200 ∪ scaled copies → connected components → one keeper per
+    cluster by highest label (integer-exact stand-in for a quality
+    score; ties → min id). Together the two chains cover both dedup
+    modalities (token-set and embedding) pairs→clusters→canonical."""
+    from mbgspark.operators.components import (
+        canonical_best_by_component,
+        connected_components,
+    )
+
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    base = e.select(
+        F.col("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        F.col("label").cast("bigint").alias("score"),
+    )
+    copies = e.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double") * 2.0).alias("embedding"),
+        F.col("label").cast("bigint").alias("score"),
+    )
+    unioned = base.unionByName(copies)
+    edges = dd.embedding_near_dups(
+        unioned.select("vec_id", "embedding"), "vec_id", "embedding",
+        threshold=0.99, block_bits=0,
+    ).select("id_a", "id_b")
+    comp = connected_components(edges, "id_a", "id_b")
+    kept = canonical_best_by_component(
+        unioned.select(F.col("vec_id").alias("id"), "score"), comp, "id", "score"
+    )
+    return kept.select(
+        "id", F.col("component").cast("bigint").alias("component"), "score"
+    ).orderBy("id")
+
+
+DEDUP_EMB_KEEP_BEST_SQL = """
+WITH RECURSIVE unioned AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, CAST(label AS BIGINT) AS score
+  FROM embeddings WHERE vec_id < 200
+  UNION ALL
+  SELECT vec_id + 1000000, list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2),
+         CAST(label AS BIGINT)
+  FROM embeddings WHERE vec_id < 200
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM unioned a CROSS JOIN unioned b
+  WHERE a.vec_id < b.vec_id
+    AND round(list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+          4) >= 0.99
+),
+und AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach AS (
+  SELECT a AS id, a AS comp FROM und
+  UNION
+  SELECT und.a AS id, reach.comp FROM und JOIN reach ON reach.id = und.b
+),
+comp AS (SELECT id, min(comp) AS component FROM reach GROUP BY id),
+labeled AS (
+  SELECT u.vec_id AS id, coalesce(c.component, u.vec_id) AS component, u.score
+  FROM unioned u LEFT JOIN comp c ON c.id = u.vec_id
+),
+ranked AS (
+  SELECT id, component, score,
+         row_number() OVER (PARTITION BY component
+                            ORDER BY score DESC, id ASC) AS rn
+  FROM labeled
+)
+SELECT id, CAST(component AS BIGINT) AS component, score
+FROM ranked WHERE rn = 1 ORDER BY id
+"""
+
+
 def dedup_embedding(spark, sf_dir):
     """Embedding-cosine near-dup pairs ≥ 0.99 over vec_id < 200 ∪ scaled
     (×2) copies — scaled copies are exact cosine-duplicates of their source."""
@@ -1769,6 +1849,7 @@ EXT: dict[str, tuple] = {
     "dedup_simhash_pairs": (dedup_simhash_pairs, DEDUP_SIMHASH_PAIRS_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
     "dedup_semantic_keep_best": (dedup_semantic_keep_best, DEDUP_KEEP_BEST_SQL),
+    "dedup_embedding_keep_best": (dedup_embedding_keep_best, DEDUP_EMB_KEEP_BEST_SQL),
     "dup_components": (dup_components, DUP_COMPONENTS_SQL),
     "dedup_embedding": (dedup_embedding, DEDUP_EMBEDDING_SQL),
     "dedup_embedding_blocked": (dedup_embedding_blocked, DEDUP_EMBEDDING_BLOCKED_SQL),
