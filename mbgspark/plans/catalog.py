@@ -133,6 +133,7 @@ _PRIORITY = [
     "outlier_orders",
     "token_budget_sample",
     "dedup_embedding_keep_best",
+    "multimodal_frame_index",
     "etl_lifecycle",
 ]
 

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mbgspark.operators import dedup as dd
-from mbgspark.operators.multimodal import extract_features
+from mbgspark.operators.multimodal import extract_features, frame_sample
 from mbgspark.operators.similarity import (
     brute_force_topk,
     ivf_topk,
@@ -1493,6 +1493,31 @@ SELECT doc_id AS media_id, 'text/plain' AS media_type,
 FROM documents ORDER BY media_id
 """
 
+def multimodal_frame_index(spark, sf_dir):
+    """Video frame-sampling plumbing: every-3rd fake frame index per media
+    payload (frame count derived from byte length; decode itself stays
+    stubbed — the row-explosion shape is the tested part)."""
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("content"),
+    )
+    return (
+        frame_sample(media, every_n=3)
+        .select("media_id", F.col("frame_idx").cast("bigint").alias("frame_idx"))
+        .orderBy("media_id", "frame_idx")
+    )
+
+
+MULTIMODAL_FRAMES_SQL = """
+SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_idx
+FROM documents,
+     LATERAL unnest(generate_series(
+       0, CAST(octet_length(encode(text)) AS INT) // 1024, 3)) AS g(f)
+ORDER BY media_id, frame_idx
+"""
+
+
 def curate_corpus(spark, sf_dir):
     """End-to-end training-data curation over `documents` in ONE lineage:
     quality gate (min tokens + composite score) → marker-word language ID,
@@ -1865,6 +1890,7 @@ EXT: dict[str, tuple] = {
     "token_counts": (token_counts, TOKEN_COUNT_SQL),
     "fingerprints": (fingerprints, FINGERPRINT_SQL),
     "multimodal_features": (multimodal_features, MULTIMODAL_SQL),
+    "multimodal_frame_index": (multimodal_frame_index, MULTIMODAL_FRAMES_SQL),
     "sentiment_pandas_udf": (sentiment_pandas_udf, None),  # SQL filled below
     "locate_two_pass": (locate_two_pass, None),  # SQL filled below
     "salted_segment_revenue": (salted_segment_revenue, SALTED_SEGMENT_SQL),
