@@ -73,6 +73,24 @@ ANNOTATED = {
     "trained k-means centroid table is a broadcast literal (bounded model "
     "parameters), assignment/probing broadcast against it, candidates an "
     "equi-join on cell id",
+    "dedup_incremental": "incremental batch-vs-corpus near-dup: band "
+    "equi-joins only (no corpus self-pairing by construction — the side "
+    "predicate excludes corpus×corpus before any pair exists); with a "
+    "materialized ingest-time index the corpus lineage disappears from "
+    "the lookup plan entirely",
+    "contamination_embedding": "embedding decontamination: the benchmark "
+    "side is a BroadcastNestedLoopJoin replicate (bounded eval suite), "
+    "cosine evaluated in codegen, partial_max collapses to one row per "
+    "corpus vector before the shuffle",
+    "gopher_quality": "composite quality gate: one tokenization "
+    "projection feeding every rule as codegen'd expressions — zero "
+    "joins, zero aggregates, the only exchange is the output orderBy",
+    "profile_orders": "one-pass multi-column profiler: the exact "
+    "count(DISTINCT) set compiles to a single scan + Expand with "
+    "map-side partials, never one scan per column",
+    "token_budget_sample": "budget-filling prefix sample: per-bucket "
+    "sums + a window over the tiny bucket aggregate + bucket-partitioned "
+    "cumulative windows — the corpus is never globally sorted",
 }
 
 
