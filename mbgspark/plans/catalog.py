@@ -134,6 +134,8 @@ _PRIORITY = [
     "token_budget_sample",
     "dedup_embedding_keep_best",
     "multimodal_frame_index",
+    "funnel_view_click_purchase",
+    "cohort_retention",
     "etl_lifecycle",
 ]
 

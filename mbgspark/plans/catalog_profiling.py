@@ -357,6 +357,106 @@ FROM x GROUP BY source, reason ORDER BY source, reason
 """
 
 
+# -------------------------------------------------- event analytics ------
+
+
+def funnel_view_click_purchase(spark, sf_dir):
+    """Ordered funnel over the event stream: per user the first view,
+    the first click AFTER that view, the first purchase AFTER that click;
+    reported as per-stage user counts. Strictly-ordered semantics (a
+    click before any view does not count) — the classic product-analytics
+    query. Each stage is a keyed aggregate joined to the previous
+    stage's (small) user set."""
+    e = _t(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id").agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id").agg(F.min("ts").alias("t3"))
+    )
+    stage = lambda name, df: df.agg(
+        F.lit(name).alias("stage"), F.count(F.lit(1)).cast("bigint").alias("users")
+    )
+    return (
+        stage("1_view", v)
+        .unionByName(stage("2_view_click", c))
+        .unionByName(stage("3_view_click_purchase", p))
+        .orderBy("stage")
+    )
+
+
+FUNNEL_SQL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+c AS (
+  SELECT e.user_id, min(ts) AS t2 FROM events e JOIN v USING (user_id)
+  WHERE event_type = 'click' AND ts > t1 GROUP BY e.user_id),
+p AS (
+  SELECT e.user_id, min(ts) AS t3 FROM events e JOIN c USING (user_id)
+  WHERE event_type = 'purchase' AND ts > t2 GROUP BY e.user_id)
+SELECT '1_view' AS stage, CAST(count(*) AS BIGINT) AS users FROM v
+UNION ALL
+SELECT '2_view_click', CAST(count(*) AS BIGINT) FROM c
+UNION ALL
+SELECT '3_view_click_purchase', CAST(count(*) AS BIGINT) FROM p
+ORDER BY stage
+"""
+
+
+def cohort_retention(spark, sf_dir):
+    """Weekly cohort retention: users grouped by the week of their first
+    event; for each (cohort_week, week_offset) the count of cohort users
+    active that week. First-event aggregate + distinct (user, week)
+    activity + one keyed join — the standard retention triangle."""
+    e = _t(spark, sf_dir, "events")
+    # integer div, never float-divide-then-cast: DuckDB CASTs doubles to
+    # int by ROUNDING while Spark truncates — div agrees everywhere
+    week = F.expr("datediff(ts, DATE '2024-01-01') div 7")
+    first = e.groupBy("user_id").agg(F.min("ts").alias("t0"))
+    cohort = first.select(
+        "user_id",
+        F.expr("datediff(t0, DATE '2024-01-01') div 7").alias("cohort_week"),
+    )
+    active = e.select("user_id", week.alias("week")).distinct()
+    return (
+        active.join(cohort, "user_id")
+        .groupBy(
+            F.col("cohort_week").cast("bigint").alias("cohort_week"),
+            (F.col("week") - F.col("cohort_week")).cast("bigint").alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("active_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+COHORT_SQL = """
+WITH first AS (
+  SELECT user_id,
+         datediff('day', DATE '2024-01-01', min(ts)) // 7 AS cohort_week
+  FROM events GROUP BY user_id),
+active AS (
+  SELECT DISTINCT user_id,
+         datediff('day', DATE '2024-01-01', ts) // 7 AS week
+  FROM events)
+SELECT CAST(cohort_week AS BIGINT) AS cohort_week,
+       CAST(week - cohort_week AS BIGINT) AS week_offset,
+       CAST(count(*) AS BIGINT) AS active_users
+FROM active JOIN first USING (user_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 # ---------------------------------------------------- outlier report ----
 
 
@@ -491,4 +591,6 @@ PROFILING = {
     "quality_by_domain": (quality_by_domain, QUALITY_BY_DOMAIN_SQL),
     "curate_corpus_v2": (curate_corpus_v2, CURATE_V2_SQL),
     "outlier_orders": (outlier_orders, OUTLIER_ORDERS_SQL),
+    "funnel_view_click_purchase": (funnel_view_click_purchase, FUNNEL_SQL),
+    "cohort_retention": (cohort_retention, COHORT_SQL),
 }
