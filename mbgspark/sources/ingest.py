@@ -107,3 +107,45 @@ def dedup_ingest_batch(df: DataFrame) -> DataFrame:
         .dropDuplicates(["__tkey"])
         .drop("__tkey")
     )
+
+
+def parse_with_quarantine(
+    spark,
+    path_or_glob: str,
+    schema=None,
+) -> tuple[DataFrame, DataFrame]:
+    """Malformed-record quarantine at the ingest boundary: read JSON lines
+    in PERMISSIVE mode with a corrupt-record column and split the input
+    into (parsed, quarantined). A scraper restart mid-write, a truncated
+    upload, or a producer bug lands malformed lines in the batch dir; at
+    100 TB "fail the whole job" (FAILFAST) and "silently drop"
+    (DROPMALFORMED) are both wrong — route bad lines to a quarantine sink
+    with their raw text so they can be re-parsed after the producer fix.
+
+    Returns lazily-split frames off ONE read lineage. Note Spark's
+    PERMISSIVE contract: a malformed line has every schema column NULL
+    and the raw text in the corrupt column — the filter keys on that
+    column alone.
+    """
+    from mbgspark.schema import TWEET_RAW_SCHEMA
+
+    base = schema if schema is not None else TWEET_RAW_SCHEMA
+    with_corrupt = base.add("_corrupt_record", "string")
+    raw = (
+        spark.read.schema(with_corrupt)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path_or_glob)
+        # Spark DISALLOWS queries whose referenced columns are only the
+        # corrupt-record column (SPARK-21610 / QUERY_ONLY_CORRUPT_RECORD
+        # _COLUMN): the documented contract is to cache the parsed batch
+        # first. An ingest micro-batch is bounded, so caching it is the
+        # intended (and cheap) pattern — both split frames then read the
+        # same parsed data.
+        .cache()
+    )
+    parsed = raw.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    quarantined = raw.filter(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_corrupt_record").alias("raw_line")
+    )
+    return parsed, quarantined

@@ -65,3 +65,19 @@ def test_incremental_dates_skip_scan(spark):
     have = spark.createDataFrame([("2025-01-01",)], "event_date string")
     out = incremental_dates(cand, have).collect()
     assert [r["event_date"] for r in out] == ["2025-01-02"]
+
+
+def test_ingest_quarantine_splits_malformed_lines(spark, tmp_path):
+    from mbgspark.sources.ingest import parse_with_quarantine
+
+    src = tmp_path / "batch"
+    src.mkdir()
+    good = '{"_id": "1", "text": "hello", "created_at": "2025-01-01T10:00:00Z"}'
+    bad1 = '{"_id": "2", "text": "truncated...'
+    bad2 = 'not json at all'
+    (src / "b0.json").write_text("\n".join([good, bad1, bad2]))
+    parsed, quarantined = parse_with_quarantine(spark, str(src))
+    ok = parsed.select("_id").collect()
+    assert [r["_id"] for r in ok] == ["1"]
+    bad = sorted(r["raw_line"] for r in quarantined.collect())
+    assert bad == sorted([bad1, bad2])
