@@ -72,3 +72,22 @@ def test_approx_count_distinct_within_tolerance(spark):
     ).first()
     # rsd is a standard deviation, not a bound — allow a few sigma
     assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.1
+
+
+def test_driver_window_packing_invariants():
+    """The driver checks the FIRST 50 queries() entries; the packing is
+    load-bearing (VERDICT r3 item 1). Guard: no duplicates or typos in
+    the priority list, the window is exactly re-packable, and every
+    catalog entry has an oracle (rows-only entries would silently weaken
+    the gate)."""
+    from mbgspark.plans.catalog import CATALOG, _PRIORITY, oracle_sql_map
+
+    assert len(_PRIORITY) == len(set(_PRIORITY)), "duplicate in priority list"
+    missing = [n for n in _PRIORITY if n not in CATALOG]
+    assert not missing, f"priority names not in catalog: {missing}"
+    names = list(CATALOG)
+    assert len(names) >= 50
+    # the 50-slot window is exactly the head of the priority list
+    assert names[:50] == _PRIORITY[:50]
+    # every entry keeps a full value-hash oracle
+    assert set(oracle_sql_map()) == set(CATALOG)
