@@ -15,11 +15,19 @@ Layout (SURVEY.md §7):
   pipeline   — end-to-end lifecycles (clean → locate → label → merge)
 """
 
-from mbgspark.io import load_table, merge_by_key, register_views, write_partitioned
+from mbgspark.io import (
+    compact_store,
+    load_table,
+    merge_by_key,
+    register_views,
+    write_partitioned,
+)
 from mbgspark.pipeline import reprocess, run_etl
-from mbgspark.session import ensure_session_conf, get_spark
+from mbgspark.session import cluster_profile, ensure_session_conf, get_spark
 
 __all__ = [
+    "cluster_profile",
+    "compact_store",
     "ensure_session_conf",
     "get_spark",
     "load_table",

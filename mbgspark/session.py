@@ -78,3 +78,51 @@ def ensure_session_conf(spark: SparkSession) -> None:
             spark.conf.set(k, v)
         except Exception:
             pass  # non-modifiable in exotic deployments
+
+
+# Cluster sizing profiles: the conf deltas this engine needs at each scale
+# tier, with the reasoning inline. Applied via get_spark(extra_conf=
+# cluster_profile(...)) or merged into spark-defaults by the deployer.
+def cluster_profile(
+    executors: int = 1000,
+    cores_per_executor: int = 4,
+    target_partition_mb: int = 256,
+    est_shuffle_tb: float | None = None,
+) -> dict[str, str]:
+    """Config recipe for running this engine on a real cluster — the
+    concrete answer to "would this run at 1000 executors against 100 TB".
+
+    - ``shuffle.partitions``: sized from data, not cores. With AQE ON,
+      this is the UPPER bound before coalescing: set it so the LARGEST
+      shuffle's partitions land near ``target_partition_mb`` (fits
+      executor memory with headroom; 100-400 MB is the practical band).
+      est_shuffle_tb=None falls back to 2x total cores — the floor that
+      keeps every core busy; AQE coalesces small stages either way.
+    - ``files.maxPartitionBytes``: scan-side split size; 256 MB halves
+      task-scheduling overhead vs the 128 MB default on 100 TB scans
+      (smaller only helps when per-row work is heavy, e.g. shingling).
+    - ``adaptive.advisoryPartitionSizeInBytes``: what AQE coalesces
+      TOWARD — aligned with the target so post-shuffle stages match the
+      scan-side sizing.
+    - skew-join thresholds stay at defaults: the engine's own skew
+      levers (salting in operators/skew.py, the LSH bucket cap) handle
+      semantic skew; AQE handles physical stragglers.
+    """
+    total_cores = executors * cores_per_executor
+    if est_shuffle_tb is not None:
+        parts = max(
+            total_cores * 2,
+            int(est_shuffle_tb * 1024 * 1024 / target_partition_mb),
+        )
+    else:
+        parts = total_cores * 2
+    return {
+        "spark.sql.shuffle.partitions": str(parts),
+        "spark.sql.files.maxPartitionBytes": str(target_partition_mb * 1024 * 1024),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(
+            target_partition_mb * 1024 * 1024
+        ),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+    }

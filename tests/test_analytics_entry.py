@@ -91,3 +91,30 @@ def test_driver_window_packing_invariants():
     assert names[:50] == _PRIORITY[:50]
     # every entry keeps a full value-hash oracle
     assert set(oracle_sql_map()) == set(CATALOG)
+
+
+def test_cluster_profile_sizing_math():
+    from mbgspark.session import cluster_profile
+
+    # 100 TB shuffle at 256 MB target -> ~409,600 partitions, not 8,000 cores*2
+    p = cluster_profile(executors=1000, cores_per_executor=4, est_shuffle_tb=100)
+    assert int(p["spark.sql.shuffle.partitions"]) == 100 * 1024 * 1024 // 256
+    assert int(p["spark.sql.files.maxPartitionBytes"]) == 256 * 1024 * 1024
+    # without an estimate: 2x total cores floor
+    p2 = cluster_profile(executors=10, cores_per_executor=4)
+    assert p2["spark.sql.shuffle.partitions"] == "80"
+
+
+def test_cluster_profile_applies_to_session(spark):
+    # conf keys are all runtime-settable except shuffle partitions being
+    # session-level — apply and read back on the live session
+    from mbgspark.session import cluster_profile
+
+    p = cluster_profile(executors=2, cores_per_executor=2)
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for k, v in p.items():
+            spark.conf.set(k, v)
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "8"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)

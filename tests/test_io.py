@@ -219,3 +219,28 @@ def test_schema_evolution_merge_read(spark, tmp_path):
     rows = {r["id"]: r["score"] for r in back.collect()}
     assert rows[5] is None and rows[15] == 30
     assert len(rows) == 20
+
+
+def test_partitioned_store_prunes_untouched_days(spark, tmp_path):
+    """The store layout's core promise: a one-day query against a
+    date-partitioned store plans PartitionFilters and reads ONE partition
+    directory — at 100 TB across years of days, this is the difference
+    between a seconds-long read and a full scan."""
+    from pyspark.sql import functions as F
+
+    from mbgspark.io import write_partitioned
+
+    store = str(tmp_path / "day_store")
+    df = spark.range(0, 3000).select(
+        F.col("id"),
+        F.date_format(
+            F.expr("date_add(DATE '2025-03-01', CAST(id % 30 AS INT))"), "yyyy-MM-dd"
+        ).alias("event_date"),
+    )
+    write_partitioned(df, store, "event_date")
+    q = spark.read.parquet(store).filter(F.col("event_date") == "2025-03-05")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "event_date" in plan
+    # the filter binds as a partition predicate, not a data predicate
+    assert "(event_date" in plan.split("PartitionFilters")[1].split("]")[0]
+    assert q.count() == 100
