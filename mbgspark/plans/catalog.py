@@ -136,6 +136,8 @@ _PRIORITY = [
     "multimodal_frame_index",
     "funnel_view_click_purchase",
     "cohort_retention",
+    "waiting_suppliers",
+    "dormant_rich_customers",
     "etl_lifecycle",
 ]
 

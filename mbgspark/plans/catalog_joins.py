@@ -1073,6 +1073,135 @@ ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey
 """
 
 
+# ----------------------------------------------------------- TPC-H Q21 ---
+def waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape (suppliers who kept orders waiting): for finished
+    multi-supplier orders, count per supplier the orders where THIS
+    supplier was the only late one — EXISTS(another supplier on the
+    order) AND NOT EXISTS(another LATE supplier on the order).
+
+    The testdata lineitem has no commit/receipt dates, so "late" is
+    restated as shipping >45 days after the order date (same plan shape:
+    the lateness predicate needs the orders join before the two
+    correlated quantifiers can run).
+
+    Plan: ONE lineitem⋈orders('F') shuffle builds the late set; the
+    EXISTS is a left-semi against the raw lineitem keyed on orderkey with
+    the suppkey-inequality in the join condition, the NOT EXISTS a
+    left-anti against the late set itself. Both correlated subqueries
+    become hash joins on l_orderkey — the decorrelation every serious
+    optimizer applies to Q21; no per-row subquery execution anywhere.
+    supplier⋈nation is broadcast."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    late = (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 45 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    other = l.select(
+        F.col("l_orderkey").alias("o2_orderkey"), F.col("l_suppkey").alias("o2_suppkey")
+    )
+    other_late = late.select(
+        F.col("l_orderkey").alias("o3_orderkey"), F.col("l_suppkey").alias("o3_suppkey")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    blamed = late.join(
+        other,
+        (F.col("l_orderkey") == F.col("o2_orderkey"))
+        & (F.col("l_suppkey") != F.col("o2_suppkey")),
+        "leftsemi",
+    ).join(
+        other_late,
+        (F.col("l_orderkey") == F.col("o3_orderkey"))
+        & (F.col("l_suppkey") != F.col("o3_suppkey")),
+        "leftanti",
+    )
+    return (
+        blamed.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+WAITING_SUPPLIERS_SQL = """
+WITH late AS (
+  SELECT l_orderkey, l_suppkey
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+    AND l_shipdate > o_orderdate + INTERVAL 45 DAY
+)
+SELECT s_name, count(*) AS numwait
+FROM late l1
+JOIN supplier ON l1.l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_1'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
+# ----------------------------------------------------------- TPC-H Q22 ---
+def dormant_rich_customers(spark, sf_dir):
+    """TPC-H Q22 shape (global sales opportunity): customers in a
+    nation-key band holding above-average positive balances who have
+    not ordered RECENTLY — scalar subquery (the positive-balance average)
+    as a broadcast 1-row cross join, the NOT EXISTS as a left-anti hash
+    join on custkey, grouped by nation key. Two testdata adaptations,
+    same plan shape: customer has no phone column, so the country-code
+    substring becomes c_nationkey directly; and every customer in this
+    generator has at least one order, so "never ordered" is restated as
+    "no order since 1999-01-01" (the date filter pushes to the orders
+    scan below the anti-join)."""
+    CUT = "1999-01-01"
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_nationkey") < 10)
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("__avg_bal")
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit(CUT))
+        .select(F.col("o_custkey").alias("ok"))
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__avg_bal"))
+        .join(o, F.col("c_custkey") == F.col("ok"), "leftanti")
+        .groupBy(F.col("c_nationkey").cast("bigint").alias("cntry"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("cntry")
+    )
+
+
+DORMANT_RICH_SQL = """
+SELECT CAST(c_nationkey AS BIGINT) AS cntry,
+       count(*) AS numcust,
+       round(sum(c_acctbal), 2) AS totacctbal
+FROM customer
+WHERE c_nationkey < 10
+  AND c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                   WHERE c_acctbal > 0.0 AND c_nationkey < 10)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= '1999-01-01')
+GROUP BY 1 ORDER BY 1
+"""
+
+
 JOINS: dict[str, tuple] = {
     "shipping_priority_top10": (shipping_priority_top10, SHIPPING_PRIORITY_SQL),
     "region_nation_revenue": (region_nation_revenue, REGION_NATION_SQL),
@@ -1098,4 +1227,6 @@ JOINS: dict[str, tuple] = {
     "disjunctive_part_revenue": (disjunctive_part_revenue, DISJUNCTIVE_SQL),
     "trailing_30d_revenue": (trailing_30d_revenue, TRAILING_30D_SQL),
     "window_rank_features": (window_rank_features, WINDOW_RANK_SQL),
+    "waiting_suppliers": (waiting_suppliers, WAITING_SUPPLIERS_SQL),
+    "dormant_rich_customers": (dormant_rich_customers, DORMANT_RICH_SQL),
 }
