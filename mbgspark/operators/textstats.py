@@ -381,3 +381,91 @@ def gopher_quality_filter(
         F.concat_ws(";", reason_arr).alias("drop_reasons"),
         (F.size(reason_arr) == 0).cast("bigint").alias("keep"),
     ).orderBy(id_col)
+
+
+def bigram_surprise(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus-bigram-LM quality score — the conditional-probability upgrade
+    of ``unigram_surprise`` and the closest deterministic analog of the
+    KenLM-perplexity filter CCNet-style pipelines run (`score docs by how
+    surprising each token is GIVEN its predecessor`); the LM is the
+    corpus's own add-one-smoothed bigram distribution, so both engines
+    compute identical values with no external model:
+
+        P(w2|w1)       = (C(w1,w2) + 1) / (C(w1 as context) + V)
+        surprise(pair) = -ln P(w2|w1)        [integer micro-nats]
+        score(doc)     = mean over the doc's bigram occurrences
+
+    Unigram surprise flags rare WORDS; bigram surprise flags improbable
+    TRANSITIONS — shuffled/spliced text scores high here even when every
+    individual word is common, which is exactly the failure mode n-gram-LM
+    quality filters exist to catch.
+
+    Plan: the per-row token array feeds a row-local zip_with over its
+    two adjacent slices to pair consecutive tokens (greatest(n-1,0)
+    keeps <2-token docs at an empty pair array — a sequence(1, n-1)
+    formulation would count DOWN through [1,0] on 1-token docs), then
+    ONE explode feeds the
+    (id,w1,w2) TF aggregate; the corpus bigram count and the
+    w1-as-context count are two window sums layered over that SAME
+    aggregated (|doc-bigram-vocab|-sized) set — the second window's
+    partitionBy(w1) is a strict prefix of the first's (w1,w2), so only
+    the small aggregated frame reshuffles, never the raw occurrences
+    (same single-consumption design as unigram_surprise; a per-consumer
+    re-explode cannot ReuseExchange). V (distinct token types) rides a
+    1-row broadcast off a narrow second scan. The per-PAIR surprise is
+    quantized to integer micro-nats (floor(x*1e6 + 0.5)) BEFORE the
+    tf-weighted per-doc sum; the mean is half-up integer division — the
+    whole output surface is exact-integer, so engine libm drift cannot
+    reach the driver hash.
+
+    Emits (id, n_bigrams, mean_bigram_surprise_micronats); docs with
+    fewer than two tokens have no bigrams and are absent by definition.
+    """
+    from pyspark.sql import Window
+
+    toks = F.filter(_tokens(F.col(text_col)), lambda x: x != "")
+    pairs = F.expr(
+        "zip_with(slice(__toks, 1, greatest(size(__toks) - 1, 0)), "
+        "slice(__toks, 2, greatest(size(__toks) - 1, 0)), "
+        "(x, y) -> struct(x AS w1, y AS w2))"
+    )
+    occ = (
+        df.select(F.col(id_col), toks.alias("__toks"))
+        .select(F.col(id_col), F.explode(pairs).alias("__bg"))
+        .select(F.col(id_col), F.col("__bg.w1"), F.col("__bg.w2"))
+    )
+    tf = occ.groupBy(id_col, "w1", "w2").agg(F.count("*").alias("__tf"))
+    vocab = df.select(
+        F.explode(F.filter(_tokens(F.col(text_col)), lambda x: x != "")).alias("__t")
+    ).agg(F.countDistinct("__t").cast("bigint").alias("__V"))
+    w_pair = Window.partitionBy("w1", "w2")
+    w_ctx = Window.partitionBy("w1")
+    sup = (
+        tf.withColumn("__bc", F.sum("__tf").over(w_pair))
+        .withColumn("__ctx", F.sum("__tf").over(w_ctx))
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "__sup",
+            F.floor(
+                -F.log((F.col("__bc") + 1) / (F.col("__ctx") + F.col("__V")))
+                * 1000000
+                + F.lit(0.5)
+            ).cast("bigint"),
+        )
+    )
+    return (
+        sup.groupBy(id_col)
+        .agg(
+            F.sum("__tf").cast("bigint").alias("n_bigrams"),
+            F.sum(F.col("__tf") * F.col("__sup")).alias("__sum_micro"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            F.expr("(2 * __sum_micro + n_bigrams) div (2 * n_bigrams)")
+            .cast("bigint")
+            .alias("mean_bigram_surprise_micronats"),
+        )
+    )

@@ -138,6 +138,7 @@ _PRIORITY = [
     "cohort_retention",
     "waiting_suppliers",
     "dormant_rich_customers",
+    "lm_bigram_score",
     "etl_lifecycle",
 ]
 

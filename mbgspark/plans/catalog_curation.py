@@ -338,6 +338,55 @@ GROUP BY t.doc_id ORDER BY t.doc_id
 """
 
 
+# ---------------------------------------------- bigram-LM surprise --
+
+
+def lm_bigram_score(spark, sf_dir):
+    """Corpus-bigram-LM surprise per document (integer micro-nats) — the
+    conditional-transition upgrade of quality_surprise; the deterministic
+    analog of the CCNet KenLM-perplexity filter."""
+    from mbgspark.operators.textstats import bigram_surprise
+
+    d = _t(spark, sf_dir, "documents")
+    return bigram_surprise(d, "doc_id", "text").orderBy("doc_id")
+
+
+BIGRAM_SURPRISE_SQL = r"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS ts
+  FROM documents
+),
+occ AS (
+  SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+  FROM d, unnest(generate_series(1, len(ts) - 1)) AS g(i)
+  WHERE len(ts) >= 2
+),
+tf AS (SELECT doc_id, w1, w2, count(*) AS tf FROM occ GROUP BY doc_id, w1, w2),
+vocab AS (
+  SELECT count(DISTINCT tok) AS v FROM (SELECT unnest(ts) AS tok FROM d)
+),
+sup AS (
+  SELECT doc_id, tf,
+         sum(tf) OVER (PARTITION BY w1, w2) AS bc,
+         sum(tf) OVER (PARTITION BY w1)     AS ctx
+  FROM tf
+),
+scored AS (
+  SELECT doc_id, tf,
+         CAST(floor(-ln((bc + 1)
+                        / CAST(ctx + (SELECT v FROM vocab) AS DOUBLE))
+                    * 1000000 + 0.5) AS BIGINT) AS sup_micro
+  FROM sup
+)
+SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+       CAST((2 * sum(tf * sup_micro) + sum(tf)) // (2 * sum(tf)) AS BIGINT)
+         AS mean_bigram_surprise_micronats
+FROM scored GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 # --------------------------------------------------- TF-IDF top terms --
 
 
@@ -692,6 +741,7 @@ CURATION = {
     "url_stats": (url_stats, URL_STATS_SQL),
     "line_filter_stats": (line_filter_stats, LINE_FILTER_SQL),
     "quality_surprise": (quality_surprise, SURPRISE_SQL),
+    "lm_bigram_score": (lm_bigram_score, BIGRAM_SURPRISE_SQL),
     "tfidf_terms": (tfidf_terms, TFIDF_SQL),
     "corpus_shuffle_shards": (corpus_shuffle_shards, SHUFFLE_SHARDS_SQL),
     "mixture_resample": (mixture_resample, MIXTURE_RESAMPLE_SQL),

@@ -73,3 +73,38 @@ def test_tfidf_top_terms_ranks_distinctive_tokens_first(spark):
     assert got[(1, 1)][0] == "apple" and abs(got[(1, 1)][1] - idf_rare) <= 1
     assert got[(2, 1)] == ("banana", 2 * got[(1, 1)][1] // 1)
     assert got[(1, 2)] == ("shared", 0)  # ln(3/3) = 0
+
+
+def test_bigram_surprise_flags_shuffled_transitions(spark):
+    """Bigram surprise catches improbable transitions between common
+    words (the failure mode unigram surprise is blind to), excludes
+    <2-token docs, and the exact add-one value matches the closed form."""
+    import math
+
+    from mbgspark.operators.textstats import bigram_surprise
+
+    rows = [(i, "alpha beta alpha beta alpha") for i in range(9)]
+    rows.append((100, "beta alpha beta alpha beta"))  # reversed transitions
+    rows.append((200, "alpha"))  # 1 token -> no bigrams -> absent
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r.asDict() for r in bigram_surprise(d).collect()}
+    assert 200 not in out
+    assert out[0]["n_bigrams"] == 4
+    # corpus: 9 docs of (ab,ba,ab,ba) + 1 doc of (ba,ab,ba,ab); V=2
+    # C(ab)=9*2+2=20, C(ba)=9*2+2=20; ctx(alpha)=ctx(beta)=20
+    # P = (20+1)/(20+2) for every transition -> same score everywhere
+    exp = round(-math.log(21 / 22) * 1e6)
+    assert abs(out[0]["mean_bigram_surprise_micronats"] - exp) <= 1
+    assert out[0]["mean_bigram_surprise_micronats"] == out[100][
+        "mean_bigram_surprise_micronats"
+    ]
+    # now make doc-100's transitions genuinely rare: distinct words
+    d2 = spark.createDataFrame(
+        [(i, "one two one two one") for i in range(9)] + [(100, "two one seven")],
+        "doc_id bigint, text string",
+    )
+    out2 = {r["doc_id"]: r.asDict() for r in bigram_surprise(d2).collect()}
+    assert (
+        out2[100]["mean_bigram_surprise_micronats"]
+        > out2[0]["mean_bigram_surprise_micronats"]
+    )
