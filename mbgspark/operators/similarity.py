@@ -249,3 +249,57 @@ def kmeans_assignments(
     return assign_clusters(
         df, kmeans_centroids(df, k, iterations, id_col, vec_col), vec_col
     )
+
+
+def quantize_int8(
+    df: DataFrame, vec_col: str = "embedding", out_col: str = "qvec"
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization — the memory/bandwidth lever
+    for 100 TB embedding stores: ``q_i = floor(127 * x_i / maxabs(x) + 0.5)``
+    stored as ``array<tinyint>``, 4x smaller at rest and on the shuffle
+    wire than float32 (8x vs the double the arithmetic would otherwise
+    carry). Scaling is per-VECTOR, so direction is preserved and cosine on
+    the quantized vectors approximates cosine on the originals with no
+    corpus-level statistics pass — quantization is a row-local projection,
+    zero shuffles, and composes with any downstream ANN path.
+
+    Determinism: maxabs, the scale division, and the half-up floor are
+    identical IEEE-double expressions in Spark and the DuckDB oracle, and
+    every downstream dot product of the resulting integer grids (|q|<=127,
+    so a 64-dim dot <= ~1.03e6) is EXACTLY representable in double — the
+    approximate path stays value-hash comparable across engines. A zero
+    vector quantizes to zeros (guarded; no 0/0 at the scale step)."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    maxabs = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    q = F.when(
+        maxabs == F.lit(0.0),
+        F.transform(v, lambda x: F.lit(0).cast("tinyint")),
+    ).otherwise(
+        F.transform(
+            v,
+            lambda x: F.floor(x * F.lit(127.0) / maxabs + F.lit(0.5)).cast("tinyint"),
+        )
+    )
+    return df.withColumn(out_col, q)
+
+
+def quantized_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cosine top-k over int8-quantized vectors (``quantize_int8`` on both
+    sides, then the same broadcast-query scoring as ``brute_force_topk``).
+    The ranking surface this proves out is what a product-quantization
+    first pass looks like at scale: score candidates on the 4x-smaller
+    representation, re-rank survivors on full precision if needed.
+    ``tests/test_kmeans.py`` pins recall vs the float-exact baseline."""
+    qc = quantize_int8(corpus, vec_col, "__q").select(
+        F.col(id_col), F.col("__q").alias(vec_col)
+    )
+    qq = quantize_int8(queries, vec_col, "__q").select(
+        F.col(id_col), F.col("__q").alias(vec_col)
+    )
+    return brute_force_topk(qc, qq, k=k, id_col=id_col, vec_col=vec_col)

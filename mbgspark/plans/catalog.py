@@ -139,6 +139,7 @@ _PRIORITY = [
     "waiting_suppliers",
     "dormant_rich_customers",
     "lm_bigram_score",
+    "ann_quantized_topk",
     "etl_lifecycle",
 ]
 

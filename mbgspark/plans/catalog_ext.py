@@ -24,6 +24,7 @@ from mbgspark.operators.similarity import (
     brute_force_topk,
     ivf_topk,
     kmeans_assignments,
+    quantized_topk,
 )
 from mbgspark.operators.textstats import (
     chunk_documents,
@@ -834,6 +835,49 @@ scored AS (
          round(list_dot_product(qv, cv)
                / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))),
                4) AS cos_sim
+  FROM c CROSS JOIN q WHERE match_id <> query_id
+)
+SELECT query_id, match_id, cos_sim,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, match_id) AS BIGINT) AS rnk
+FROM scored
+QUALIFY rnk <= 3
+ORDER BY query_id, rnk
+"""
+
+
+def ann_quantized_topk(spark, sf_dir):
+    """Cosine top-3 on int8-quantized vectors (4x-smaller representation —
+    the PQ-style first-pass ranking surface). Approximate w.r.t. float
+    cosine but fully deterministic: the quantization grid and the integer
+    dot products are exact in both engines, so this gets a value-hash
+    check, not rows-only."""
+    e = _t(spark, sf_dir, "embeddings")
+    return quantized_topk(e, e.filter(F.col("vec_id") < 5), k=3)
+
+
+ANN_QUANTIZED_SQL = """
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+quant AS (
+  SELECT vec_id,
+         CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0.0
+              THEN list_transform(v, x -> 0.0)
+              ELSE list_transform(v, x ->
+                     floor(x * 127.0
+                           / list_max(list_transform(v, y -> abs(y)))
+                           + 0.5))
+         END AS qv
+  FROM base
+),
+q AS (SELECT vec_id AS query_id, qv AS qqv FROM quant WHERE vec_id < 5),
+c AS (SELECT vec_id AS match_id, qv AS cv FROM quant),
+scored AS (
+  SELECT query_id, match_id,
+         round(list_dot_product(qqv, cv)
+               / (sqrt(list_dot_product(qqv, qqv))
+                  * sqrt(list_dot_product(cv, cv))), 4) AS cos_sim
   FROM c CROSS JOIN q WHERE match_id <> query_id
 )
 SELECT query_id, match_id, cos_sim,
@@ -1883,6 +1927,7 @@ EXT: dict[str, tuple] = {
         DEDUP_EMBEDDING_MULTIPROBE_SQL,
     ),
     "ann_cosine_topk": (ann_cosine_topk, ANN_TOPK_SQL),
+    "ann_quantized_topk": (ann_quantized_topk, ANN_QUANTIZED_SQL),
     "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),
     "ann_ivf_kmeans_topk": (ann_ivf_kmeans_topk, _ann_ivf_kmeans_sql()),
     "langid_confusion": (langid_confusion, LANGID_SQL),
