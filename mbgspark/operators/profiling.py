@@ -305,3 +305,61 @@ def profile_numeric(df: DataFrame, columns: list[str]) -> DataFrame:
         .select("p.*")
         .orderBy("column_name")
     )
+
+
+def split_leakage(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    splits: list[tuple[str, float]] = (
+        ("train", 0.90),
+        ("val", 0.05),
+        ("test", 0.05),
+    ),
+    salt: str = "",
+) -> DataFrame:
+    """Train→eval leakage audit — the INTRA-corpus counterpart of
+    ``curation.decontaminate`` (which checks against an EXTERNAL
+    benchmark): after ``split_assign``, an eval document is leaked if its
+    exact normalized-text fingerprint, or its order-insensitive token-set
+    shape fingerprint, collides with any train document. Exact-duplicate
+    leakage across splits silently inflates eval scores, which is why
+    pipelines audit it even after corpus-level dedup (dedup keeps ONE
+    copy — and that copy lands in some split; near-identical survivors
+    are what this catches).
+
+    Plan: split assignment and both fingerprints are row-local
+    projections on one scan; the train side collapses to two DISTINCT
+    fingerprint sets (hash aggregates, linear); each eval row probes them
+    via left joins against the deduplicated sets (at most one match each,
+    so no row multiplication) and the result rolls up per split. Every
+    join is a plain equi-join on an md5 key — uniform by construction, no
+    skew path needed at 100 TB.
+
+    Emits (split, n_docs, n_exact_leaked, n_shape_leaked) for each
+    non-train split."""
+    from mbgspark.operators.textstats import with_fingerprint
+
+    train_name = splits[0][0]
+    d = with_fingerprint(split_assign(df, id_col, splits, salt), text_col)
+    train = d.filter(F.col("split") == train_name)
+    t_exact = train.select("fingerprint").distinct().withColumn("__e", F.lit(1))
+    t_shape = (
+        train.select("shape_fingerprint").distinct().withColumn("__s", F.lit(1))
+    )
+    ev = d.filter(F.col("split") != train_name)
+    return (
+        ev.join(t_exact, "fingerprint", "left")
+        .join(t_shape, "shape_fingerprint", "left")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("__e").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_exact_leaked"),
+            F.sum(F.when(F.col("__s").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_shape_leaked"),
+        )
+        .orderBy("split")
+    )

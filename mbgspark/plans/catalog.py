@@ -140,6 +140,7 @@ _PRIORITY = [
     "dormant_rich_customers",
     "lm_bigram_score",
     "ann_quantized_topk",
+    "split_leakage_counts",
     "etl_lifecycle",
 ]
 

@@ -23,6 +23,7 @@ from mbgspark.operators.profiling import (
     profile_numeric,
     profile_table,
     split_assign,
+    split_leakage,
 )
 from mbgspark.operators.textstats import gopher_quality_filter
 from mbgspark.plans.catalog_core import _t
@@ -139,6 +140,38 @@ WITH s AS (
   FROM documents)
 SELECT split, lang, CAST(count(*) AS BIGINT) AS cnt
 FROM s GROUP BY split, lang ORDER BY split, lang
+"""
+
+
+# ------------------------------------------------------- split leakage --
+
+
+def split_leakage_counts(spark, sf_dir):
+    """Train→eval leakage audit: per non-train split, how many docs share
+    an exact or an order-insensitive (token-set) fingerprint with any
+    train doc — the intra-corpus counterpart of contamination_check."""
+    return split_leakage(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+SPLIT_LEAKAGE_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN {_SPLIT_BUCKET} < 'e666' THEN 'train'
+              WHEN {_SPLIT_BUCKET} < 'f333' THEN 'val'
+              ELSE 'test' END AS split,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+         md5(array_to_string(list_sort(list_distinct(string_split(
+             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))), ' '))
+           AS sfp
+  FROM documents
+)
+SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN fp IN (SELECT fp FROM d WHERE split = 'train')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_leaked,
+       CAST(sum(CASE WHEN sfp IN (SELECT sfp FROM d WHERE split = 'train')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_shape_leaked
+FROM d WHERE split <> 'train'
+GROUP BY split ORDER BY split
 """
 
 
@@ -584,6 +617,7 @@ PROFILING = {
     "profile_lineitem_numeric": (profile_lineitem_numeric, PROFILE_NUMERIC_SQL),
     "heavy_hitter_keys": (heavy_hitter_keys, HEAVY_HITTERS_SQL),
     "split_assign_counts": (split_assign_counts, SPLIT_ASSIGN_SQL),
+    "split_leakage_counts": (split_leakage_counts, SPLIT_LEAKAGE_SQL),
     "group_sample_per_lang": (group_sample_per_lang, GROUP_SAMPLE_SQL),
     "doc_length_histogram": (doc_length_histogram, LENGTH_HISTOGRAM_SQL),
     "gopher_quality": (gopher_quality, GOPHER_QUALITY_SQL),

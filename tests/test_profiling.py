@@ -282,3 +282,37 @@ def test_profile_numeric_single_scan(spark):
     df = spark.read.parquet(f"{SF}/lineitem.parquet")
     plan = _plan(profile_numeric(df, ["l_quantity", "l_discount"]))
     assert plan.count("FileScan parquet") == 1
+
+
+def test_split_leakage_flags_planted_cross_split_duplicates(spark):
+    """A val/test doc that exactly duplicates (or merely reorders the
+    words of) a train doc is flagged; novel eval docs are not."""
+    from mbgspark.operators.profiling import split_assign, split_leakage
+
+    base = spark.createDataFrame(
+        [(i, f"unique text number {i}") for i in range(200)],
+        "doc_id bigint, text string",
+    )
+    splits = {r["doc_id"]: r["split"] for r in split_assign(base, "doc_id").collect()}
+    train_ids = [i for i, s in splits.items() if s == "train"]
+    eval_ids = [i for i, s in splits.items() if s != "train"]
+    assert train_ids and eval_ids
+    # plant: first eval doc copies a train doc verbatim; second eval doc
+    # reorders the words of another train doc (shape-only leak)
+    t0, t1 = train_ids[0], train_ids[1]
+    rows = []
+    for i in range(200):
+        if eval_ids and i == eval_ids[0]:
+            rows.append((i, f"unique text number {t0}"))
+        elif len(eval_ids) > 1 and i == eval_ids[1]:
+            rows.append((i, f"number {t1} text unique"))
+        else:
+            rows.append((i, f"unique text number {i}"))
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["split"]: r.asDict() for r in split_leakage(d).collect()}
+    exact = sum(v["n_exact_leaked"] for v in out.values())
+    shape = sum(v["n_shape_leaked"] for v in out.values())
+    assert exact == 1
+    # the verbatim copy also collides on shape; the reorder only on shape
+    assert shape == 2
+    assert sum(v["n_docs"] for v in out.values()) == len(eval_ids)
