@@ -60,3 +60,27 @@ def normalize_separators(c: Column) -> Column:
 def normalized_text_key(c: Column) -> Column:
     """D2 dedup key (resilient_scraper.py:354): hash(lower(trim(text)))."""
     return F.xxhash64(F.lower(F.trim(c)))
+
+
+def strip_markup(c: Column) -> Column:
+    """Web-corpus markup stripper — the boilerplate-removal step upstream
+    of every HTML-sourced training-data pipeline (the reference scrapes
+    rendered pages, so its stored text is already tag-free; this is the
+    generalization for raw-HTML sources): drop <script>/<style> blocks
+    WITH their contents, strip remaining tags, decode the six common
+    entities, collapse whitespace. Chained regexp_replace — pure codegen,
+    row-local, zero shuffles; (?is) makes block removal case-insensitive
+    and dot-matches-newline so multi-line blocks go in one pass."""
+    c = F.regexp_replace(c, r"(?is)<script\b[^>]*>.*?</script>", " ")
+    c = F.regexp_replace(c, r"(?is)<style\b[^>]*>.*?</style>", " ")
+    c = F.regexp_replace(c, r"(?s)<[^>]+>", " ")
+    for ent, rep in (
+        ("&nbsp;", " "),
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&amp;", "&"),  # last, so &amp;lt; decodes to &lt; not <
+    ):
+        c = F.replace(c, F.lit(ent), F.lit(rep))
+    return _collapse_ws(c)

@@ -141,6 +141,7 @@ _PRIORITY = [
     "lm_bigram_score",
     "ann_quantized_topk",
     "split_leakage_counts",
+    "markup_strip_roundtrip",
     "etl_lifecycle",
 ]
 

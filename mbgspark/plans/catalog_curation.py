@@ -25,6 +25,7 @@ from mbgspark.operators.curation import (
     with_pii_redaction,
     with_repetition_stats,
 )
+from mbgspark.functions.cleaning import strip_markup
 from mbgspark.operators.textstats import with_token_counts
 from mbgspark.plans.catalog_core import _t
 
@@ -387,6 +388,70 @@ FROM scored GROUP BY doc_id ORDER BY doc_id
 """
 
 
+# ---------------------------------------------- markup strip round-trip --
+
+
+def markup_strip_roundtrip(spark, sf_dir):
+    """strip_markup exercised on real corpus text: each document is
+    wrapped in a deterministic HTML shell (tags + a <script> whose BODY
+    contains a bare '<', a <style> block, and entity-encoded text) and
+    stripped back; matches_expected pins that stripping recovers the
+    whitespace-collapsed original plus the decoded entity suffix. The
+    stored testdata is already tag-free (the reference scrapes rendered
+    pages), so the wrap happens in-query — both engines build and strip
+    the same markup, making this a value-hash parity check of the regex
+    chain itself, not a no-op scan."""
+    d = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<html><head><style>p{color:red}</style></head><body><p id="d'),
+        F.col("doc_id").cast("string"),
+        F.lit('">'),
+        F.col("text"),
+        F.lit(
+            '</p><script type="text/javascript">var x = 1 < 2;</script>'
+            "&nbsp;<b>Q&amp;A</b></body></html>"
+        ),
+    )
+    base = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+    stripped = strip_markup(html)
+    return d.select(
+        "doc_id",
+        F.md5(stripped).alias("stripped_md5"),
+        (stripped == F.concat(base, F.lit(" Q&A")))
+        .cast("bigint")
+        .alias("matches_expected"),
+    ).orderBy("doc_id")
+
+
+MARKUP_STRIP_SQL = r"""
+WITH h AS (
+  SELECT doc_id,
+         '<html><head><style>p{color:red}</style></head><body><p id="d'
+           || doc_id || '">' || text
+           || '</p><script type="text/javascript">var x = 1 < 2;</script>'
+           || '&nbsp;<b>Q&amp;A</b></body></html>' AS html,
+         trim(regexp_replace(text, '\s+', ' ', 'g')) AS base
+  FROM documents
+),
+s AS (
+  SELECT doc_id, base,
+         trim(regexp_replace(
+           replace(replace(replace(replace(replace(replace(
+             regexp_replace(regexp_replace(regexp_replace(html,
+               '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+               '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+               '(?s)<[^>]+>', ' ', 'g'),
+             '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+             '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+           '\s+', ' ', 'g')) AS stripped
+  FROM h
+)
+SELECT doc_id, md5(stripped) AS stripped_md5,
+       CAST(stripped = base || ' Q&A' AS BIGINT) AS matches_expected
+FROM s ORDER BY doc_id
+"""
+
+
 # --------------------------------------------------- TF-IDF top terms --
 
 
@@ -742,6 +807,7 @@ CURATION = {
     "line_filter_stats": (line_filter_stats, LINE_FILTER_SQL),
     "quality_surprise": (quality_surprise, SURPRISE_SQL),
     "lm_bigram_score": (lm_bigram_score, BIGRAM_SURPRISE_SQL),
+    "markup_strip_roundtrip": (markup_strip_roundtrip, MARKUP_STRIP_SQL),
     "tfidf_terms": (tfidf_terms, TFIDF_SQL),
     "corpus_shuffle_shards": (corpus_shuffle_shards, SHUFFLE_SHARDS_SQL),
     "mixture_resample": (mixture_resample, MIXTURE_RESAMPLE_SQL),

@@ -49,3 +49,32 @@ def test_normalized_text_key_equal_for_case_space_variants(spark):
     ).select(normalized_text_key(F.col("t")).alias("k"))
     keys = [r["k"] for r in df.collect()]
     assert keys[0] == keys[1]
+
+
+def test_strip_markup_blocks_tags_entities(spark):
+    """script/style bodies are dropped entirely (including a bare '<'
+    inside the script), other tags become whitespace, the six common
+    entities decode, and double-encoded &amp;lt; decodes exactly one
+    level (to &lt;, not <)."""
+    from pyspark.sql import functions as F
+
+    from mbgspark.functions.cleaning import strip_markup
+
+    cases = [
+        (1, '<p>Hello <b>world</b></p>', "Hello world"),
+        (2, '<script>if (a < b) { alert("x") }</script>keep', "keep"),
+        (3, '<STYLE type="x">p { color: red }</STYLE>kept', "kept"),
+        (4, 'a&nbsp;b &amp; c &lt;tag&gt; &quot;q&quot; &#39;s&#39;', 'a b & c <tag> "q" \'s\''),
+        (5, "Tom &amp;lt; Jerry", "Tom &lt; Jerry"),
+        (6, "<div\nclass='x'>multi\nline</div>", "multi line"),
+        (7, "no markup at all", "no markup at all"),
+    ]
+    df = spark.createDataFrame(
+        [(i, raw) for i, raw, _ in cases], "id bigint, raw string"
+    )
+    got = {
+        r["id"]: r["out"]
+        for r in df.select("id", strip_markup(F.col("raw")).alias("out")).collect()
+    }
+    for i, _, want in cases:
+        assert got[i] == want, (i, got[i], want)
