@@ -303,3 +303,57 @@ def quantized_topk(
         F.col(id_col), F.col("__q").alias(vec_col)
     )
     return brute_force_topk(qc, qq, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def hard_negative_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query vector,
+    the top-k most-similar corpus vectors carrying a DIFFERENT label —
+    the examples a contrastive or reranker loss learns the most from
+    (near the decision boundary, not random negatives). Same
+    broadcast-query scoring shape as ``brute_force_topk`` with the label
+    inequality fused into the join filter, so mismatched-label pairs are
+    dropped before the window ranks anything. At corpus scale, swap the
+    scoring source for the IVF probe join (``ivf_topk``'s cell-bucketed
+    candidates) exactly as for plain top-k — the mining step only changes
+    the filter and the ranking, not the candidate-generation shape."""
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            F.col(label_col).alias("query_label"),
+        )
+    )
+    c = corpus.select(
+        F.col(id_col).alias("match_id"),
+        F.col(vec_col).alias("cv"),
+        F.col(label_col).alias("match_label"),
+    )
+    scored = (
+        c.crossJoin(q)
+        .filter(
+            (F.col("match_id") != F.col("query_id"))
+            & (F.col("match_label") != F.col("query_label"))
+        )
+        .withColumn("cos_sim", F.round(cosine_sim(F.col("qv"), F.col("cv")), 4))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("match_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id",
+            "query_label",
+            "match_id",
+            "match_label",
+            "cos_sim",
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+        .orderBy("query_id", "rnk")
+    )

@@ -142,6 +142,8 @@ _PRIORITY = [
     "ann_quantized_topk",
     "split_leakage_counts",
     "markup_strip_roundtrip",
+    "hard_negatives",
+    "inter_event_gaps",
     "etl_lifecycle",
 ]
 

@@ -23,6 +23,7 @@ from mbgspark.operators.multimodal import extract_features, frame_sample
 from mbgspark.operators.similarity import (
     brute_force_topk,
     ivf_topk,
+    hard_negative_topk,
     kmeans_assignments,
     quantized_topk,
 )
@@ -881,6 +882,41 @@ scored AS (
   FROM c CROSS JOIN q WHERE match_id <> query_id
 )
 SELECT query_id, match_id, cos_sim,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, match_id) AS BIGINT) AS rnk
+FROM scored
+QUALIFY rnk <= 3
+ORDER BY query_id, rnk
+"""
+
+
+def hard_negatives(spark, sf_dir):
+    """Contrastive hard-negative mining: top-3 most-similar vectors with a
+    DIFFERENT label, per query vector vec_id < 5."""
+    e = _t(spark, sf_dir, "embeddings")
+    return hard_negative_topk(e, e.filter(F.col("vec_id") < 5), k=3)
+
+
+HARD_NEGATIVES_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+         label AS query_label
+  FROM embeddings WHERE vec_id < 5
+),
+c AS (
+  SELECT vec_id AS match_id, CAST(embedding AS DOUBLE[]) AS cv,
+         label AS match_label
+  FROM embeddings
+),
+scored AS (
+  SELECT query_id, query_label, match_id, match_label,
+         round(list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))),
+               4) AS cos_sim
+  FROM c CROSS JOIN q
+  WHERE match_id <> query_id AND match_label <> query_label
+)
+SELECT query_id, query_label, match_id, match_label, cos_sim,
        CAST(row_number() OVER (PARTITION BY query_id
                                ORDER BY cos_sim DESC, match_id) AS BIGINT) AS rnk
 FROM scored
@@ -1928,6 +1964,7 @@ EXT: dict[str, tuple] = {
     ),
     "ann_cosine_topk": (ann_cosine_topk, ANN_TOPK_SQL),
     "ann_quantized_topk": (ann_quantized_topk, ANN_QUANTIZED_SQL),
+    "hard_negatives": (hard_negatives, HARD_NEGATIVES_SQL),
     "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),
     "ann_ivf_kmeans_topk": (ann_ivf_kmeans_topk, _ann_ivf_kmeans_sql()),
     "langid_confusion": (langid_confusion, LANGID_SQL),

@@ -611,6 +611,58 @@ FROM assigned GROUP BY split ORDER BY split
 """
 
 
+# ---------------------------------------------------- inter-event gaps --
+
+
+def inter_event_gaps(spark, sf_dir):
+    """Per-user inter-event-time distribution: exact interpolated median
+    and p90 of the gaps between consecutive events (microsecond-exact lag
+    arithmetic; percentiles interpolate over integers, deterministic in
+    both engines), plus the max gap — the dwell/engagement profile that
+    feeds sessionization-timeout and bot-detection thresholds. One window
+    pass partitioned by user (no global sort), one aggregate."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        e.withColumn("__prev_us", F.lag(F.unix_micros("ts")).over(w))
+        .withColumn("__gap_us", F.unix_micros("ts") - F.col("__prev_us"))
+        .filter(F.col("__gap_us").isNotNull())
+    )
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            (F.count(F.lit(1)) + 1).cast("bigint").alias("n_events"),
+            F.round(F.expr("percentile(__gap_us, 0.5)") / 1000000.0, 2).alias(
+                "median_gap_s"
+            ),
+            F.round(F.expr("percentile(__gap_us, 0.9)") / 1000000.0, 2).alias(
+                "p90_gap_s"
+            ),
+            (F.max("__gap_us") / F.lit(1000000)).cast("bigint").alias("max_gap_s"),
+        )
+        .orderBy("user_id")
+    )
+
+
+INTER_EVENT_GAPS_SQL = """
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events
+)
+SELECT user_id,
+       CAST(count(*) + 1 AS BIGINT) AS n_events,
+       round(quantile_cont(gap_us, 0.5) / 1000000.0, 2) AS median_gap_s,
+       round(quantile_cont(gap_us, 0.9) / 1000000.0, 2) AS p90_gap_s,
+       CAST(max(gap_us) // 1000000 AS BIGINT) AS max_gap_s
+FROM g WHERE gap_us IS NOT NULL
+GROUP BY user_id ORDER BY user_id
+"""
+
+
 PROFILING = {
     "contamination_embedding": (contamination_embedding, CONTAMINATION_EMBEDDING_SQL),
     "profile_orders": (profile_orders, PROFILE_ORDERS_SQL),
@@ -627,4 +679,5 @@ PROFILING = {
     "outlier_orders": (outlier_orders, OUTLIER_ORDERS_SQL),
     "funnel_view_click_purchase": (funnel_view_click_purchase, FUNNEL_SQL),
     "cohort_retention": (cohort_retention, COHORT_SQL),
+    "inter_event_gaps": (inter_event_gaps, INTER_EVENT_GAPS_SQL),
 }
