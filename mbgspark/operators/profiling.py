@@ -363,3 +363,56 @@ def split_leakage(
         )
         .orderBy("split")
     )
+
+
+def build_cardinality_sketches(
+    df: DataFrame, group_col: str, key_col: str, lg_k: int = 12
+) -> DataFrame:
+    """Per-group HLL cardinality sketches (Apache DataSketches via Spark's
+    ``hll_sketch_agg``) — the 100 TB answer to "distinct users per
+    day/partition": each group's sketch is a few KB, MERGEABLE, and
+    reaggregatable, so daily sketches roll up to weekly/total estimates
+    WITHOUT rescanning or reshuffling the raw keys (an exact distinct
+    must reshuffle every key every time the grouping changes). Store this
+    frame per ingest partition; ``estimate_sketch_union`` answers any
+    coarser rollup from it."""
+    return df.groupBy(group_col).agg(
+        F.hll_sketch_agg(key_col, F.lit(lg_k)).alias("hll_sketch"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    )
+
+
+def estimate_sketch_union(sketches: DataFrame) -> int:
+    """Merge a frame of ``hll_sketch`` columns into one union estimate —
+    the rollup read path over ``build_cardinality_sketches`` output."""
+    row = sketches.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("hll_sketch")).alias("est")
+    ).first()
+    return int(row["est"])
+
+
+def cardinality_check(
+    df: DataFrame, group_col: str, key_col: str, rel_tol_e4: int = 500
+) -> DataFrame:
+    """Per-group exact distinct count alongside a sketch-accuracy flag:
+    ``sketch_ok = 1`` iff the HLL estimate is within ``rel_tol_e4``/1e4
+    (default 5%) of the exact count. The flag — not the raw estimate — is
+    the output surface, so the result is value-hash comparable against an
+    exact-only SQL oracle while still FAILING the gate if the sketch ever
+    drifts outside its accuracy contract (a raw estimate column would be
+    engine-specific and uncheckable). Exact and sketch ride the same
+    aggregation pass."""
+    est = F.hll_sketch_estimate(F.hll_sketch_agg(key_col))
+    exact = F.count_distinct(F.col(key_col))
+    return (
+        df.groupBy(group_col)
+        .agg(
+            exact.cast("bigint").alias("n_exact"),
+            (
+                F.abs(est - exact) * 10000 <= F.lit(rel_tol_e4) * exact
+            )
+            .cast("bigint")
+            .alias("sketch_ok"),
+        )
+        .orderBy(group_col)
+    )

@@ -144,6 +144,7 @@ _PRIORITY = [
     "markup_strip_roundtrip",
     "hard_negatives",
     "inter_event_gaps",
+    "cardinality_sketch_users",
     "etl_lifecycle",
 ]
 

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from mbgspark.operators.curation import embedding_contamination
 from mbgspark.operators.profiling import (
+    cardinality_check,
     group_sample,
     snapshot_diff,
     heavy_hitters,
@@ -611,6 +612,28 @@ FROM assigned GROUP BY split ORDER BY split
 """
 
 
+# ----------------------------------------------- cardinality sketches --
+
+
+def cardinality_sketch_users(spark, sf_dir):
+    """Distinct users per event_type, exact, with the HLL sketch accuracy
+    contract pinned in-query: sketch_ok = 1 iff the mergeable-sketch
+    estimate lands within 5% of exact. The oracle asserts the contract
+    (literal 1), so a sketch drifting out of tolerance FAILS the hash
+    gate rather than passing unnoticed."""
+    return cardinality_check(
+        _t(spark, sf_dir, "events"), "event_type", "user_id"
+    )
+
+
+CARDINALITY_SQL = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+       CAST(1 AS BIGINT) AS sketch_ok
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 # ---------------------------------------------------- inter-event gaps --
 
 
@@ -680,4 +703,5 @@ PROFILING = {
     "funnel_view_click_purchase": (funnel_view_click_purchase, FUNNEL_SQL),
     "cohort_retention": (cohort_retention, COHORT_SQL),
     "inter_event_gaps": (inter_event_gaps, INTER_EVENT_GAPS_SQL),
+    "cardinality_sketch_users": (cardinality_sketch_users, CARDINALITY_SQL),
 }

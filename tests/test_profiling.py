@@ -316,3 +316,25 @@ def test_split_leakage_flags_planted_cross_split_duplicates(spark):
     # the verbatim copy also collides on shape; the reorder only on shape
     assert shape == 2
     assert sum(v["n_docs"] for v in out.values()) == len(eval_ids)
+
+
+def test_cardinality_sketches_merge_across_partitions(spark):
+    """The scale contract of HLL sketches: per-day sketches roll up to the
+    GLOBAL distinct count without touching raw keys again — union estimate
+    within 5% of exact (here, at modest cardinality, typically exact)."""
+    from pyspark.sql import functions as F
+
+    from mbgspark.io import load_table
+    from mbgspark.operators.profiling import (
+        build_cardinality_sketches,
+        estimate_sketch_union,
+    )
+
+    e = load_table(spark, "/root/testdata/sf0.01", "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    daily = build_cardinality_sketches(e, "day", "user_id")
+    assert daily.columns == ["day", "hll_sketch", "n_rows"]
+    est = estimate_sketch_union(daily)
+    exact = e.select(F.count_distinct("user_id")).first()[0]
+    assert abs(est - exact) <= 0.05 * exact, (est, exact)
