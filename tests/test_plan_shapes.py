@@ -372,3 +372,46 @@ def test_large_orders_single_lineitem_agg(spark):
     # the HAVING subquery IS the outer aggregate — lineitem scanned once
     plan = plan_of(spark, "large_orders")
     assert plan.count("FileScan parquet") <= 3  # lineitem + orders + customer
+
+
+def test_waiting_suppliers_correlates_via_hash_joins(spark):
+    """Q21's two correlated quantifiers must decorrelate into hash
+    semi/anti joins on l_orderkey — no nested-loop, no cartesian — and
+    the 'F'-status filter pushes to the orders scan."""
+    plan = plan_of(spark, "waiting_suppliers")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "BroadcastNestedLoop" not in plan and "Cartesian" not in plan
+    assert "EqualTo(o_orderstatus,F)" in plan
+
+
+def test_lm_bigram_single_pair_explode(spark):
+    """The bigram LM runs exactly two Generates (pair occurrences + the
+    1-row vocab count) — a third would mean a plan consumer re-exploding
+    the corpus — and the vocab total joins as a broadcast, never a
+    shuffle."""
+    plan = plan_of(spark, "lm_bigram_score")
+    assert plan.count("Generate") == 2, plan.count("Generate")
+    assert plan.count("CartesianProduct") == 0
+
+
+def test_split_leakage_probes_are_equijoins(spark):
+    """Both fingerprint probes are hash equi-joins against DISTINCT train
+    sets (left joins cannot multiply rows), nothing nested-loop."""
+    plan = plan_of(spark, "split_leakage_counts")
+    assert "BroadcastNestedLoop" not in plan and "Cartesian" not in plan
+    assert plan.count("LeftOuter") == 2
+
+
+def test_hard_negatives_broadcasts_query_side(spark):
+    """Hard-negative mining broadcasts the (small) query side; the corpus
+    streams — the BNLJ is the intended broadcast shape, scaling with
+    corpus size, not corpus squared."""
+    plan = plan_of(spark, "hard_negatives")
+    assert "BroadcastNestedLoopJoin BuildRight" in plan
+
+
+def test_inter_event_gaps_window_is_user_partitioned(spark):
+    """The lag window partitions by user_id — no 'move all data to a
+    single partition' global window."""
+    plan = plan_of(spark, "inter_event_gaps")
+    assert "hashpartitioning(user_id" in plan
