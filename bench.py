@@ -49,6 +49,10 @@ HEADLINE = [
     # round 4 continuation: profiling/diagnostics + incremental dedup
     # (additive — compare to the r4 21-query basis on the first 21)
     "contamination_embedding", "gopher_quality", "dedup_incremental",
+    # round 4, later session: bigram-LM quality scoring — the heaviest new
+    # corpus op of the batch (additive — compare to the 24-query basis
+    # on the first 24)
+    "lm_bigram_score",
 ]
 
 

@@ -152,3 +152,56 @@ def budget_sample(
         .filter(F.col(cum_col) <= budget)
         .drop("__bk", "__off")
     )
+
+
+def weighted_sample_topn(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    n: int,
+    seed: str = "",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, derandomized — the
+    Efraimidis–Spirakis A-ES scheme with the PRNG replaced by an md5-derived
+    uniform, so the same (seed, corpus) always draws the same sample on any
+    engine or partitioning:
+
+        u(id)   = (int(md5(seed|id)[:13 hex]) + 1) / (16^13 + 1)   in (0,1)
+        key(id) = -ln(u) / weight          (smaller = more likely chosen)
+        sample  = the n smallest keys
+
+    This is THE distributed weighted-reservoir construction (each item's
+    key is computed row-locally; a top-n merge replaces the sequential
+    reservoir), here as a TakeOrderedAndProject — no global sort, nothing
+    corpus-sized on the driver. P(item in sample) matches weighted
+    sampling without replacement exactly.
+
+    The key is quantized to integer micro-units (floor(x*1e6 + 0.5)) with
+    an id tiebreak, so ranking is hash-stable across engines: the only
+    residual divergence risk is a key landing within ~1 ulp of a .5 micro
+    boundary (the same accepted device as the LM-surprise oracles; the
+    uniform's 52 bits make real collisions astronomically unlikely).
+    Non-positive weights are excluded (their key would be -inf/NaN);
+    weight semantics put w=0 at "never sampled", which the filter honors.
+
+    Emits (id, weight, sample_key_micro), the n sampled rows, rank order.
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.lit(str(seed)), F.col(id_col).cast("string"))),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    u = (h + F.lit(1)) / F.lit(float(16**13 + 1))
+    key = F.floor(
+        -F.log(u) / F.col(weight_col).cast("double") * 1000000 + F.lit(0.5)
+    ).cast("bigint")
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .select(F.col(id_col), F.col(weight_col), key.alias("sample_key_micro"))
+        .orderBy("sample_key_micro", id_col)
+        .limit(n)
+    )

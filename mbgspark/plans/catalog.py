@@ -145,6 +145,7 @@ _PRIORITY = [
     "hard_negatives",
     "inter_event_gaps",
     "cardinality_sketch_users",
+    "weighted_sample_docs",
     "etl_lifecycle",
 ]
 

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from mbgspark.operators.shuffle import budget_sample
+from mbgspark.operators.shuffle import budget_sample, weighted_sample_topn
 from mbgspark.operators.curation import (
     contamination_flags,
     mixture_interleave,
@@ -385,6 +385,32 @@ SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
        CAST((2 * sum(tf * sup_micro) + sum(tf)) // (2 * sum(tf)) AS BIGINT)
          AS mean_bigram_surprise_micronats
 FROM scored GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# ------------------------------------------------ weighted A-ES sample --
+
+
+def weighted_sample_docs(spark, sf_dir):
+    """Deterministic Efraimidis–Spirakis weighted sample: 50 documents
+    drawn without replacement with probability proportional to length
+    (n_chars) — the length-weighted inspection/eval draw."""
+    return weighted_sample_topn(
+        _t(spark, sf_dir, "documents"), "doc_id", "n_chars", n=50, seed="r4"
+    )
+
+
+WEIGHTED_SAMPLE_SQL = """
+SELECT doc_id, n_chars, sample_key_micro FROM (
+  SELECT doc_id, n_chars,
+         CAST(floor(
+           -ln((('0x' || substr(md5('r4|' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT + 1)
+               / 4503599627370497.0)
+           / CAST(n_chars AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+           AS sample_key_micro
+  FROM documents WHERE n_chars > 0)
+ORDER BY sample_key_micro, doc_id
+LIMIT 50
 """
 
 
@@ -808,6 +834,7 @@ CURATION = {
     "quality_surprise": (quality_surprise, SURPRISE_SQL),
     "lm_bigram_score": (lm_bigram_score, BIGRAM_SURPRISE_SQL),
     "markup_strip_roundtrip": (markup_strip_roundtrip, MARKUP_STRIP_SQL),
+    "weighted_sample_docs": (weighted_sample_docs, WEIGHTED_SAMPLE_SQL),
     "tfidf_terms": (tfidf_terms, TFIDF_SQL),
     "corpus_shuffle_shards": (corpus_shuffle_shards, SHUFFLE_SHARDS_SQL),
     "mixture_resample": (mixture_resample, MIXTURE_RESAMPLE_SQL),

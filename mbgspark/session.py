@@ -47,6 +47,17 @@ def get_spark(
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # The catalog compiles 130+ whole-stage-codegen plans into one JVM
+        # (bench runs ~25 in sequence); the JIT's default ~240 MB reserved
+        # code cache can fill, silently deoptimizing the hottest operators
+        # mid-benchmark. Local-mode driver == executor, so one flag covers
+        # both. Harmless headroom when unused.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get(
+                "SPARK_GRAFT_DRIVER_JAVA_OPTS", "-XX:ReservedCodeCacheSize=512m"
+            ),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -133,3 +133,31 @@ def test_budget_sample_no_global_sort(spark):
     # the corpus-wide windows are partitioned by bucket; the only
     # unpartitioned window runs over the <=65k aggregated bucket rows
     assert "windowspecdefinition(__bk" in plan
+
+
+def test_weighted_sample_is_weight_proportional_and_deterministic(spark):
+    """A-ES derandomized: same (seed, corpus) -> identical sample; across
+    many seeds, 10x-weighted items are drawn far more often than
+    1x-weighted ones (the probability contract); zero-weight rows never
+    appear."""
+    from pyspark.sql import functions as F
+
+    from mbgspark.operators.shuffle import weighted_sample_topn
+
+    rows = [(i, 10 if i < 50 else 1) for i in range(100)] + [(1000, 0)]
+    df = spark.createDataFrame(rows, "id bigint, w bigint")
+
+    s1 = weighted_sample_topn(df, "id", "w", n=20, seed="a").collect()
+    s2 = weighted_sample_topn(df, "id", "w", n=20, seed="a").collect()
+    assert [r["id"] for r in s1] == [r["id"] for r in s2]
+    assert all(r["id"] != 1000 for r in s1)
+
+    heavy = 0
+    for seed in range(12):
+        got = weighted_sample_topn(df, "id", "w", n=20, seed=str(seed)).collect()
+        assert len(got) == 20
+        heavy += sum(1 for r in got if r["id"] < 50)
+    # expectation: heavy items (10x weight, half the corpus) dominate the
+    # draw; 12 seeds x 20 draws = 240, heavy expectation ~> 200; require
+    # a wide-margin majority to keep the test noise-proof
+    assert heavy >= 170, heavy

@@ -270,6 +270,27 @@ def main() -> None:
     run("profile_2col", profile_table(corpus, ["id", "t"]))
     run("heavy_hitters_mod1k", heavy_hitters(corpus.select((F.col("id") % 1000).alias("k")), "k"))
 
+    # ---- round-4 second session: LM scoring, leakage audit, quantized ANN ----
+    # bigram surprise on the hash-rewritten corpus is the worst case for
+    # the (w1,w2) window: virtually every bigram is unique, so the
+    # aggregated set is ~as large as the occurrence set — if it stays
+    # linear here, real corpora (heavy bigram reuse) are strictly easier.
+    from mbgspark.operators.profiling import split_leakage
+    from mbgspark.operators.similarity import quantized_topk
+    from mbgspark.operators.textstats import bigram_surprise
+
+    run("bigram_surprise", bigram_surprise(corpus, "id", "t"))
+    # leakage probes: the planted near-dups share no EXACT fingerprint with
+    # their originals (first token dropped), so expected leak counts are 0
+    # — the measurement is the probe-join cost at corpus scale
+    run("split_leakage", split_leakage(corpus, "id", "t"))
+    run(
+        "quantized_topk_q5",
+        quantized_topk(
+            emb_corpus, emb_corpus.filter(F.col("vec_id") < 5), k=3
+        ),
+    )
+
     expected_pairs = 30 * n
     found = results["minhash_lsh_neardup"]["out_rows"]
     print(
