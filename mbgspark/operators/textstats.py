@@ -469,3 +469,32 @@ def bigram_surprise(
             .alias("mean_bigram_surprise_micronats"),
         )
     )
+
+
+def normalize_unicode(
+    df: DataFrame, text_col: str = "text", out: str = "nfc_text", form: str = "NFC"
+) -> DataFrame:
+    """Unicode normalization (NFC by default) — the canonicalization step
+    multilingual corpora need before dedup/fingerprinting: 'café' typed
+    as e+combining-acute and as precomposed U+00E9 are different byte
+    strings (different md5, different shingles) but the SAME text; NFC
+    folds them together. Spark has no built-in normalizer, so this is a
+    deliberate Arrow pandas-UDF hop (Python's unicodedata implements the
+    same Unicode standard as DuckDB's utf8proc `nfc_normalize`, so the
+    surface stays oracle-checkable) — row-local, zero shuffles, and the
+    ONLY Python in the chain; everything downstream (md5, split) stays
+    JVM-side. Batch cost is one Arrow round trip; at 100 TB this is a
+    narrow map riding the ingest scan."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(returnType="string")
+    def _norm(s):  # annotations omitted: PEP-563 stringified hints break
+        # pandas_udf's signature inspection under future-annotations
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize(form, x) if x is not None else None
+        )
+
+    return df.withColumn(out, _norm(F.col(text_col)))

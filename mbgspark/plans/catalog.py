@@ -146,6 +146,7 @@ _PRIORITY = [
     "inter_event_gaps",
     "cardinality_sketch_users",
     "weighted_sample_docs",
+    "nfc_roundtrip",
     "etl_lifecycle",
 ]
 

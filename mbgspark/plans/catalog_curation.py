@@ -388,6 +388,53 @@ FROM scored GROUP BY doc_id ORDER BY doc_id
 """
 
 
+# ----------------------------------------------- unicode NFC round-trip --
+
+
+def nfc_roundtrip(spark, sf_dir):
+    """Unicode NFC normalization (Arrow pandas UDF) exercised on real
+    corpus text plus an in-query DECOMPOSED suffix (e + combining acute,
+    o + combining diaeresis): both engines append the same combining-mark
+    sequence, normalize, and must produce the precomposed form --
+    matches_expected pins the fold, the md5 hash pins every byte. The
+    stored testdata is ASCII (NFC is the identity on it), so the suffix
+    is what makes this a real normalization check rather than a no-op
+    scan; Python's unicodedata and DuckDB's utf8proc implement the same
+    Unicode standard, which is what makes the UDF oracle-checkable."""
+    from mbgspark.operators.textstats import normalize_unicode
+
+    d = _t(spark, sf_dir, "documents")
+    decomposed = " cafe\u0301 co\u0308rdinate"  # combining marks
+    precomposed = " caf\u00e9 c\u00f6rdinate"  # NFC folds to e-acute / o-umlaut
+    aug = d.select(
+        "doc_id",
+        F.col("text").alias("orig"),
+        F.concat(F.col("text"), F.lit(decomposed)).alias("text"),
+    )
+    out = normalize_unicode(aug, "text", "nfc_text")
+    return out.select(
+        "doc_id",
+        F.md5("nfc_text").alias("nfc_md5"),
+        (F.col("nfc_text") == F.concat(F.col("orig"), F.lit(precomposed)))
+        .cast("bigint")
+        .alias("matches_expected"),
+    ).orderBy("doc_id")
+
+
+NFC_SQL = """
+WITH aug AS (
+  SELECT doc_id, text,
+         text || ' cafe' || chr(769) || ' co' || chr(776) || 'rdinate' AS raw
+  FROM documents
+)
+SELECT doc_id, md5(nfc_normalize(raw)) AS nfc_md5,
+       CAST(nfc_normalize(raw)
+            = text || ' caf' || chr(233) || ' c' || chr(246) || 'rdinate'
+            AS BIGINT) AS matches_expected
+FROM aug ORDER BY doc_id
+"""
+
+
 # ------------------------------------------------ weighted A-ES sample --
 
 
@@ -835,6 +882,7 @@ CURATION = {
     "lm_bigram_score": (lm_bigram_score, BIGRAM_SURPRISE_SQL),
     "markup_strip_roundtrip": (markup_strip_roundtrip, MARKUP_STRIP_SQL),
     "weighted_sample_docs": (weighted_sample_docs, WEIGHTED_SAMPLE_SQL),
+    "nfc_roundtrip": (nfc_roundtrip, NFC_SQL),
     "tfidf_terms": (tfidf_terms, TFIDF_SQL),
     "corpus_shuffle_shards": (corpus_shuffle_shards, SHUFFLE_SHARDS_SQL),
     "mixture_resample": (mixture_resample, MIXTURE_RESAMPLE_SQL),

@@ -108,3 +108,24 @@ def test_bigram_surprise_flags_shuffled_transitions(spark):
         out2[100]["mean_bigram_surprise_micronats"]
         > out2[0]["mean_bigram_surprise_micronats"]
     )
+
+
+def test_normalize_unicode_folds_combining_marks(spark):
+    """NFC folds decomposed sequences to precomposed; ASCII and None pass
+    through untouched."""
+    from pyspark.sql import functions as F
+
+    from mbgspark.operators.textstats import normalize_unicode
+
+    rows = [
+        (1, "cafe\u0301"),  # decomposed
+        (2, "plain ascii"),
+        (3, None),
+        (4, "co\u0308rdinate"),  # decomposed
+    ]
+    d = spark.createDataFrame(rows, "id bigint, text string")
+    out = {r["id"]: r["nfc_text"] for r in normalize_unicode(d).collect()}
+    assert out[1] == "caf\u00e9"  # precomposed
+    assert out[2] == "plain ascii"
+    assert out[3] is None
+    assert out[4] == "c\u00f6rdinate"  # precomposed
