@@ -107,9 +107,12 @@ _PRIORITY = [
     # this round takes the 50th slot (a NEW query outranks a canary re-run;
     # etl_lifecycle is r3-green and unchanged, so it rotates just behind) --
     "contamination_embedding",
-    # -- past the 50-window: the rest of the new profiling suite FIRST (no
-    # driver row yet — pack these at the front of the r5 window), then
-    # etl_lifecycle and q1-q28 etc. (all r3-green, unchanged) --
+    # -- past the 50-window: everything below this line has NO driver row
+    # yet (the round-4 continuation suites and the second-session batch:
+    # TPC-H Q21/Q22, bigram LM, quantized ANN, split leakage, markup
+    # strip, hard negatives, event gaps, cardinality sketches, weighted
+    # sampling, NFC) — pack ALL of these at the front of the r5 window,
+    # then etl_lifecycle and q1-q28 etc. (r3/r4-green, unchanged) --
     "profile_orders",
     "profile_lineitem_numeric",
     "heavy_hitter_keys",
