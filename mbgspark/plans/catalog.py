@@ -150,6 +150,7 @@ _PRIORITY = [
     "cardinality_sketch_users",
     "weighted_sample_docs",
     "nfc_roundtrip",
+    "top_supplier",
     "etl_lifecycle",
 ]
 

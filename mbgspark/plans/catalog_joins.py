@@ -1152,6 +1152,47 @@ LIMIT 20
 """
 
 
+# ----------------------------------------------------------- TPC-H Q15 ---
+def top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape (top supplier): quarterly revenue per supplier,
+    keep the supplier(s) achieving the maximum — the classic
+    view + scalar-max + join-back. One lineitem aggregate feeds both the
+    per-supplier rows and the 1-row max (broadcast), so the fact scans
+    once; revenue is rounded to 2 dp BEFORE the max/equality compare so
+    the float-sum tie surface is deterministic across engines."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    rev = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(F.sum(_revenue()), 2).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("__mx"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+TOP_SUPPLIER_SQL = """
+WITH rev AS (
+  SELECT l_suppkey AS supplier_no,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON supplier_no = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
 # ----------------------------------------------------------- TPC-H Q22 ---
 def dormant_rich_customers(spark, sf_dir):
     """TPC-H Q22 shape (global sales opportunity): customers in a
@@ -1228,5 +1269,6 @@ JOINS: dict[str, tuple] = {
     "trailing_30d_revenue": (trailing_30d_revenue, TRAILING_30D_SQL),
     "window_rank_features": (window_rank_features, WINDOW_RANK_SQL),
     "waiting_suppliers": (waiting_suppliers, WAITING_SUPPLIERS_SQL),
+    "top_supplier": (top_supplier, TOP_SUPPLIER_SQL),
     "dormant_rich_customers": (dormant_rich_customers, DORMANT_RICH_SQL),
 }
