@@ -416,3 +416,101 @@ def cardinality_check(
         )
         .orderBy(group_col)
     )
+
+
+def count_min_sketch(
+    df: DataFrame, key_col: str, width: int = 256, depth: int = 4
+) -> DataFrame:
+    """Count-Min sketch construction — approximate per-key frequencies in
+    ``depth * width`` counters regardless of key cardinality (the
+    fixed-memory answer when the key space itself is too large for an
+    exact groupBy to be worth materializing; estimates only ever
+    OVER-count, by at most ~2N/width with high probability). The d hash
+    rows per input row compress to at most depth*width cells per
+    partition under map-side combine, so the shuffle carries a bounded
+    sketch per partition, not the data.
+
+    Unlike HLL (engine-specific binary sketches), this construction is
+    md5-deterministic: the same rows produce the same counters on any
+    engine or partitioning, so estimates are value-hash comparable
+    against a SQL oracle. Mergeable by construction: sketches of two
+    corpora SUM cell-wise (union = groupBy(h,bucket).sum).
+
+    Emits (h, bucket, cnt) — depth*width rows max."""
+    probes = [
+        F.struct(
+            F.lit(i).alias("h"),
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                "|", F.lit(str(i)), F.col(key_col).cast("string")
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % width
+            ).alias("bucket"),
+        )
+        for i in range(depth)
+    ]
+    return (
+        df.select(F.explode(F.array(*probes)).alias("hb"))
+        .groupBy(F.col("hb.h").alias("h"), F.col("hb.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def cm_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    width: int = 256,
+    depth: int = 4,
+) -> DataFrame:
+    """Point-query a Count-Min sketch for a set of keys: estimate =
+    min over the d counters the key hashes to (0 if a cell is absent).
+    The probe set is depth rows per queried key joined to the bounded
+    sketch — broadcastable in either direction."""
+    probe = keys.select(F.col(key_col)).distinct()
+    probes = probe.select(
+        F.col(key_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("h"),
+                        (
+                            F.conv(
+                                F.substring(
+                                    F.md5(
+                                        F.concat_ws(
+                                            "|",
+                                            F.lit(str(i)),
+                                            F.col(key_col).cast("string"),
+                                        )
+                                    ),
+                                    1,
+                                    8,
+                                ),
+                                16,
+                                10,
+                            ).cast("bigint")
+                            % width
+                        ).alias("bucket"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("hb"),
+    ).select(F.col(key_col), F.col("hb.h").alias("h"), F.col("hb.bucket").alias("bucket"))
+    return (
+        probes.join(sketch, ["h", "bucket"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("bigint").alias("cm_est"))
+    )

@@ -151,6 +151,7 @@ _PRIORITY = [
     "weighted_sample_docs",
     "nfc_roundtrip",
     "top_supplier",
+    "count_min_user_events",
     "etl_lifecycle",
 ]
 

@@ -634,6 +634,50 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+# ----------------------------------------------------- count-min sketch --
+
+
+def count_min_user_events(spark, sf_dir):
+    """Count-Min sketch frequency estimates vs exact per-user event
+    counts: the 4x256-counter sketch answers every point query with a
+    deterministic (md5-hashed) overestimate — est >= exact cell-wise, and
+    both engines compute identical counters, so the estimate column
+    itself is value-hash checked (not just a tolerance flag, unlike the
+    engine-specific HLL binaries)."""
+    from mbgspark.operators.profiling import cm_estimate, count_min_sketch
+
+    e = _t(spark, sf_dir, "events")
+    sketch = count_min_sketch(e, "user_id", width=256, depth=4)
+    est = cm_estimate(sketch, e, "user_id", width=256, depth=4)
+    exact = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_cnt")
+    )
+    return exact.join(est, "user_id").orderBy("user_id")
+
+
+COUNT_MIN_SQL = """
+WITH probes AS (
+  SELECT user_id, g.i AS h,
+         (('0x' || substr(md5(CAST(g.i AS VARCHAR) || '|'
+                              || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+          % 256) AS bucket
+  FROM events, LATERAL unnest(generate_series(0, 3)) AS g(i)
+),
+sketch AS (SELECT h, bucket, count(*) AS cnt FROM probes GROUP BY h, bucket),
+keyprobes AS (SELECT DISTINCT user_id, h, bucket FROM probes),
+est AS (
+  SELECT user_id, min(coalesce(cnt, 0)) AS cm_est
+  FROM keyprobes LEFT JOIN sketch USING (h, bucket)
+  GROUP BY user_id
+),
+exact AS (SELECT user_id, count(*) AS exact_cnt FROM events GROUP BY user_id)
+SELECT user_id, CAST(exact_cnt AS BIGINT) AS exact_cnt,
+       CAST(cm_est AS BIGINT) AS cm_est
+FROM exact JOIN est USING (user_id)
+ORDER BY user_id
+"""
+
+
 # ---------------------------------------------------- inter-event gaps --
 
 
@@ -704,4 +748,5 @@ PROFILING = {
     "cohort_retention": (cohort_retention, COHORT_SQL),
     "inter_event_gaps": (inter_event_gaps, INTER_EVENT_GAPS_SQL),
     "cardinality_sketch_users": (cardinality_sketch_users, CARDINALITY_SQL),
+    "count_min_user_events": (count_min_user_events, COUNT_MIN_SQL),
 }

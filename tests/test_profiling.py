@@ -338,3 +338,32 @@ def test_cardinality_sketches_merge_across_partitions(spark):
     est = estimate_sketch_union(daily)
     exact = e.select(F.count_distinct("user_id")).first()[0]
     assert abs(est - exact) <= 0.05 * exact, (est, exact)
+
+
+def test_count_min_overestimates_only_and_merges(spark):
+    """CM guarantees: estimate >= exact for every key; sketches of two
+    corpora merged cell-wise equal the sketch of their union."""
+    from pyspark.sql import functions as F
+
+    from mbgspark.operators.profiling import cm_estimate, count_min_sketch
+
+    a = spark.createDataFrame([(i % 7,) for i in range(100)], "k bigint")
+    b = spark.createDataFrame([(i % 13,) for i in range(80)], "k bigint")
+    u = a.unionByName(b)
+
+    sk_u = count_min_sketch(u, "k", width=32, depth=3)
+    est = {
+        r["k"]: r["cm_est"]
+        for r in cm_estimate(sk_u, u, "k", width=32, depth=3).collect()
+    }
+    exact = {r["k"]: r["cnt"] for r in u.groupBy("k").agg(F.count("*").alias("cnt")).collect()}
+    assert set(est) == set(exact)
+    assert all(est[k] >= exact[k] for k in exact), (est, exact)
+
+    merged = (
+        count_min_sketch(a, "k", width=32, depth=3)
+        .unionByName(count_min_sketch(b, "k", width=32, depth=3))
+        .groupBy("h", "bucket")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, sk_u.collect()))
