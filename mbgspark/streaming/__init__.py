@@ -249,3 +249,64 @@ def start_neardup_gate_sink(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_cardinality_sink(
+    stream: DataFrame,
+    store_path: str,
+    checkpoint_path: str,
+    key_col: str = "author",
+    ts_col: str = "created_at",
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Streaming distinct-count sketches: each micro-batch's keys fold
+    into ONE per-day HLL sketch row (``hll_sketch_agg``), merged with the
+    stored sketch via ``hll_union`` — the streaming form of
+    ``profiling.build_cardinality_sketches``. The store holds a few KB
+    per day REGARDLESS of key cardinality, and never the raw keys: this
+    is how a 100 TB ingest answers "distinct authors per day / this
+    month" without ever reshuffling history ("how many total" is one
+    ``hll_union_agg`` over the day rows). Exactly-once convergence has a
+    different source than the merge sink's keyed upsert: HLL union is
+    IDEMPOTENT (folding the same keys twice is a no-op), so a replayed
+    batch leaves every estimate unchanged.
+    """
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        day_sketches = batch_df.groupBy(
+            F.date_format(ts_col, "yyyy-MM-dd").alias("day")
+        ).agg(
+            F.hll_sketch_agg(key_col).alias("hll_sketch"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        )
+        if _store_exists(spark, store_path):
+            existing = spark.read.parquet(store_path)
+            touched = [r["day"] for r in day_sketches.select("day").distinct().collect()]
+            hit = existing.filter(F.col("day").isin(touched))
+            untouched = existing.filter(~F.col("day").isin(touched))
+            merged_hit = (
+                hit.select("day", "hll_sketch", "n_rows")
+                .unionByName(day_sketches)
+                .groupBy("day")
+                .agg(
+                    F.expr("hll_union_agg(hll_sketch)").alias("hll_sketch"),
+                    F.sum("n_rows").cast("bigint").alias("n_rows"),
+                )
+            )
+            out = untouched.unionByName(merged_hit)
+        else:
+            out = day_sketches
+        # rewrite the tiny sketch table atomically (a few KB per day; at
+        # production scale partition by month and overwrite dynamically)
+        rows = out.collect()
+        spark.createDataFrame(rows, out.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(store_path)
+
+    writer = stream.writeStream.foreachBatch(_fold).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

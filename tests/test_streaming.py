@@ -326,3 +326,58 @@ def test_neardup_gate_admits_each_document_once(spark, tmp_path):
     # fixpoint of the gate (exact self-dups all rejected)
     got = run([], ck / "3")
     assert got == [1, 3, 11]
+
+
+def test_cardinality_sink_folds_sketches_and_replay_is_noop(spark, tmp_path):
+    """Per-day HLL sketch rows accumulate across micro-batches; replaying
+    the same keys leaves every estimate unchanged (HLL union idempotence
+    — the sink's exactly-once story); total distinct = one union over the
+    day rows, never a rescan of raw keys."""
+    from mbgspark.streaming import read_tweet_stream, start_cardinality_sink
+
+    src = tmp_path / "csrc"
+    store = str(tmp_path / "cstore")
+
+    def run(ckpt):
+        q = start_cardinality_sink(
+            read_tweet_stream(spark, str(src)),
+            store,
+            str(tmp_path / ckpt),
+            key_col="author_handle",
+            ts_col="created_at",
+            available_now=True,
+        )
+        q.awaitTermination(120)
+
+    day1 = [dict(R1, _id=str(i), author_handle=f"a{i % 3}") for i in range(10)]
+    _write_batch(src, day1)
+    run("ck_a")
+    day2 = [
+        dict(R2, _id=str(100 + i), author_handle=f"b{i % 5}") for i in range(10)
+    ]
+    _write_batch(src, day2)
+    run("ck_b")
+
+    est = {
+        r["day"]: r["est"]
+        for r in spark.read.parquet(store)
+        .select("day", F.hll_sketch_estimate("hll_sketch").alias("est"))
+        .collect()
+    }
+    assert est == {"2025-01-01": 3, "2025-01-02": 5}
+
+    # replay batch 1 with a fresh checkpoint: union is idempotent
+    run("ck_replay")
+    est2 = {
+        r["day"]: r["est"]
+        for r in spark.read.parquet(store)
+        .select("day", F.hll_sketch_estimate("hll_sketch").alias("est"))
+        .collect()
+    }
+    assert est2 == est
+    total = (
+        spark.read.parquet(store)
+        .agg(F.hll_sketch_estimate(F.expr("hll_union_agg(hll_sketch)")).alias("t"))
+        .first()["t"]
+    )
+    assert total == 8
