@@ -415,3 +415,27 @@ def test_inter_event_gaps_window_is_user_partitioned(spark):
     single partition' global window."""
     plan = plan_of(spark, "inter_event_gaps")
     assert "hashpartitioning(user_id" in plan
+
+
+def test_weighted_sample_is_takeordered_no_shuffle(spark):
+    """A-ES sampling is a row-local key projection + distributed top-n:
+    zero exchanges, TakeOrderedAndProject — the corpus is never sorted or
+    shuffled."""
+    plan = plan_of(spark, "weighted_sample_docs")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Exchange") == 0, plan.count("Exchange")
+
+
+def test_count_min_probes_are_equijoins(spark):
+    """CM sketch build + probe stay hash equi-joins on (h, bucket);
+    nothing cartesian/nested-loop."""
+    plan = plan_of(spark, "count_min_user_events")
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_top_supplier_max_is_broadcast(spark):
+    """Q15's scalar max joins as a 1-row broadcast, not a shuffled join,
+    and the quarter filter reaches the lineitem scan."""
+    plan = plan_of(spark, "top_supplier")
+    assert "BroadcastExchange" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
