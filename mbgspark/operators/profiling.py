@@ -514,3 +514,60 @@ def cm_estimate(
         .groupBy(key_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("bigint").alias("cm_est"))
     )
+
+
+def distribution_drift_psi(
+    old: DataFrame, new: DataFrame, bucket_col: str
+) -> DataFrame:
+    """Population Stability Index between two snapshots' distributions
+    over a bucket column — THE drift alarm a production data pipeline
+    fires between ingest runs ("did the length / language / source mix
+    shift?"):
+
+        PSI = sum_i (p_i - q_i) * ln(p_i / q_i)
+
+    with add-one (Laplace) smoothing over the UNION of observed buckets,
+    so a bucket present on only one side contributes a large-but-finite
+    term instead of infinity. Rule of thumb: < 0.10 stable, 0.10-0.25
+    drifting, > 0.25 action.
+
+    Distributed shape: two bounded bucket-count aggregates (map-side
+    partials; output ≤ |buckets| rows) full-outer-joined, totals as a
+    broadcast 1-row cross join — nothing corpus-sized moves after the
+    first aggregation. Each bucket's term is quantized to integer
+    micro-units BEFORE the sum (the repo-standard floor(x*1e6 + 0.5)
+    device), so the output is exact-integer and hash-stable.
+
+    Emits one row: (n_buckets, psi_micro)."""
+    oc = old.groupBy(F.col(bucket_col).alias("b")).agg(F.count("*").alias("c1"))
+    nc = new.groupBy(F.col(bucket_col).alias("b")).agg(F.count("*").alias("c2"))
+    joined = oc.join(nc, "b", "full_outer").select(
+        "b",
+        F.coalesce("c1", F.lit(0)).alias("c1"),
+        F.coalesce("c2", F.lit(0)).alias("c2"),
+    )
+    totals = joined.agg(
+        F.sum("c1").alias("n1"),
+        F.sum("c2").alias("n2"),
+        F.count(F.lit(1)).alias("nb"),
+    )
+    terms = joined.crossJoin(F.broadcast(totals)).select(
+        F.floor(
+            (
+                (F.col("c1") + 1) / (F.col("n1") + F.col("nb"))
+                - (F.col("c2") + 1) / (F.col("n2") + F.col("nb"))
+            )
+            * F.log(
+                ((F.col("c1") + 1) / (F.col("n1") + F.col("nb")))
+                / ((F.col("c2") + 1) / (F.col("n2") + F.col("nb")))
+            )
+            * 1000000
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("term_micro"),
+        F.col("nb"),
+    )
+    return terms.groupBy("nb").agg(
+        F.sum("term_micro").cast("bigint").alias("psi_micro")
+    ).select(F.col("nb").cast("bigint").alias("n_buckets"), "psi_micro")

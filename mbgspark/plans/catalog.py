@@ -152,6 +152,7 @@ _PRIORITY = [
     "nfc_roundtrip",
     "top_supplier",
     "count_min_user_events",
+    "drift_psi",
     "etl_lifecycle",
 ]
 

@@ -634,6 +634,76 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+# ----------------------------------------------------------- PSI drift --
+
+
+def drift_psi(spark, sf_dir):
+    """Distribution-drift PSI between the corpus and a deterministically
+    mutated next snapshot (every 89th doc dropped; every 97th doc grown
+    by 40 chars — the same in-query mutation device as
+    corpus_snapshot_diff), over two features: the log2 length bucket and
+    the language. One PSI row per feature, integer micro-units."""
+    from mbgspark.operators.profiling import distribution_drift_psi
+
+    d = _t(spark, sf_dir, "documents")
+    grown = F.col("n_chars") + F.when(F.col("doc_id") % 97 == 0, 40).otherwise(0)
+    new = d.filter(F.col("doc_id") % 89 != 0).withColumn("n_chars", grown)
+
+    def len_bucket(frame):
+        n = F.col("n_chars").cast("bigint")
+        return frame.select(
+            F.when(n > 0, F.length(F.bin(n))).otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("b")
+        )
+
+    psi_len = distribution_drift_psi(len_bucket(d), len_bucket(new), "b").select(
+        F.lit("len_bucket").alias("feature"), "n_buckets", "psi_micro"
+    )
+    psi_lang = distribution_drift_psi(
+        d.select(F.col("lang").alias("b")), new.select(F.col("lang").alias("b")), "b"
+    ).select(F.lit("lang").alias("feature"), "n_buckets", "psi_micro")
+    return psi_len.unionByName(psi_lang).orderBy("feature")
+
+
+def _psi_sql(old_sel: str, new_sel: str, feature: str) -> str:
+    return f"""
+SELECT '{feature}' AS feature, CAST(nb AS BIGINT) AS n_buckets,
+       CAST(sum(term_micro) AS BIGINT) AS psi_micro
+FROM (
+  SELECT nb,
+         CAST(floor(((c1 + 1.0) / (n1 + nb) - (c2 + 1.0) / (n2 + nb))
+                    * ln(((c1 + 1.0) / (n1 + nb)) / ((c2 + 1.0) / (n2 + nb)))
+                    * 1000000 + 0.5) AS BIGINT) AS term_micro
+  FROM (
+    SELECT b,
+           coalesce(c1, 0) AS c1, coalesce(c2, 0) AS c2,
+           sum(coalesce(c1, 0)) OVER () AS n1,
+           sum(coalesce(c2, 0)) OVER () AS n2,
+           count(*) OVER () AS nb
+    FROM (SELECT b, count(*) AS c1 FROM ({old_sel}) GROUP BY b) o
+    FULL OUTER JOIN (SELECT b, count(*) AS c2 FROM ({new_sel}) GROUP BY b) n
+    USING (b)
+  )
+) GROUP BY nb"""
+
+
+_OLD_LEN = """SELECT CASE WHEN n_chars > 0 THEN length(bin(n_chars)) ELSE 0 END AS b
+FROM documents"""
+_NEW_LEN = """SELECT CASE WHEN nc > 0 THEN length(bin(nc)) ELSE 0 END AS b FROM (
+  SELECT n_chars + CASE WHEN doc_id % 97 = 0 THEN 40 ELSE 0 END AS nc
+  FROM documents WHERE doc_id % 89 <> 0)"""
+_OLD_LANG = "SELECT lang AS b FROM documents"
+_NEW_LANG = "SELECT lang AS b FROM documents WHERE doc_id % 89 <> 0"
+
+DRIFT_PSI_SQL = (
+    _psi_sql(_OLD_LEN, _NEW_LEN, "len_bucket")
+    + " UNION ALL "
+    + _psi_sql(_OLD_LANG, _NEW_LANG, "lang")
+    + " ORDER BY feature"
+)
+
+
 # ----------------------------------------------------- count-min sketch --
 
 
@@ -749,4 +819,5 @@ PROFILING = {
     "inter_event_gaps": (inter_event_gaps, INTER_EVENT_GAPS_SQL),
     "cardinality_sketch_users": (cardinality_sketch_users, CARDINALITY_SQL),
     "count_min_user_events": (count_min_user_events, COUNT_MIN_SQL),
+    "drift_psi": (drift_psi, DRIFT_PSI_SQL),
 }

@@ -367,3 +367,28 @@ def test_count_min_overestimates_only_and_merges(spark):
         .agg(F.sum("cnt").cast("bigint").alias("cnt"))
     )
     assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, sk_u.collect()))
+
+
+def test_psi_zero_on_identical_and_large_on_shift(spark):
+    """Identical distributions give PSI exactly 0 (p_i == q_i term-wise);
+    a hard mix shift crosses the 0.25 'action' threshold; a mild shift
+    lands between."""
+    from mbgspark.operators.profiling import distribution_drift_psi
+
+    base = spark.createDataFrame(
+        [(i, "a" if i % 10 < 5 else "b") for i in range(1000)], "id bigint, b string"
+    )
+    same = distribution_drift_psi(base, base, "b").first()
+    assert same["psi_micro"] == 0
+
+    hard = spark.createDataFrame(
+        [(i, "a" if i % 10 < 9 else "b") for i in range(1000)], "id bigint, b string"
+    )
+    shifted = distribution_drift_psi(base, hard, "b").first()
+    assert shifted["psi_micro"] > 250_000, shifted["psi_micro"]
+
+    mild = spark.createDataFrame(
+        [(i, "a" if i % 10 < 6 else "b") for i in range(1000)], "id bigint, b string"
+    )
+    m = distribution_drift_psi(base, mild, "b").first()
+    assert 0 < m["psi_micro"] < shifted["psi_micro"]
