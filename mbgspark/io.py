@@ -328,3 +328,65 @@ def existing_partition_values(spark: SparkSession, path: str, partition_col: str
         return spark.read.parquet(path).select(partition_col).distinct()
     except Exception:
         return spark.createDataFrame([], f"{partition_col} string")
+
+
+def interleave_bits(qa, qb, bits: int = 8):
+    """Morton/Z-order bit interleave of two pre-quantized integer columns
+    (each in [0, 2^bits)): z = ...a1 b1 a0 b0. Pure bitwise column
+    expressions — whole-stage codegen, row-local."""
+    z = F.lit(0)
+    for i in range(bits):
+        z = (
+            z.bitwiseOR(
+                F.shiftleft(F.shiftright(qa, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+            ).bitwiseOR(
+                F.shiftleft(F.shiftright(qb, i).bitwiseAND(F.lit(1)), 2 * i)
+            )
+        )
+    return z.cast("bigint")
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    bits: int = 8,
+    num_files: int = 8,
+) -> None:
+    """Z-order (Morton-curve) file layout over TWO filter columns — the
+    data-skipping lever for scans filtered on either or both dimensions:
+    each column is min/max-quantized to ``bits`` bits, the bits are
+    interleaved, and files are range-partitioned + sorted on the Z key.
+    Every output file then covers a NARROW range of BOTH columns, so
+    parquet footer min/max stats prune files for predicates on either
+    column — a single-column sort gives perfect pruning on one dimension
+    and none on the other (measured in test_io at 16 files: mean
+    per-file span of BOTH columns drops to ~1/4 of global range, where a
+    sort on the first column leaves the second at ~full range).
+
+    The min/max bounds are a 2x2 model collected to the driver (bounded,
+    like every centroid/dim collect in this repo); production pipelines
+    would source them from table stats. repartitionByRange does the
+    balanced range split (sampled range exchange, no global sort);
+    sortWithinPartitions keeps row groups tight within each file."""
+    mn_a, mx_a, mn_b, mx_b = df.agg(
+        F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
+    ).first()
+    span = float(2**bits)
+    qa = F.least(
+        F.lit(2**bits - 1),
+        F.floor((F.col(col_a) - F.lit(mn_a)) * span / (float(mx_a - mn_a) + 1e-9)),
+    ).cast("bigint")
+    qb = F.least(
+        F.lit(2**bits - 1),
+        F.floor((F.col(col_b) - F.lit(mn_b)) * span / (float(mx_b - mn_b) + 1e-9)),
+    ).cast("bigint")
+    keyed = df.withColumn("__z", interleave_bits(qa, qb, bits))
+    (
+        keyed.repartitionByRange(num_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -153,6 +153,7 @@ _PRIORITY = [
     "top_supplier",
     "count_min_user_events",
     "drift_psi",
+    "zorder_keys",
     "etl_lifecycle",
 ]
 

@@ -890,6 +890,70 @@ ORDER BY query_id, rnk
 """
 
 
+def zorder_keys(spark, sf_dir):
+    """Morton/Z-order key per order over (o_custkey, o_totalprice) — the
+    data-skipping layout key ``io.write_zordered`` range-partitions on.
+    Quantization bounds come from an in-query 1-row broadcast min/max
+    (integer arithmetic for the key column, identical IEEE doubles for
+    the price column), and the 8-bit interleave is pure bit math — every
+    z value is hash-checked against the oracle's replica."""
+    from mbgspark.io import interleave_bits
+
+    o = _t(spark, sf_dir, "orders")
+    b = F.broadcast(
+        o.agg(
+            F.min("o_custkey").alias("mna"),
+            F.max("o_custkey").alias("mxa"),
+            F.min("o_totalprice").alias("mnb"),
+            F.max("o_totalprice").alias("mxb"),
+        )
+    )
+    w = o.crossJoin(b)
+    qa = F.least(
+        F.lit(255),
+        F.floor(
+            (F.col("o_custkey") - F.col("mna"))
+            * 256.0
+            / (F.col("mxa") - F.col("mna") + 1e-9)
+        ),
+    ).cast("bigint")
+    qb = F.least(
+        F.lit(255),
+        F.floor(
+            (F.col("o_totalprice") - F.col("mnb"))
+            * 256.0
+            / (F.col("mxb") - F.col("mnb") + 1e-9)
+        ),
+    ).cast("bigint")
+    return w.select(
+        "o_orderkey", interleave_bits(qa, qb, 8).alias("zkey")
+    ).orderBy("o_orderkey")
+
+
+_Z_INTERLEAVE = " | ".join(
+    f"((((qa >> {i}) & 1) << {2 * i + 1}) | (((qb >> {i}) & 1) << {2 * i}))"
+    for i in range(8)
+)
+
+ZORDER_SQL = f"""
+WITH b AS (
+  SELECT min(o_custkey) AS mna, max(o_custkey) AS mxa,
+         min(o_totalprice) AS mnb, max(o_totalprice) AS mxb
+  FROM orders
+),
+q AS (
+  SELECT o_orderkey,
+         CAST(least(255, floor((o_custkey - mna) * 256.0 / (mxa - mna + 1e-9)))
+              AS BIGINT) AS qa,
+         CAST(least(255, floor((o_totalprice - mnb) * 256.0 / (mxb - mnb + 1e-9)))
+              AS BIGINT) AS qb
+  FROM orders CROSS JOIN b
+)
+SELECT o_orderkey, CAST({_Z_INTERLEAVE} AS BIGINT) AS zkey
+FROM q ORDER BY o_orderkey
+"""
+
+
 def hard_negatives(spark, sf_dir):
     """Contrastive hard-negative mining: top-3 most-similar vectors with a
     DIFFERENT label, per query vector vec_id < 5."""
@@ -1965,6 +2029,7 @@ EXT: dict[str, tuple] = {
     "ann_cosine_topk": (ann_cosine_topk, ANN_TOPK_SQL),
     "ann_quantized_topk": (ann_quantized_topk, ANN_QUANTIZED_SQL),
     "hard_negatives": (hard_negatives, HARD_NEGATIVES_SQL),
+    "zorder_keys": (zorder_keys, ZORDER_SQL),
     "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),
     "ann_ivf_kmeans_topk": (ann_ivf_kmeans_topk, _ann_ivf_kmeans_sql()),
     "langid_confusion": (langid_confusion, LANGID_SQL),

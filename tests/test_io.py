@@ -244,3 +244,56 @@ def test_partitioned_store_prunes_untouched_days(spark, tmp_path):
     # the filter binds as a partition predicate, not a data predicate
     assert "(event_date" in plan.split("PartitionFilters")[1].split("]")[0]
     assert q.count() == 100
+
+
+def test_zorder_layout_tightens_both_dimensions(spark, tmp_path):
+    """Z-ordered files must cover a narrow slice of BOTH filter columns
+    (parquet min/max pruning then works for predicates on either), where
+    a single-column sort leaves the second column's per-file span at
+    ~full range. Verified from the real parquet footers."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from mbgspark.io import load_table, write_zordered
+
+    o = load_table(spark, "/root/testdata/sf0.01", "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    zpath, spath = str(tmp_path / "z"), str(tmp_path / "s")
+    write_zordered(o, zpath, "o_custkey", "o_totalprice", num_files=16)
+    (
+        o.repartitionByRange(16, "o_custkey")
+        .sortWithinPartitions("o_custkey")
+        .write.mode("overwrite")
+        .parquet(spath)
+    )
+
+    def mean_span(path, col):
+        import glob
+
+        spans, glo_min, glo_max = [], None, None
+        for f in glob.glob(path + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    c = md.row_group(rg).column(ci)
+                    if c.path_in_schema == col and c.statistics is not None:
+                        mins.append(c.statistics.min)
+                        maxs.append(c.statistics.max)
+            if mins:
+                spans.append(max(maxs) - min(mins))
+                glo_min = min(mins) if glo_min is None else min(glo_min, min(mins))
+                glo_max = max(maxs) if glo_max is None else max(glo_max, max(maxs))
+        return sum(spans) / len(spans) / (glo_max - glo_min)
+
+    # both layouts: first column well-localized in the z layout too
+    z_b = mean_span(zpath, "o_totalprice")
+    s_b = mean_span(spath, "o_totalprice")
+    z_a = mean_span(zpath, "o_custkey")
+    # sorted-by-custkey files each cover ~full totalprice range
+    assert s_b > 0.8, s_b
+    # 16 files = 4 leading Morton bits = 2 top bits per dimension: each
+    # file covers ~1/4 of BOTH ranges (plus range-boundary spill)
+    assert z_b < 0.5 * s_b, (z_b, s_b)
+    assert z_a < 0.5, z_a
