@@ -571,3 +571,58 @@ def distribution_drift_psi(
     return terms.groupBy("nb").agg(
         F.sum("term_micro").cast("bigint").alias("psi_micro")
     ).select(F.col("nb").cast("bigint").alias("n_buckets"), "psi_micro")
+
+
+def chi2_independence(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """Chi-square independence statistic for two categorical columns —
+    the drift/bias alarm for QUESTIONS like "is language independent of
+    source?" (a rising statistic means one source started shipping a
+    different language mix; PSI sees marginal drift, this sees
+    ASSOCIATION drift):
+
+        chi2 = sum_cells (observed - expected)^2 / expected,
+        expected = row_total * col_total / N
+
+    Distributed shape: ONE (a,b) contingency aggregate (map-side
+    partials; output = |A|x|B| cells), the two marginals as window sums
+    over that bounded cell set, N as a broadcast 1-row total. Cell terms
+    are micro-quantized before the final sum (exact-integer output
+    surface). Emits (n_cells, dof, chi2_micro)."""
+    from pyspark.sql import Window
+
+    cells = df.groupBy(
+        F.col(col_a).alias("a"), F.col(col_b).alias("b")
+    ).agg(F.count(F.lit(1)).alias("obs"))
+    wa, wb = Window.partitionBy("a"), Window.partitionBy("b")
+    totals = cells.agg(
+        F.sum("obs").alias("n"),
+        F.countDistinct("a").alias("na"),
+        F.countDistinct("b").alias("nb"),
+    )
+    with_m = (
+        cells.withColumn("ra", F.sum("obs").over(wa))
+        .withColumn("cb", F.sum("obs").over(wb))
+        .crossJoin(F.broadcast(totals))
+    )
+    terms = with_m.select(
+        "na",
+        "nb",
+        F.floor(
+            F.pow(F.col("obs") - F.col("ra") * F.col("cb") / F.col("n"), 2)
+            / (F.col("ra") * F.col("cb") / F.col("n"))
+            * 1000000
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("term_micro"),
+    )
+    return terms.groupBy("na", "nb").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.sum("term_micro").cast("bigint").alias("chi2_micro"),
+    ).select(
+        "n_cells",
+        ((F.col("na") - 1) * (F.col("nb") - 1)).cast("bigint").alias("dof"),
+        "chi2_micro",
+    )

@@ -154,6 +154,7 @@ _PRIORITY = [
     "count_min_user_events",
     "drift_psi",
     "zorder_keys",
+    "chi2_lang_source",
     "etl_lifecycle",
 ]
 

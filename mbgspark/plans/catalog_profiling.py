@@ -704,6 +704,41 @@ DRIFT_PSI_SQL = (
 )
 
 
+# ------------------------------------------------ chi-square association --
+
+
+def chi2_lang_source(spark, sf_dir):
+    """Chi-square independence of (lang, source) over documents — the
+    association-drift alarm (PSI sees marginal shifts; this catches one
+    source changing its language mix). Exact integer micro surface."""
+    from mbgspark.operators.profiling import chi2_independence
+
+    return chi2_independence(_t(spark, sf_dir, "documents"), "lang", "source")
+
+
+CHI2_SQL = """
+WITH cells AS (
+  SELECT lang AS a, source AS b, count(*) AS obs
+  FROM documents GROUP BY lang, source
+),
+m AS (
+  SELECT a, b, obs,
+         sum(obs) OVER (PARTITION BY a) AS ra,
+         sum(obs) OVER (PARTITION BY b) AS cb,
+         sum(obs) OVER () AS n,
+         (SELECT count(DISTINCT lang) FROM documents) AS na,
+         (SELECT count(DISTINCT source) FROM documents) AS nb
+  FROM cells
+)
+SELECT CAST(count(*) AS BIGINT) AS n_cells,
+       CAST((any_value(na) - 1) * (any_value(nb) - 1) AS BIGINT) AS dof,
+       CAST(sum(CAST(floor(pow(obs - ra * cb / CAST(n AS DOUBLE), 2)
+                           / (ra * cb / CAST(n AS DOUBLE))
+                           * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS chi2_micro
+FROM m
+"""
+
+
 # ----------------------------------------------------- count-min sketch --
 
 
@@ -820,4 +855,5 @@ PROFILING = {
     "cardinality_sketch_users": (cardinality_sketch_users, CARDINALITY_SQL),
     "count_min_user_events": (count_min_user_events, COUNT_MIN_SQL),
     "drift_psi": (drift_psi, DRIFT_PSI_SQL),
+    "chi2_lang_source": (chi2_lang_source, CHI2_SQL),
 }

@@ -392,3 +392,25 @@ def test_psi_zero_on_identical_and_large_on_shift(spark):
     )
     m = distribution_drift_psi(base, mild, "b").first()
     assert 0 < m["psi_micro"] < shifted["psi_micro"]
+
+
+def test_chi2_zero_when_independent_large_when_associated(spark):
+    """Perfectly independent columns give chi2 exactly 0 (obs == exp in
+    every cell); a deterministic association blows it up; dof is
+    (|A|-1)(|B|-1)."""
+    from mbgspark.operators.profiling import chi2_independence
+
+    indep = spark.createDataFrame(
+        [(i, f"a{i % 2}", f"b{i % 3}") for i in range(600)],
+        "id bigint, x string, y string",
+    )
+    r = chi2_independence(indep, "x", "y").first()
+    assert r["chi2_micro"] == 0 and r["dof"] == 2 and r["n_cells"] == 6
+
+    assoc = spark.createDataFrame(
+        [(i, f"a{i % 2}", f"b{i % 2}") for i in range(600)],
+        "id bigint, x string, y string",
+    )
+    r2 = chi2_independence(assoc, "x", "y").first()
+    # perfect association on a 2x2 table: chi2 == N
+    assert r2["chi2_micro"] == 600 * 1_000_000 and r2["dof"] == 1
