@@ -592,9 +592,19 @@ def chi2_independence(
     surface). Emits (n_cells, dof, chi2_micro)."""
     from pyspark.sql import Window
 
-    cells = df.groupBy(
+    observed = df.groupBy(
         F.col(col_a).alias("a"), F.col(col_b).alias("b")
     ).agg(F.count(F.lit(1)).alias("obs"))
+    # complete the |A|x|B| lattice: a ZERO cell still contributes its full
+    # expected count to the statistic ((0-exp)^2/exp = exp) — dropping
+    # absent cells silently undercounts chi2 exactly when the association
+    # is strongest (found by the perfect-association unit test)
+    lattice = observed.select("a").distinct().crossJoin(
+        observed.select("b").distinct()
+    )
+    cells = lattice.join(observed, ["a", "b"], "left").select(
+        "a", "b", F.coalesce("obs", F.lit(0)).alias("obs")
+    )
     wa, wb = Window.partitionBy("a"), Window.partitionBy("b")
     totals = cells.agg(
         F.sum("obs").alias("n"),

@@ -717,9 +717,18 @@ def chi2_lang_source(spark, sf_dir):
 
 
 CHI2_SQL = """
-WITH cells AS (
+WITH observed AS (
   SELECT lang AS a, source AS b, count(*) AS obs
   FROM documents GROUP BY lang, source
+),
+lattice AS (
+  SELECT a, b
+  FROM (SELECT DISTINCT a FROM observed)
+  CROSS JOIN (SELECT DISTINCT b FROM observed)
+),
+cells AS (
+  SELECT a, b, coalesce(obs, 0) AS obs
+  FROM lattice LEFT JOIN observed USING (a, b)
 ),
 m AS (
   SELECT a, b, obs,
