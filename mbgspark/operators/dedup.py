@@ -855,3 +855,66 @@ def mask_spans(
         expr = F.replace(expr, F.lit(s), F.lit(" "))
     expr = F.trim(F.regexp_replace(expr, r"\s+", " "))
     return df.withColumn(out_col, expr)
+
+
+def minhash_estimate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.6,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """MinHash as an ESTIMATOR, not just a bucketer: for every verified
+    near-dup pair, emit the signature-agreement estimate
+    ``matching components / num_hashes`` alongside the exact Jaccard —
+    E[agreement] = J(a,b), the classic MinHash identity. This is the
+    diagnostic pipelines use to TUNE the (hashes, bands) budget: when
+    estimates track exact Jaccard tightly at 8 hashes the budget is
+    right; systematic spread says add hashes before trusting LSH recall
+    math at a new threshold. At 100 TB the estimate is also what a
+    verify-free fast path would ship (signatures only, corpus text never
+    re-joined) — this surface measures exactly what that would cost in
+    accuracy.
+
+    Same ONE packed aggregation as ``minhash_near_dups`` (signature +
+    shingle arrays off a single exchange, ReuseExchange merges the
+    consumers); the estimate is a row-local zip over the two 8-element
+    signature arrays on the already-verified pair set. est_e4 is
+    integer-exact (matches * 10000 div num_hashes)."""
+    shingled = with_word_shingles(df, id_col, text_col, k)
+    aggs = [
+        F.min(F.substring(F.md5(F.col("shingle")), 2 * i + 1, 16)).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    packed = shingled.groupBy(id_col).agg(
+        *aggs, F.collect_list("shingle").alias("__shingles")
+    )
+    sig = packed.select(
+        F.col(id_col),
+        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"),
+    )
+    pairs = lsh_candidate_pairs(
+        sig, id_col, bands, num_hashes // bands, max_bucket_size=max_bucket_size
+    )
+    arrays = packed.select(id_col, "__shingles")
+    verified = jaccard_verify_arrays(arrays, pairs, id_col, threshold, "__shingles")
+    sa = sig.select(F.col(id_col).alias("id_a"), F.col("sig").alias("__sa"))
+    sb = sig.select(F.col(id_col).alias("id_b"), F.col("sig").alias("__sb"))
+    matches = F.size(
+        F.filter(F.zip_with("__sa", "__sb", lambda x, y: x == y), lambda m: m)
+    )
+    return (
+        verified.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "jaccard",
+            F.floor(matches * 10000 / F.lit(num_hashes))
+            .cast("bigint")
+            .alias("minhash_est_e4"),
+        )
+    )

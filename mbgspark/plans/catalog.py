@@ -155,6 +155,7 @@ _PRIORITY = [
     "drift_psi",
     "zorder_keys",
     "chi2_lang_source",
+    "dedup_minhash_estimate",
     "etl_lifecycle",
 ]
 

@@ -165,6 +165,71 @@ SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.5 ORDER BY id_a, id_b
 """
 
 
+
+def dedup_minhash_estimate(spark, sf_dir):
+    """MinHash signature-agreement Jaccard ESTIMATES alongside exact
+    Jaccard for every verified near-dup pair — the accuracy surface of
+    the verify-free fast path and the (hashes, bands) tuning diagnostic."""
+    corpus = _dup_corpus(spark, sf_dir)
+    return dd.minhash_estimate_pairs(
+        corpus, "id", "t", k=3, num_hashes=8, bands=4, threshold=0.5
+    ).orderBy("id_a", "id_b")
+
+
+_MINHASH_EST_MATCHES = " + ".join(
+    f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(8)
+)
+
+DEDUP_MINHASH_EST_SQL = f"""
+WITH unioned AS ({DUP_SQL_UNION}),
+toks AS (SELECT id, string_split_regex(t, '\\s+') AS tk FROM unioned),
+sh AS (
+  SELECT DISTINCT id, concat_ws(' ', tk[i], tk[i+1], tk[i+2]) AS shingle
+  FROM toks, LATERAL unnest(generate_series(1, greatest(len(tk) - 2, 1))) AS g(i)
+  WHERE concat_ws(' ', tk[i], tk[i+1], tk[i+2]) <> ''
+),
+sig AS (
+  SELECT id, {_MINHASH_SIG_COLS}
+  FROM sh GROUP BY id
+),
+bands AS (
+{_MINHASH_BANDS}
+),
+bands_sized AS (
+  SELECT *, count(*) OVER (PARTITION BY band_idx, band_key) AS bucket_n
+  FROM bands
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands_sized a JOIN bands_sized b USING (band_idx, band_key)
+  WHERE a.id < b.id AND a.bucket_n <= 1000
+),
+counts AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_inter
+  FROM cand c
+  JOIN sh sa ON sa.id = c.id_a
+  JOIN sh sb ON sb.id = c.id_b AND sb.shingle = sa.shingle
+  GROUP BY c.id_a, c.id_b
+),
+jac AS (
+  SELECT id_a, id_b,
+         round(n_inter / CAST(ca.n_sh + cb.n_sh - n_inter AS DOUBLE), 4) AS jaccard
+  FROM inter
+  JOIN counts ca ON ca.id = id_a
+  JOIN counts cb ON cb.id = id_b
+)
+SELECT j.id_a, j.id_b, j.jaccard,
+       CAST(floor(({_MINHASH_EST_MATCHES}) * 10000.0 / 8) AS BIGINT)
+         AS minhash_est_e4
+FROM jac j
+JOIN sig sa ON sa.id = j.id_a
+JOIN sig sb ON sb.id = j.id_b
+WHERE j.jaccard >= 0.5
+ORDER BY j.id_a, j.id_b
+"""
+
+
 def dedup_incremental(spark, sf_dir):
     """Incremental MinHash near-dup: a 45-doc ingest batch (two perturbed
     copies per source doc — first token dropped, ids +1M / +2M) checked
@@ -2011,6 +2076,7 @@ EXT: dict[str, tuple] = {
     ),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_SQL),
+    "dedup_minhash_estimate": (dedup_minhash_estimate, DEDUP_MINHASH_EST_SQL),
     "dedup_incremental": (dedup_incremental, DEDUP_INCREMENTAL_SQL),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
     "dup_spans": (dup_spans, DUP_SPANS_SQL),

@@ -339,3 +339,27 @@ def test_mask_spans_is_row_local(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+def test_minhash_estimate_tracks_exact_jaccard(spark):
+    """The signature-agreement estimate is an unbiased MinHash estimator:
+    on near-identical pairs (J >= 0.5 by construction) the 8-hash
+    estimate lands within the estimator's granularity band of exact, and
+    identical docs estimate exactly 1.0."""
+    rows = [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta"),   # exact dup
+            (3, "beta gamma delta epsilon zeta eta theta iota"),    # near dup
+            (4, "completely different words appear in this one here")]
+    df = spark.createDataFrame(rows, "id bigint, t string")
+    from mbgspark.operators.dedup import minhash_estimate_pairs
+
+    got = {
+        (r["id_a"], r["id_b"]): r.asDict()
+        for r in minhash_estimate_pairs(df, "id", "t", threshold=0.3).collect()
+    }
+    assert (1, 2) in got
+    assert got[(1, 2)]["jaccard"] == 1.0
+    assert got[(1, 2)]["minhash_est_e4"] == 10000
+    for pair, d in got.items():
+        # 8 hashes -> granularity 1250; allow two components of slack
+        assert abs(d["minhash_est_e4"] - d["jaccard"] * 10000) <= 2 * 1250 + 1, d
