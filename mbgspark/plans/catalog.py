@@ -156,6 +156,8 @@ _PRIORITY = [
     "zorder_keys",
     "chi2_lang_source",
     "dedup_minhash_estimate",
+    "user_features",
+    "loo_target_encode",
     "etl_lifecycle",
 ]
 

@@ -634,6 +634,125 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+# ------------------------------------------------------- feature store --
+
+
+def user_features(spark, sf_dir):
+    """Per-user ML feature vector in ONE aggregation pass over events —
+    the feature-store materialization shape: recency (days from last
+    event to corpus end), frequency, monetary sum, distinct event types,
+    and the modal event type (deterministic max_by tie-break via the
+    (count, type) struct ordering). The corpus-end anchor rides a 1-row
+    broadcast so the whole thing is a single keyed aggregate + a
+    row-local projection — no second scan, no window over raw events."""
+    e = _t(spark, sf_dir, "events")
+    anchor = e.agg(F.max("ts").alias("__end"))
+    per_type = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("__n"), F.max("ts").alias("__last"),
+        F.sum("value").alias("__v"),
+    )
+    return (
+        per_type.groupBy("user_id")
+        .agg(
+            F.sum("__n").cast("bigint").alias("frequency"),
+            F.round(F.sum("__v"), 2).alias("monetary"),
+            F.count(F.lit(1)).cast("bigint").alias("n_event_types"),
+            F.max("__last").alias("__last_ts"),
+            F.expr(
+                # lexicographic (zero-padded count | type) == (count, type)
+                # ordering — a struct ordering key is Spark-only; the padded
+                # string is portable to the DuckDB oracle's max_by
+                "max_by(event_type, concat(lpad(cast(__n as string), 10, '0'),"
+                " '|', event_type))"
+            ).alias("modal_event_type"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "user_id",
+            F.datediff(F.col("__end"), F.col("__last_ts"))
+            .cast("bigint")
+            .alias("recency_days"),
+            "frequency",
+            "monetary",
+            "n_event_types",
+            "modal_event_type",
+        )
+        .orderBy("user_id")
+    )
+
+
+USER_FEATURES_SQL = """
+WITH anchor AS (SELECT max(ts) AS e FROM events),
+per_type AS (
+  SELECT user_id, event_type, count(*) AS n, max(ts) AS last_ts,
+         sum(value) AS v
+  FROM events GROUP BY user_id, event_type
+)
+SELECT user_id,
+       CAST(date_diff('day', CAST(max(last_ts) AS DATE),
+                      CAST((SELECT e FROM anchor) AS DATE)) AS BIGINT)
+         AS recency_days,
+       CAST(sum(n) AS BIGINT) AS frequency,
+       round(sum(v), 2) AS monetary,
+       CAST(count(*) AS BIGINT) AS n_event_types,
+       max_by(event_type, lpad(CAST(n AS VARCHAR), 10, '0') || '|' || event_type)
+         AS modal_event_type
+FROM per_type
+GROUP BY user_id ORDER BY user_id
+"""
+
+
+def loo_target_encode(spark, sf_dir):
+    """Leave-one-out target encoding of order priority against order
+    value — the leakage-safe categorical encoder for ML training: each
+    row's encoding is the mean of OTHER rows' targets in its category,
+    (sum - own) / (n - 1). One bounded category aggregate broadcast back
+    onto the fact; integer-cent arithmetic keeps the surface exact until
+    the final 2-dp division."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    cat = o.select("o_orderkey", "o_orderpriority", cents.alias("__c"))
+    aggd = cat.groupBy("o_orderpriority").agg(
+        F.sum("__c").alias("__sum"), F.count(F.lit(1)).alias("__n")
+    )
+    return (
+        cat.join(F.broadcast(aggd), "o_orderpriority")
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.when(
+                F.col("__n") > 1,
+                F.round(
+                    (F.col("__sum") - F.col("__c"))
+                    / (F.col("__n") - 1)
+                    / 100.0,
+                    2,
+                ),
+            ).alias("loo_mean_price"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+LOO_ENCODE_SQL = """
+WITH cat AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders WHERE o_custkey < 50
+),
+aggd AS (
+  SELECT o_orderpriority, sum(c) AS s, count(*) AS n
+  FROM cat GROUP BY o_orderpriority
+)
+SELECT o_orderkey, o_orderpriority,
+       CASE WHEN n > 1
+            THEN round((s - c) / CAST(n - 1 AS DOUBLE) / 100.0, 2)
+            END AS loo_mean_price
+FROM cat JOIN aggd USING (o_orderpriority)
+ORDER BY o_orderkey
+"""
+
+
 # ----------------------------------------------------------- PSI drift --
 
 
@@ -865,4 +984,6 @@ PROFILING = {
     "count_min_user_events": (count_min_user_events, COUNT_MIN_SQL),
     "drift_psi": (drift_psi, DRIFT_PSI_SQL),
     "chi2_lang_source": (chi2_lang_source, CHI2_SQL),
+    "user_features": (user_features, USER_FEATURES_SQL),
+    "loo_target_encode": (loo_target_encode, LOO_ENCODE_SQL),
 }
