@@ -498,3 +498,88 @@ def normalize_unicode(
         )
 
     return df.withColumn(out, _norm(F.col(text_col)))
+
+
+def bm25_search(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 keyword retrieval over the corpus — the inverted-index sparse
+    scoring path that sits between exact keyword filters (F4) and dense
+    ANN: rank documents for a bag-of-terms query by
+
+        score(D,Q) = sum_t IDF(t) * tf * (k1+1) / (tf + k1*(1-b+b*|D|/avgdl))
+        IDF(t)     = ln((N - df + 0.5) / (df + 0.5) + 1)    [BM25+-style floor]
+
+    Distributed shape = the inverted index read path: ONE explode feeds
+    the (doc, term) TF aggregate; the aggregate is immediately filtered
+    to the (broadcast) query terms, so everything after the TF shuffle is
+    |query|-bounded; df comes from a hash aggregate of that filtered set,
+    N / avgdl ride a 1-row broadcast off a narrow second scan. Top-k is
+    TakeOrderedAndProject — no global sort. At 100 TB the TF aggregate is
+    the persisted inverted index (parquet partitioned by term bucket);
+    this operator IS the query-time plan over it.
+
+    Per-(doc,term) scores are quantized to integer micro-units before the
+    per-doc sum (the repo-standard device), so ranking and the output
+    surface are hash-stable across engines. Emits the top-k
+    (id, n_query_terms_hit, score_micro), ties broken by id."""
+    terms = [t.lower() for t in query_terms]
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.filter(_tokens(F.col(text_col)), lambda x: x != "")).alias(
+            "__tok"
+        ),
+    )
+    tf = (
+        toks.groupBy(id_col, "__tok")
+        .agg(F.count("*").alias("__tf"))
+        .filter(F.col("__tok").isin(terms))
+    )
+    dl = df.select(
+        F.col(id_col),
+        F.size(F.filter(_tokens(F.col(text_col)), lambda x: x != "")).alias("__dl"),
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("__N"), F.avg("__dl").alias("__avgdl")
+    )
+    dfreq = tf.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "__tok")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "__idf",
+            F.log(
+                (F.col("__N") - F.col("__df") + 0.5) / (F.col("__df") + 0.5) + 1.0
+            ),
+        )
+        .withColumn(
+            "__s",
+            F.floor(
+                F.col("__idf")
+                * F.col("__tf")
+                * (k1 + 1.0)
+                / (
+                    F.col("__tf")
+                    + k1 * (1.0 - b + b * F.col("__dl") / F.col("__avgdl"))
+                )
+                * 1000000
+                + F.lit(0.5)
+            ).cast("bigint"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_query_terms_hit"),
+            F.sum("__s").cast("bigint").alias("score_micro"),
+        )
+        .orderBy(F.desc("score_micro"), F.asc(id_col))
+        .limit(k)
+    )

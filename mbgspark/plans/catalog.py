@@ -158,6 +158,7 @@ _PRIORITY = [
     "dedup_minhash_estimate",
     "user_features",
     "loo_target_encode",
+    "bm25_topk",
     "etl_lifecycle",
 ]
 

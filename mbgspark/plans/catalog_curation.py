@@ -388,6 +388,62 @@ FROM scored GROUP BY doc_id ORDER BY doc_id
 """
 
 
+# ----------------------------------------------------- BM25 retrieval --
+
+
+def bm25_topk(spark, sf_dir):
+    """BM25 top-10 for a 3-term keyword query over documents — the
+    inverted-index sparse retrieval path (one TF shuffle, query-bounded
+    everything after). Float literals in the oracle mirror the Spark
+    expression ORDER exactly (1.2 + 1.0, not 2.2) so both engines round
+    identically before the micro quantization."""
+    from mbgspark.operators.textstats import bm25_search
+
+    return bm25_search(
+        _t(spark, sf_dir, "documents"), ["table", "spark", "query"], k=10
+    )
+
+
+BM25_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+    FROM documents)
+  WHERE tok <> ''
+),
+tf AS (
+  SELECT doc_id, tok, count(*) AS tf FROM toks
+  WHERE tok IN ('table', 'spark', 'query')
+  GROUP BY doc_id, tok
+),
+dl AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         x -> x <> '')) AS dl
+  FROM documents
+),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+scored AS (
+  SELECT tf.doc_id,
+         CAST(floor(ln((n - df + 0.5) / (df + 0.5) + 1.0)
+                    * tf * (1.2 + 1.0)
+                    / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+                    * 1000000 + 0.5) AS BIGINT) AS s
+  FROM tf
+  JOIN dfq USING (tok)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_query_terms_hit,
+       CAST(sum(s) AS BIGINT) AS score_micro
+FROM scored GROUP BY doc_id
+ORDER BY score_micro DESC, doc_id
+LIMIT 10
+"""
+
+
 # ----------------------------------------------- unicode NFC round-trip --
 
 
@@ -883,6 +939,7 @@ CURATION = {
     "markup_strip_roundtrip": (markup_strip_roundtrip, MARKUP_STRIP_SQL),
     "weighted_sample_docs": (weighted_sample_docs, WEIGHTED_SAMPLE_SQL),
     "nfc_roundtrip": (nfc_roundtrip, NFC_SQL),
+    "bm25_topk": (bm25_topk, BM25_SQL),
     "tfidf_terms": (tfidf_terms, TFIDF_SQL),
     "corpus_shuffle_shards": (corpus_shuffle_shards, SHUFFLE_SHARDS_SQL),
     "mixture_resample": (mixture_resample, MIXTURE_RESAMPLE_SQL),

@@ -129,3 +129,21 @@ def test_normalize_unicode_folds_combining_marks(spark):
     assert out[2] == "plain ascii"
     assert out[3] is None
     assert out[4] == "c\u00f6rdinate"  # precomposed
+
+
+def test_bm25_ranks_rare_term_docs_first(spark):
+    """A doc hitting the rare query term outranks docs hitting only the
+    common one; docs without any query term are absent; hit counts are
+    per-doc distinct query terms."""
+    from mbgspark.operators.textstats import bm25_search
+
+    rows = (
+        [(i, "common filler words here") for i in range(20)]
+        + [(100, "common rareword filler")]
+        + [(200, "nothing relevant at all")]
+    )
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r.asDict() for r in bm25_search(d, ["common", "rareword"], k=50).collect()}
+    assert 200 not in got
+    assert got[100]["n_query_terms_hit"] == 2
+    assert all(got[100]["score_micro"] > v["score_micro"] for k, v in got.items() if k != 100)
