@@ -583,3 +583,67 @@ def bm25_search(
         .orderBy(F.desc("score_micro"), F.asc(id_col))
         .limit(k)
     )
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    min_cos_e6: int = 100000,
+) -> DataFrame:
+    """Sparse TF-IDF cosine similarity between documents — the
+    sparse-vector member of the near-dup family (Jaccard sees token SETS,
+    embeddings see dense vectors; this sees WEIGHTED term overlap, so two
+    docs sharing only their most characteristic terms score high even
+    when their full token sets barely overlap).
+
+    Scale shape = top-term blocking on the inverted index: each doc is
+    pruned to its top-k TF-IDF terms (``tfidf_top_terms`` — row-local
+    after one TF shuffle), and the candidate+dot step is ONE equi-self-
+    join on those terms followed by a pair aggregate — pairs exist only
+    for docs sharing a TOP term, never all-pairs; characteristic terms
+    are rare by construction (high IDF), so bucket sizes stay small
+    exactly where a raw-token join would explode. Norms are per-doc
+    row-local sums. All integer-micro weights: products are exact in
+    double, the cosine is quantized to e6 before the driver hash.
+
+    Emits (id_a, id_b, n_shared_terms, cos_e6 >= min_cos_e6)."""
+    t = tfidf_top_terms(df, id_col, text_col, k)
+    norms = t.groupBy(id_col).agg(
+        F.sqrt(F.sum(F.col("score_micro") * F.col("score_micro"))).alias("__norm")
+    )
+    a = t.select(
+        F.col(id_col).alias("id_a"), "term", F.col("score_micro").alias("__wa")
+    )
+    b = t.select(
+        F.col(id_col).alias("id_b"), "term", F.col("score_micro").alias("__wb")
+    )
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shared_terms"),
+            F.sum(F.col("__wa") * F.col("__wb")).alias("__dot"),
+        )
+    )
+    na = norms.select(F.col(id_col).alias("id_a"), F.col("__norm").alias("__na"))
+    nb = norms.select(F.col(id_col).alias("id_b"), F.col("__norm").alias("__nb"))
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared_terms",
+            F.floor(
+                F.col("__dot") / (F.col("__na") * F.col("__nb")) * 1000000
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("cos_e6"),
+        )
+        .filter(F.col("cos_e6") >= min_cos_e6)
+        .orderBy("id_a", "id_b")
+    )

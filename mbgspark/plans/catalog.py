@@ -159,6 +159,7 @@ _PRIORITY = [
     "user_features",
     "loo_target_encode",
     "bm25_topk",
+    "tfidf_cosine",
     "etl_lifecycle",
 ]
 

@@ -388,6 +388,74 @@ FROM scored GROUP BY doc_id ORDER BY doc_id
 """
 
 
+# ---------------------------------------------- sparse TF-IDF cosine --
+
+
+def tfidf_cosine(spark, sf_dir):
+    """Sparse-vector near-dup: cosine over top-3 TF-IDF terms, pairs
+    blocked by shared characteristic terms (never all-pairs). Note: the
+    synthetic corpus draws from a ~60-word vocabulary, so IDF barely
+    discriminates and blocking is weak HERE (an artifact — real corpora
+    have rare characteristic terms by construction); the 0.6 threshold
+    keeps the gate row bounded."""
+    from mbgspark.operators.textstats import tfidf_cosine_pairs
+
+    return tfidf_cosine_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", k=3, min_cos_e6=600000
+    )
+
+
+TFIDF_COSINE_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+    FROM documents)
+  WHERE tok <> ''
+),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+idf AS (
+  SELECT tok,
+         CAST(floor(ln(CAST((SELECT count(DISTINCT doc_id) FROM tf) AS DOUBLE)
+                       / df) * 1000000 + 0.5) AS BIGINT) AS idf_micro
+  FROM dfreq
+),
+scored AS (
+  SELECT t.doc_id, t.tok, CAST(t.tf * i.idf_micro AS BIGINT) AS score
+  FROM tf t JOIN idf i USING (tok)
+),
+ranked AS (
+  SELECT doc_id, tok, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, tok ASC) AS rn
+  FROM scored
+),
+top AS (SELECT doc_id, tok AS term, score FROM ranked WHERE rn <= 3),
+norms AS (
+  SELECT doc_id, sqrt(sum(CAST(score AS DOUBLE) * score)) AS nrm
+  FROM top GROUP BY doc_id
+),
+dots AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         count(*) AS n_shared_terms,
+         sum(CAST(a.score AS DOUBLE) * b.score) AS dot
+  FROM top a JOIN top b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT * FROM (
+  SELECT id_a, id_b, CAST(n_shared_terms AS BIGINT) AS n_shared_terms,
+         CAST(floor(dot / (na.nrm * nb.nrm) * 1000000 + 0.5) AS BIGINT)
+           AS cos_e6
+  FROM dots
+  JOIN norms na ON na.doc_id = id_a
+  JOIN norms nb ON nb.doc_id = id_b
+)
+WHERE cos_e6 >= 600000
+ORDER BY id_a, id_b
+"""
+
+
 # ----------------------------------------------------- BM25 retrieval --
 
 
@@ -940,6 +1008,7 @@ CURATION = {
     "weighted_sample_docs": (weighted_sample_docs, WEIGHTED_SAMPLE_SQL),
     "nfc_roundtrip": (nfc_roundtrip, NFC_SQL),
     "bm25_topk": (bm25_topk, BM25_SQL),
+    "tfidf_cosine": (tfidf_cosine, TFIDF_COSINE_SQL),
     "tfidf_terms": (tfidf_terms, TFIDF_SQL),
     "corpus_shuffle_shards": (corpus_shuffle_shards, SHUFFLE_SHARDS_SQL),
     "mixture_resample": (mixture_resample, MIXTURE_RESAMPLE_SQL),
