@@ -160,6 +160,7 @@ _PRIORITY = [
     "loo_target_encode",
     "bm25_topk",
     "tfidf_cosine",
+    "cusum_daily_orders",
     "etl_lifecycle",
 ]
 

@@ -634,6 +634,67 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+# --------------------------------------------------- CUSUM change-point --
+
+
+def cusum_daily_orders(spark, sf_dir):
+    """CUSUM change-point statistics over the daily order-count series —
+    the sequential drift detector (catches small sustained shifts a
+    per-day z-score misses). The textbook recursion
+    ``C_t = max(0, C_{t-1} + x_t - k)`` looks iterative, but it has the
+    closed form ``C_t = S_t - min_{s<=t} S_s`` with
+    ``S_t = sum_{i<=t}(x_i - k)`` — two stacked window passes, no loop,
+    no UDF. Windows run over the POST-AGGREGATE daily series (hundreds of
+    rows), the same bounded-window precedent as dod_order_delta; k is
+    the global mean daily count (integer division, broadcast 1-row).
+    All-integer surface. Emits (day, cnt, cusum_pos, cusum_neg)."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    k = daily.agg(
+        F.floor(F.sum("cnt") / F.count(F.lit(1))).cast("bigint").alias("__k")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    s = daily.crossJoin(F.broadcast(k)).withColumn(
+        "__s", F.sum(F.col("cnt") - F.col("__k")).over(w)
+    )
+    return (
+        s.withColumn("__smin", F.min("__s").over(w))
+        .withColumn("__smax", F.max("__s").over(w))
+        .select(
+            "day",
+            F.col("cnt").cast("bigint").alias("cnt"),
+            (F.col("__s") - F.col("__smin")).cast("bigint").alias("cusum_pos"),
+            (F.col("__smax") - F.col("__s")).cast("bigint").alias("cusum_neg"),
+        )
+        .orderBy("day")
+    )
+
+
+CUSUM_SQL = """
+WITH daily AS (
+  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day, count(*) AS cnt
+  FROM orders GROUP BY 1
+),
+k AS (SELECT CAST(floor(sum(cnt) / count(*)) AS BIGINT) AS k FROM daily),
+s AS (
+  SELECT day, cnt,
+         sum(cnt - (SELECT k FROM k)) OVER (
+           ORDER BY day ROWS UNBOUNDED PRECEDING) AS s
+  FROM daily
+)
+SELECT day, CAST(cnt AS BIGINT) AS cnt,
+       CAST(s - min(s) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cusum_pos,
+       CAST(max(s) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) - s AS BIGINT)
+         AS cusum_neg
+FROM s ORDER BY day
+"""
+
+
 # ------------------------------------------------------- feature store --
 
 
@@ -986,4 +1047,5 @@ PROFILING = {
     "chi2_lang_source": (chi2_lang_source, CHI2_SQL),
     "user_features": (user_features, USER_FEATURES_SQL),
     "loo_target_encode": (loo_target_encode, LOO_ENCODE_SQL),
+    "cusum_daily_orders": (cusum_daily_orders, CUSUM_SQL),
 }

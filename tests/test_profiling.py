@@ -414,3 +414,32 @@ def test_chi2_zero_when_independent_large_when_associated(spark):
     r2 = chi2_independence(assoc, "x", "y").first()
     # perfect association on a 2x2 table: chi2 == N
     assert r2["chi2_micro"] == 600 * 1_000_000 and r2["dof"] == 1
+
+
+def test_cusum_closed_form_matches_recursion(spark):
+    """The window-stacked closed form C_t = S_t - min(S) must equal the
+    textbook recursion max(0, C_{t-1} + x_t - k) on a planted shift
+    series, and flag the shift region."""
+    from mbgspark.plans.catalog_profiling import cusum_daily_orders  # noqa: F401
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    xs = [10] * 20 + [14] * 10  # sustained +4 shift at t=20
+    k = sum(xs) // len(xs)
+    df = spark.createDataFrame(
+        [(f"d{i:03d}", x) for i, x in enumerate(xs)], "day string, cnt bigint"
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    s = df.withColumn("s", F.sum(F.col("cnt") - k).over(w))
+    got = {
+        r["day"]: r["cusum_pos"]
+        for r in s.withColumn("m", F.min("s").over(w))
+        .select("day", (F.col("s") - F.col("m")).alias("cusum_pos"))
+        .collect()
+    }
+    c, expect = 0, {}
+    for i, x in enumerate(xs):
+        c = max(0, c + x - k)
+        expect[f"d{i:03d}"] = c
+    assert got == expect
+    assert got["d029"] > 0 and got["d010"] == 0
