@@ -642,8 +642,11 @@ def cusum_daily_orders(spark, sf_dir):
     the sequential drift detector (catches small sustained shifts a
     per-day z-score misses). The textbook recursion
     ``C_t = max(0, C_{t-1} + x_t - k)`` looks iterative, but it has the
-    closed form ``C_t = S_t - min_{s<=t} S_s`` with
-    ``S_t = sum_{i<=t}(x_i - k)`` — two stacked window passes, no loop,
+    closed form ``C_t = S_t - min(0, min_{s<=t} S_s)`` with
+    ``S_t = sum_{i<=t}(x_i - k)`` (the 0 is the implicit empty-prefix
+    S_0 — dropping it breaks any series that starts ABOVE the mean,
+    caught by the recursion-equality unit test) — two stacked window
+    passes, no loop,
     no UDF. Windows run over the POST-AGGREGATE daily series (hundreds of
     rows), the same bounded-window precedent as dod_order_delta; k is
     the global mean daily count (integer division, broadcast 1-row).
@@ -662,8 +665,8 @@ def cusum_daily_orders(spark, sf_dir):
         "__s", F.sum(F.col("cnt") - F.col("__k")).over(w)
     )
     return (
-        s.withColumn("__smin", F.min("__s").over(w))
-        .withColumn("__smax", F.max("__s").over(w))
+        s.withColumn("__smin", F.least(F.lit(0), F.min("__s").over(w)))
+        .withColumn("__smax", F.greatest(F.lit(0), F.max("__s").over(w)))
         .select(
             "day",
             F.col("cnt").cast("bigint").alias("cnt"),
@@ -687,10 +690,10 @@ s AS (
   FROM daily
 )
 SELECT day, CAST(cnt AS BIGINT) AS cnt,
-       CAST(s - min(s) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
-         AS cusum_pos,
-       CAST(max(s) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) - s AS BIGINT)
-         AS cusum_neg
+       CAST(s - least(0, min(s) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING))
+            AS BIGINT) AS cusum_pos,
+       CAST(greatest(0, max(s) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)) - s
+            AS BIGINT) AS cusum_neg
 FROM s ORDER BY day
 """
 

@@ -429,17 +429,32 @@ def test_cusum_closed_form_matches_recursion(spark):
     df = spark.createDataFrame(
         [(f"d{i:03d}", x) for i, x in enumerate(xs)], "day string, cnt bigint"
     )
-    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
-    s = df.withColumn("s", F.sum(F.col("cnt") - k).over(w))
-    got = {
-        r["day"]: r["cusum_pos"]
-        for r in s.withColumn("m", F.min("s").over(w))
-        .select("day", (F.col("s") - F.col("m")).alias("cusum_pos"))
-        .collect()
-    }
-    c, expect = 0, {}
-    for i, x in enumerate(xs):
-        c = max(0, c + x - k)
-        expect[f"d{i:03d}"] = c
-    assert got == expect
+    def closed_form(frame, allowance):
+        w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+        s = frame.withColumn("s", F.sum(F.col("cnt") - allowance).over(w))
+        return {
+            r["day"]: r["cusum_pos"]
+            for r in s.withColumn("m", F.least(F.lit(0), F.min("s").over(w)))
+            .select("day", (F.col("s") - F.col("m")).alias("cusum_pos"))
+            .collect()
+        }
+
+    def recursion(series, allowance):
+        c, expect = 0, {}
+        for i, x in enumerate(series):
+            c = max(0, c + x - allowance)
+            expect[f"d{i:03d}"] = c
+        return expect
+
+    got = closed_form(df, k)
+    assert got == recursion(xs, k)
     assert got["d029"] > 0 and got["d010"] == 0
+
+    # the regression the least(0, ...) fix guards: a series STARTING
+    # above the allowance — without the implicit S_0=0 the closed form
+    # zeroed the first step
+    xs2 = [15, 15, 8, 8, 8]
+    df2 = spark.createDataFrame(
+        [(f"d{i:03d}", x) for i, x in enumerate(xs2)], "day string, cnt bigint"
+    )
+    assert closed_form(df2, 10) == recursion(xs2, 10)
