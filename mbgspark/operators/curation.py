@@ -595,3 +595,34 @@ def mixture_interleave(
         )
         .drop("__w")
     )
+
+
+def domain_cap(
+    df: DataFrame,
+    domain_col: str,
+    id_col: str = "doc_id",
+    cap: int = 100,
+    salt: str = "",
+) -> DataFrame:
+    """Per-domain frequency cap — the crawl-pipeline quota step (C4-style
+    corpora cap documents per registered domain so a single prolific site
+    cannot dominate the mixture): keep at most ``cap`` docs per domain,
+    chosen DETERMINISTICALLY as the cap lowest md5(salt|id) ranks — the
+    same hash-order device as group_sample/stratified_sample, so the
+    survivor set is reproducible, stable under partitioning, and NESTED
+    (a larger cap keeps a superset). One window per domain partition —
+    the partition key is the skew axis itself, but the window only ranks
+    and truncates (no buffering beyond the running count), and a
+    two-stage guard for pathological mega-domains is the same hash-range
+    prefilter documented on group_sample. Emits the surviving rows +
+    their rank."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(domain_col).orderBy(
+        F.md5(F.concat_ws("|", F.lit(str(salt)), F.col(id_col).cast("string"))),
+        id_col,
+    )
+    return (
+        df.withColumn("domain_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("domain_rank") <= cap)
+    )

@@ -161,6 +161,7 @@ _PRIORITY = [
     "bm25_topk",
     "tfidf_cosine",
     "cusum_daily_orders",
+    "domain_cap_survivors",
     "etl_lifecycle",
 ]
 

@@ -388,6 +388,35 @@ FROM scored GROUP BY doc_id ORDER BY doc_id
 """
 
 
+# ------------------------------------------------------ domain cap --
+
+
+def domain_cap_survivors(spark, sf_dir):
+    """Per-source frequency cap: at most 15 docs per source survive
+    (each source holds 25 at the gate SF, so the cap genuinely drops rows),
+    chosen by md5 hash order (reproducible, nested in the cap)."""
+    from mbgspark.operators.curation import domain_cap
+
+    return (
+        domain_cap(_t(spark, sf_dir, "documents"), "source", "doc_id", cap=15)
+        .select("doc_id", "source", "domain_rank")
+        .orderBy("source", "domain_rank")
+    )
+
+
+DOMAIN_CAP_SQL = """
+SELECT doc_id, source, domain_rank FROM (
+  SELECT doc_id, source,
+         CAST(row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5('|' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+           AS domain_rank
+  FROM documents)
+WHERE domain_rank <= 15
+ORDER BY source, domain_rank
+"""
+
+
 # ---------------------------------------------- sparse TF-IDF cosine --
 
 
@@ -1009,6 +1038,7 @@ CURATION = {
     "nfc_roundtrip": (nfc_roundtrip, NFC_SQL),
     "bm25_topk": (bm25_topk, BM25_SQL),
     "tfidf_cosine": (tfidf_cosine, TFIDF_COSINE_SQL),
+    "domain_cap_survivors": (domain_cap_survivors, DOMAIN_CAP_SQL),
     "tfidf_terms": (tfidf_terms, TFIDF_SQL),
     "corpus_shuffle_shards": (corpus_shuffle_shards, SHUFFLE_SHARDS_SQL),
     "mixture_resample": (mixture_resample, MIXTURE_RESAMPLE_SQL),

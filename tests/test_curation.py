@@ -418,3 +418,32 @@ def test_mixture_interleave_spacing_and_determinism(spark):
     first = sorted(rows, key=lambda r: (r["pos_key"], r["domain"], r["doc_id"]))[:99]
     heavy = sum(1 for r in first if r["domain"] == "heavy")
     assert abs(heavy - 66) <= 1
+
+
+def test_domain_cap_is_deterministic_and_nested(spark):
+    """The cap keeps exactly min(cap, n) per domain, the same survivors
+    every run, and a larger cap keeps a strict superset (nested — the
+    property mixture re-caps rely on)."""
+    from pyspark.sql import functions as F
+
+    from mbgspark.operators.curation import domain_cap
+
+    rows = [(i, f"d{i % 3}") for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+
+    def ids(cap):
+        return {
+            r["doc_id"]
+            for r in domain_cap(df, "source", "doc_id", cap=cap).collect()
+        }
+
+    s5, s5b, s10 = ids(5), ids(5), ids(10)
+    assert s5 == s5b and len(s5) == 15 and len(s10) == 30
+    assert s5 < s10
+    per = (
+        domain_cap(df, "source", "doc_id", cap=5)
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    assert all(r["n"] == 5 for r in per)
