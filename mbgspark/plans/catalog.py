@@ -162,6 +162,7 @@ _PRIORITY = [
     "tfidf_cosine",
     "cusum_daily_orders",
     "domain_cap_survivors",
+    "jl_projection",
     "etl_lifecycle",
 ]
 

@@ -1019,6 +1019,42 @@ FROM q ORDER BY o_orderkey
 """
 
 
+
+def jl_projection(spark, sf_dir):
+    """JL sign-projection of the 64-dim embeddings to 16 dims — long
+    format (vec_id, dim, value_e6); the oracle bakes the identical
+    md5-derived +-1 matrix and replays the same sequential fold."""
+    from mbgspark.operators.similarity import jl_project
+
+    e = _t(spark, sf_dir, "embeddings")
+    return jl_project(e, "embedding", 64, 16, "jl", "vec_id").orderBy(
+        "vec_id", "dim"
+    )
+
+
+def _jl_sql() -> str:
+    from mbgspark.operators.similarity import jl_sign_matrix
+
+    signs = jl_sign_matrix("jl", 16, 64)
+    scale = 1.0 / (16 ** 0.5)
+    branches = "\n  UNION ALL\n".join(
+        f"""  SELECT vec_id, {k} AS dim,
+         CAST(floor(list_sum(list_transform(range(1, 65),
+                j -> CAST(embedding[j] AS DOUBLE) * ([{', '.join(str(x) for x in signs[k])}])[j]))
+              * {scale!r} * 1000000 + 0.5) AS BIGINT) AS value_e6
+  FROM embeddings"""
+        for k in range(16)
+    )
+    return (
+        "SELECT vec_id, CAST(dim AS BIGINT) AS dim, value_e6 FROM (\n"
+        + branches
+        + "\n) ORDER BY vec_id, dim"
+    )
+
+
+JL_SQL = _jl_sql()
+
+
 def hard_negatives(spark, sf_dir):
     """Contrastive hard-negative mining: top-3 most-similar vectors with a
     DIFFERENT label, per query vector vec_id < 5."""
@@ -2096,6 +2132,7 @@ EXT: dict[str, tuple] = {
     "ann_quantized_topk": (ann_quantized_topk, ANN_QUANTIZED_SQL),
     "hard_negatives": (hard_negatives, HARD_NEGATIVES_SQL),
     "zorder_keys": (zorder_keys, ZORDER_SQL),
+    "jl_projection": (jl_projection, JL_SQL),
     "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),
     "ann_ivf_kmeans_topk": (ann_ivf_kmeans_topk, _ann_ivf_kmeans_sql()),
     "langid_confusion": (langid_confusion, LANGID_SQL),

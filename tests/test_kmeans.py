@@ -134,3 +134,47 @@ def test_quantized_topk_recall_and_int8_range(spark):
 
     z = spark.createDataFrame([(1, [0.0, 0.0, 0.0])], "vec_id bigint, embedding array<double>")
     assert quantize_int8(z).first()["qvec"] == [0, 0, 0]
+
+
+def test_jl_projection_preserves_similarity_structure(spark):
+    """Sign-JL to 16 dims preserves the similarity structure that
+    matters: on planted clustered vectors (within-cluster cosine ~1,
+    cross-cluster ~0) the projected cosines keep the clusters cleanly
+    separated and track the originals. (On near-random vectors the true
+    cosine spread ~1/sqrt(64) sits BELOW the k=16 JL noise floor
+    ~1/sqrt(16), so a high-correlation assertion there would test the
+    data, not the operator.)"""
+    import math
+
+    from mbgspark.operators.similarity import jl_project
+
+    # 3 clusters on disjoint coordinate blocks + deterministic jitter
+    rows = []
+    for c in range(3):
+        for m in range(6):
+            v = [0.0] * 64
+            for d in range(c * 21, c * 21 + 21):
+                v[d] = 1.0 + 0.01 * ((c * 6 + m + d) % 5)
+            rows.append((c * 10 + m, v))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    proj = jl_project(df, "embedding", 64, 16).collect()
+    vecs: dict[int, list[float]] = {}
+    for r in proj:
+        vecs.setdefault(r["vec_id"], [0.0] * 16)[r["dim"]] = r["value_e6"] / 1e6
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a)) or 1.0
+        nb = math.sqrt(sum(x * x for x in b)) or 1.0
+        return dot / (na * nb)
+
+    ids = sorted(vecs)
+    within, cross = [], []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            c = cos(vecs[ids[i]], vecs[ids[j]])
+            (within if ids[i] // 10 == ids[j] // 10 else cross).append(c)
+    mw, mc = sum(within) / len(within), sum(cross) / len(cross)
+    # projected clusters stay separated by a wide margin
+    assert mw > 0.9, mw
+    assert mw - mc > 0.5, (mw, mc)
