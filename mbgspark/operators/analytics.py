@@ -63,3 +63,71 @@ def top_k_tokens(df: DataFrame, text_col: str, k: int = 20) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc("token"))
         .limit(k)
     )
+
+
+def item_cooccurrence(
+    df,
+    user_col: str,
+    item_col: str,
+    min_co_users: int = 2,
+    max_items_per_user: int | None = 200,
+):
+    """Item co-occurrence mining — the item2item collaborative-filtering /
+    basket-analysis shape: for every item pair, how many users touched
+    BOTH, with the lift ``P(a,b) / (P(a)·P(b))`` that separates genuine
+    affinity from two items being individually popular.
+
+    Scale shape: the quadratic step is the self-join of the DISTINCT
+    (user, item) set on user — a power user with u items mints u²/2
+    pairs, the same blow-up mode as a viral LSH bucket, so the
+    ``max_items_per_user`` guard caps each user's contribution to a
+    deterministic md5-ordered subset (None disables; the cap device and
+    its rationale mirror dedup's ``max_bucket_size``). Everything else
+    is bounded aggregates; lift's denominators ride a broadcast item-
+    count table and a 1-row user total.
+
+    Emits (item_a, item_b, co_users, lift_e4) for pairs with
+    ``co_users >= min_co_users``."""
+    from pyspark.sql import Window
+
+    ui = df.select(F.col(user_col).alias("u"), F.col(item_col).alias("i")).distinct()
+    if max_items_per_user is not None:
+        w = Window.partitionBy("u").orderBy(F.md5(F.col("i").cast("string")), "i")
+        ui = (
+            ui.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= max_items_per_user)
+            .drop("__rn")
+        )
+    a = ui.select("u", F.col("i").alias("item_a"))
+    b = ui.select("u", F.col("i").alias("item_b"))
+    co = (
+        a.join(b, "u")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("co_users"))
+        .filter(F.col("co_users") >= min_co_users)
+    )
+    item_users = ui.groupBy("i").agg(F.count(F.lit(1)).alias("__iu"))
+    total = ui.agg(F.countDistinct("u").alias("__n"))
+    ia = item_users.select(F.col("i").alias("item_a"), F.col("__iu").alias("__ua"))
+    ib = item_users.select(F.col("i").alias("item_b"), F.col("__iu").alias("__ub"))
+    return (
+        co.join(F.broadcast(ia), "item_a")
+        .join(F.broadcast(ib), "item_b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "item_a",
+            "item_b",
+            "co_users",
+            F.floor(
+                F.col("co_users")
+                * F.col("__n")
+                / (F.col("__ua") * F.col("__ub"))
+                * 10000
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("lift_e4"),
+        )
+        .orderBy("item_a", "item_b")
+    )

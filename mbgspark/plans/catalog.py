@@ -163,6 +163,7 @@ _PRIORITY = [
     "cusum_daily_orders",
     "domain_cap_survivors",
     "jl_projection",
+    "item_cooccurrence_events",
     "etl_lifecycle",
 ]
 

@@ -1055,6 +1055,46 @@ def _jl_sql() -> str:
 JL_SQL = _jl_sql()
 
 
+
+def item_cooccurrence_events(spark, sf_dir):
+    """Item2item co-occurrence over events: item = props.k, pairs of
+    items touched by the same user with co-user counts and lift (e4).
+    Per-user item cap = 200 (inactive here: 100 possible items) — the
+    quadratic guard mirrors dedup's bucket cap."""
+    from mbgspark.operators.analytics import item_cooccurrence
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("item"),
+    )
+    return item_cooccurrence(e, "user_id", "item", min_co_users=25)
+
+
+ITEM_COOC_SQL = """
+WITH ui AS (
+  SELECT DISTINCT user_id AS u,
+         CAST(json_extract(props, '$.k') AS BIGINT) AS i
+  FROM events
+),
+co AS (
+  SELECT a.i AS item_a, b.i AS item_b, count(*) AS co_users
+  FROM ui a JOIN ui b ON a.u = b.u AND a.i < b.i
+  GROUP BY 1, 2
+  HAVING count(*) >= 25
+),
+iu AS (SELECT i, count(*) AS users FROM ui GROUP BY i),
+t AS (SELECT count(DISTINCT u) AS n FROM ui)
+SELECT item_a, item_b, CAST(co_users AS BIGINT) AS co_users,
+       CAST(floor(co_users * n / CAST(ua.users * ub.users AS DOUBLE)
+                  * 10000 + 0.5) AS BIGINT) AS lift_e4
+FROM co
+JOIN iu ua ON ua.i = item_a
+JOIN iu ub ON ub.i = item_b
+CROSS JOIN t
+ORDER BY item_a, item_b
+"""
+
+
 def hard_negatives(spark, sf_dir):
     """Contrastive hard-negative mining: top-3 most-similar vectors with a
     DIFFERENT label, per query vector vec_id < 5."""
@@ -2133,6 +2173,7 @@ EXT: dict[str, tuple] = {
     "hard_negatives": (hard_negatives, HARD_NEGATIVES_SQL),
     "zorder_keys": (zorder_keys, ZORDER_SQL),
     "jl_projection": (jl_projection, JL_SQL),
+    "item_cooccurrence_events": (item_cooccurrence_events, ITEM_COOC_SQL),
     "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),
     "ann_ivf_kmeans_topk": (ann_ivf_kmeans_topk, _ann_ivf_kmeans_sql()),
     "langid_confusion": (langid_confusion, LANGID_SQL),

@@ -118,3 +118,29 @@ def test_cluster_profile_applies_to_session(spark):
         assert spark.conf.get("spark.sql.shuffle.partitions") == "8"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
+
+
+def test_item_cooccurrence_cap_bounds_power_users(spark):
+    """A power user with many items contributes at most cap items (so at
+    most cap*(cap-1)/2 pairs); lift separates genuine affinity (always
+    co-occurring pair) from popularity."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from mbgspark.operators.analytics import item_cooccurrence
+
+    rows = []
+    for u in range(10):
+        rows += [(u, "a"), (u, "b")]          # a,b always together
+    for u in range(5):
+        rows += [(u, "c")]                     # c popular but independent
+    rows += [(99, f"i{j}") for j in range(50)]  # power user, 50 items
+    df = spark.createDataFrame(rows, "u bigint, i string")
+
+    out = item_cooccurrence(df, "u", "i", min_co_users=1, max_items_per_user=5)
+    pairs = {(r["item_a"], r["item_b"]): r for r in out.collect()}
+    # the power user's contribution is capped: at most C(5,2)=10 pairs
+    power_pairs = [p for p in pairs if p[0].startswith("i") and p[1].startswith("i")]
+    assert len(power_pairs) == 10
+    assert pairs[("a", "b")]["co_users"] == 10
+    # perfect affinity: lift = P(ab)/(P(a)P(b)) = 1/(10/11 * 10/11) > 1
+    assert pairs[("a", "b")]["lift_e4"] > 10000
