@@ -164,6 +164,7 @@ _PRIORITY = [
     "domain_cap_survivors",
     "jl_projection",
     "item_cooccurrence_events",
+    "dup_cluster_histogram",
     "etl_lifecycle",
 ]
 

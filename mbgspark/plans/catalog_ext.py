@@ -571,6 +571,44 @@ ORDER BY c.id
 """
 
 
+
+def dup_cluster_histogram(spark, sf_dir):
+    """Dedup observability rollup: the duplicate-cluster SIZE DISTRIBUTION
+    (how many clusters of each size, how many docs they hold) — the
+    one-glance answer to "how duplicated is this corpus and is it a few
+    mega-clusters or a long tail". Rides the exact dup_components
+    lineage; the rollup is a two-level bounded aggregate."""
+    from mbgspark.operators.components import connected_components
+
+    edges = dedup_ngram_jaccard(spark, sf_dir)
+    comp = connected_components(edges, "id_a", "id_b")
+    sizes = comp.groupBy("component").agg(
+        F.count("*").cast("bigint").alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("bigint")
+            .alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+DUP_CLUSTER_HIST_SQL = DUP_COMPONENTS_SQL.replace(
+    """SELECT c.id, c.component, s.cluster_size
+FROM comp c JOIN sizes s USING (component)
+ORDER BY c.id""",
+    """SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+FROM sizes GROUP BY cluster_size ORDER BY cluster_size""",
+)
+
+
 def dedup_semantic_keep_best(spark, sf_dir):
     """The COMPLETE semantic-dedup chain as one lineage: n-gram Jaccard
     pairs → connected components (large-star/small-star) → quality-aware
@@ -2162,6 +2200,7 @@ EXT: dict[str, tuple] = {
     "dedup_semantic_keep_best": (dedup_semantic_keep_best, DEDUP_KEEP_BEST_SQL),
     "dedup_embedding_keep_best": (dedup_embedding_keep_best, DEDUP_EMB_KEEP_BEST_SQL),
     "dup_components": (dup_components, DUP_COMPONENTS_SQL),
+    "dup_cluster_histogram": (dup_cluster_histogram, DUP_CLUSTER_HIST_SQL),
     "dedup_embedding": (dedup_embedding, DEDUP_EMBEDDING_SQL),
     "dedup_embedding_blocked": (dedup_embedding_blocked, DEDUP_EMBEDDING_BLOCKED_SQL),
     "dedup_embedding_multiprobe": (
