@@ -73,7 +73,10 @@ def strip_markup(c: Column) -> Column:
     and dot-matches-newline so multi-line blocks go in one pass."""
     c = F.regexp_replace(c, r"(?is)<script\b[^>]*>.*?</script>", " ")
     c = F.regexp_replace(c, r"(?is)<style\b[^>]*>.*?</style>", " ")
-    c = F.regexp_replace(c, r"(?s)<[^>]+>", " ")
+    # bare-tag pass requires a plausible tag-start char (letter, '/', or
+    # '!'): unescaped comparison operators in scraped plain text
+    # ('if i < n and j > 0') must NOT be treated as a tag and deleted
+    c = F.regexp_replace(c, r"(?s)<[a-zA-Z/!][^>]*>", " ")
     for ent, rep in (
         ("&nbsp;", " "),
         ("&lt;", "<"),

@@ -373,6 +373,9 @@ def write_zordered(
     mn_a, mx_a, mn_b, mx_b = df.agg(
         F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
     ).first()
+    if mn_a is None or mn_b is None:  # empty input: write the empty dataset
+        df.write.mode("overwrite").parquet(path)
+        return
     span = float(2**bits)
     qa = F.least(
         F.lit(2**bits - 1),

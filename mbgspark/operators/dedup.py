@@ -102,6 +102,20 @@ def with_word_shingles(
     )
 
 
+def _sig_aggs(num_hashes: int, shingle_col: str = "shingle") -> list:
+    """THE MinHash hash-family definition — hash i = min over the doc's
+    shingles of the 16-hex-char md5 window starting at offset 2i. Every
+    signature consumer (``minhash_signature``, the packed aggregations in
+    ``minhash_near_dups`` / ``minhash_estimate_pairs``, and the DuckDB
+    oracle's _MINHASH_SIG_COLS) must agree on this expression exactly —
+    bucketer and estimator silently disagree otherwise — so it lives in
+    one place."""
+    return [
+        F.min(F.substring(F.md5(F.col(shingle_col)), 2 * i + 1, 16)).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+
+
 def minhash_signature(
     shingled: DataFrame, id_col: str, num_hashes: int = 8, shingle_col: str = "shingle"
 ) -> DataFrame:
@@ -114,11 +128,7 @@ def minhash_signature(
     across Spark, DuckDB, and Python — the property the correctness oracle
     needs. Output: (id, sig array<string>). One shuffle (groupBy id); the
     md5 is computed once per input row under subexpression elimination."""
-    aggs = [
-        F.min(F.substring(F.md5(F.col(shingle_col)), 2 * i + 1, 16)).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    sig = shingled.groupBy(id_col).agg(*aggs)
+    sig = shingled.groupBy(id_col).agg(*_sig_aggs(num_hashes, shingle_col))
     return sig.select(
         F.col(id_col), F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
     )
@@ -374,12 +384,8 @@ def minhash_near_dups(
     # hangs off the same exchange, which Spark reuses (ReusedExchange) —
     # the shingle pass over the corpus happens exactly once per action,
     # where separate signature/array lineages would recompute it 3×.
-    aggs = [
-        F.min(F.substring(F.md5(F.col("shingle")), 2 * i + 1, 16)).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
     packed = shingled.groupBy(id_col).agg(
-        *aggs, F.collect_list("shingle").alias("__shingles")
+        *_sig_aggs(num_hashes), F.collect_list("shingle").alias("__shingles")
     )
     sig = packed.select(
         F.col(id_col),
@@ -885,12 +891,8 @@ def minhash_estimate_pairs(
     signature arrays on the already-verified pair set. est_e4 is
     integer-exact (matches * 10000 div num_hashes)."""
     shingled = with_word_shingles(df, id_col, text_col, k)
-    aggs = [
-        F.min(F.substring(F.md5(F.col("shingle")), 2 * i + 1, 16)).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
     packed = shingled.groupBy(id_col).agg(
-        *aggs, F.collect_list("shingle").alias("__shingles")
+        *_sig_aggs(num_hashes), F.collect_list("shingle").alias("__shingles")
     )
     sig = packed.select(
         F.col(id_col),

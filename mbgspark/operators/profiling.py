@@ -418,6 +418,25 @@ def cardinality_check(
     )
 
 
+def _cm_bucket(i: int, key_col: str, width: int):
+    """THE Count-Min hash definition — counter bucket of hash row i for a
+    key. Build (``count_min_sketch``) and probe (``cm_estimate``) sides
+    MUST hash identically or every estimate is silently garbage, so the
+    expression lives in one place."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.lit(str(i)), F.col(key_col).cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % width
+    )
+
+
 def count_min_sketch(
     df: DataFrame, key_col: str, width: int = 256, depth: int = 4
 ) -> DataFrame:
@@ -439,23 +458,7 @@ def count_min_sketch(
     Emits (h, bucket, cnt) — depth*width rows max."""
     probes = [
         F.struct(
-            F.lit(i).alias("h"),
-            (
-                F.conv(
-                    F.substring(
-                        F.md5(
-                            F.concat_ws(
-                                "|", F.lit(str(i)), F.col(key_col).cast("string")
-                            )
-                        ),
-                        1,
-                        8,
-                    ),
-                    16,
-                    10,
-                ).cast("bigint")
-                % width
-            ).alias("bucket"),
+            F.lit(i).alias("h"), _cm_bucket(i, key_col, width).alias("bucket")
         )
         for i in range(depth)
     ]
@@ -485,24 +488,7 @@ def cm_estimate(
                 *[
                     F.struct(
                         F.lit(i).alias("h"),
-                        (
-                            F.conv(
-                                F.substring(
-                                    F.md5(
-                                        F.concat_ws(
-                                            "|",
-                                            F.lit(str(i)),
-                                            F.col(key_col).cast("string"),
-                                        )
-                                    ),
-                                    1,
-                                    8,
-                                ),
-                                16,
-                                10,
-                            ).cast("bigint")
-                            % width
-                        ).alias("bucket"),
+                        _cm_bucket(i, key_col, width).alias("bucket"),
                     )
                     for i in range(depth)
                 ]

@@ -610,11 +610,19 @@ def tfidf_cosine_pairs(
 
     Emits (id_a, id_b, n_shared_terms, cos_e6 >= min_cos_e6)."""
     t = tfidf_top_terms(df, id_col, text_col, k)
+    # accumulate norms/dots in DOUBLE, mirroring the oracle exactly: a
+    # corpus-unique term repeated ~220+ times at web-scale N pushes
+    # score_micro^2 past 2^63, where a bigint sum would wrap silently
+    # (ANSI off) while the oracle's double does not — same values, same
+    # rounding, no overflow cliff
+    w_d = F.col("score_micro").cast("double")
     norms = t.groupBy(id_col).agg(
-        F.sqrt(F.sum(F.col("score_micro") * F.col("score_micro"))).alias("__norm")
+        F.sqrt(F.sum(w_d * F.col("score_micro"))).alias("__norm")
     )
     a = t.select(
-        F.col(id_col).alias("id_a"), "term", F.col("score_micro").alias("__wa")
+        F.col(id_col).alias("id_a"),
+        "term",
+        F.col("score_micro").cast("double").alias("__wa"),
     )
     b = t.select(
         F.col(id_col).alias("id_b"), "term", F.col("score_micro").alias("__wb")

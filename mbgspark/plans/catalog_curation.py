@@ -666,7 +666,7 @@ s AS (
              regexp_replace(regexp_replace(regexp_replace(html,
                '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
                '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
-               '(?s)<[^>]+>', ' ', 'g'),
+               '(?s)<[a-zA-Z/!][^>]*>', ' ', 'g'),
              '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
              '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
            '\s+', ' ', 'g')) AS stripped

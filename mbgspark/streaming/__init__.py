@@ -269,30 +269,33 @@ def start_cardinality_sink(
     ``hll_union_agg`` over the day rows). Exactly-once convergence has a
     different source than the merge sink's keyed upsert: HLL union is
     IDEMPOTENT (folding the same keys twice is a no-op), so a replayed
-    batch leaves every estimate unchanged.
+    batch leaves every estimate unchanged. The store deliberately holds
+    ONLY idempotent state — an earlier draft also kept a summed row
+    counter, but foreachBatch is at-least-once and a replayed batch
+    would inflate any additive column; a counter belongs in the keyed
+    merge sink, where re-delivered keys upsert instead of adding. Rows
+    with a NULL timestamp fold into an '__unknown__' day row rather
+    than a NULL key (a NULL day would match neither isin(touched) nor
+    its negation below and silently vanish on the next merge).
     """
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         day_sketches = batch_df.groupBy(
-            F.date_format(ts_col, "yyyy-MM-dd").alias("day")
-        ).agg(
-            F.hll_sketch_agg(key_col).alias("hll_sketch"),
-            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-        )
+            F.coalesce(
+                F.date_format(ts_col, "yyyy-MM-dd"), F.lit("__unknown__")
+            ).alias("day")
+        ).agg(F.hll_sketch_agg(key_col).alias("hll_sketch"))
         if _store_exists(spark, store_path):
             existing = spark.read.parquet(store_path)
             touched = [r["day"] for r in day_sketches.select("day").distinct().collect()]
             hit = existing.filter(F.col("day").isin(touched))
             untouched = existing.filter(~F.col("day").isin(touched))
             merged_hit = (
-                hit.select("day", "hll_sketch", "n_rows")
+                hit.select("day", "hll_sketch")
                 .unionByName(day_sketches)
                 .groupBy("day")
-                .agg(
-                    F.expr("hll_union_agg(hll_sketch)").alias("hll_sketch"),
-                    F.sum("n_rows").cast("bigint").alias("n_rows"),
-                )
+                .agg(F.expr("hll_union_agg(hll_sketch)").alias("hll_sketch"))
             )
             out = untouched.unionByName(merged_hit)
         else:

@@ -68,6 +68,10 @@ def test_strip_markup_blocks_tags_entities(spark):
         (5, "Tom &amp;lt; Jerry", "Tom &lt; Jerry"),
         (6, "<div\nclass='x'>multi\nline</div>", "multi line"),
         (7, "no markup at all", "no markup at all"),
+        # unescaped comparison operators are NOT tags — scraped plain
+        # text / code must survive the bare-tag pass
+        (8, "if i < n and j > 0 then loop", "if i < n and j > 0 then loop"),
+        (9, "a <br/>b < c", "a b < c"),
     ]
     df = spark.createDataFrame(
         [(i, raw) for i, raw, _ in cases], "id bigint, raw string"
