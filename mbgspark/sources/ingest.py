@@ -149,3 +149,26 @@ def parse_with_quarantine(
         F.col("_corrupt_record").alias("raw_line")
     )
     return parsed, quarantined
+
+
+def observed_ingest(df: DataFrame, name: str = "ingest_metrics"):
+    """Attach Spark's Observation metrics to an ingest frame: row count,
+    null-text count, and total characters are collected AS A SIDE EFFECT
+    of whatever action the caller already runs — no second scan, no
+    separate count() job, which is the whole point at 100 TB (a metrics
+    pass that re-reads the input doubles the ingest cost; Observation
+    piggybacks on the existing one). Returns ``(df, observation)``; read
+    ``observation.get`` AFTER an action has run. The per-run numbers
+    feed the same operational surface as the reference's per-run count
+    logging (resilient_etl.py's summary lines), but from the engine's
+    own metric channel instead of extra queries."""
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    observed = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("text").isNull().cast("long")).alias("n_null_text"),
+        F.sum(F.length(F.coalesce(F.col("text"), F.lit("")))).alias("n_chars"),
+    )
+    return observed, obs

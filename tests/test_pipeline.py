@@ -81,3 +81,19 @@ def test_ingest_quarantine_splits_malformed_lines(spark, tmp_path):
     assert [r["_id"] for r in ok] == ["1"]
     bad = sorted(r["raw_line"] for r in quarantined.collect())
     assert bad == sorted([bad1, bad2])
+
+
+def test_observed_ingest_piggybacks_metrics_on_the_action(spark):
+    """Observation metrics arrive from the SAME action that consumes the
+    frame — no second scan; null text is counted, chars exclude nulls."""
+    from mbgspark.sources.ingest import observed_ingest
+
+    df = spark.createDataFrame(
+        [(1, "abc"), (2, None), (3, "de")], "id bigint, text string"
+    )
+    observed, obs = observed_ingest(df)
+    assert observed.count() == 3  # the action the metrics ride on
+    got = obs.get
+    assert got["n_rows"] == 3
+    assert got["n_null_text"] == 1
+    assert got["n_chars"] == 5
