@@ -91,6 +91,25 @@ ANNOTATED = {
     "token_budget_sample": "budget-filling prefix sample: per-bucket "
     "sums + a window over the tiny bucket aggregate + bucket-partitioned "
     "cumulative windows — the corpus is never globally sorted",
+    "waiting_suppliers": "TPC-H Q21: both correlated quantifiers "
+    "decorrelated to hash joins on l_orderkey — the EXISTS a LeftSemi, "
+    "the NOT EXISTS a LeftAnti against the late set; no nested loop, "
+    "the 'F' status filter pushed to the orders scan",
+    "lm_bigram_score": "bigram LM: ONE pair-explode feeds the TF "
+    "aggregate; corpus bigram and context counts are two layered "
+    "windows over that aggregated set (the second window's key is a "
+    "prefix of the first's); V joins as a broadcast 1-row aggregate — "
+    "exactly two Generates in the plan, pinned",
+    "weighted_sample_docs": "derandomized A-ES sampling: the key is a "
+    "row-local projection and the sample a TakeOrderedAndProject — "
+    "ZERO exchanges in the whole plan",
+    "bm25_topk": "BM25 retrieval: the TF aggregate is filtered to the "
+    "broadcast query terms immediately, so everything after the one "
+    "shuffle is query-bounded; N/avgdl ride 1-row broadcasts; top-k is "
+    "TakeOrderedAndProject",
+    "zorder_keys": "Morton layout key: min/max bounds via a 1-row "
+    "broadcast, quantization + 8-bit interleave pure codegen bit math — "
+    "no shuffle before the output sort",
 }
 
 
