@@ -165,6 +165,7 @@ _PRIORITY = [
     "jl_projection",
     "item_cooccurrence_events",
     "dup_cluster_histogram",
+    "quantile_sketch_check",
     "etl_lifecycle",
 ]
 

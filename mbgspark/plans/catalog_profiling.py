@@ -634,6 +634,50 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+# ------------------------------------------------ approx quantile check --
+
+
+def quantile_sketch_check(spark, sf_dir):
+    """Exact per-status order-value median/p95 with the approx-sketch
+    accuracy contract pinned in-query: ok flags = 1 iff Spark's
+    percentile_approx (Greenwald-Khanna, accuracy 1000 ⇒ rank error
+    ≤ 0.1%) lands within 1% RELATIVE VALUE error of the exact
+    percentile. Same device as the HLL check: the engine-specific sketch
+    value never reaches the hash — the CONTRACT does, so sketch drift
+    fails the gate instead of passing unnoticed. At 100 TB the sketch is
+    the only affordable path (exact percentile sorts each group); this
+    query is the standing evidence it stays honest."""
+    o = _t(spark, sf_dir, "orders")
+    exact50 = F.expr("percentile(o_totalprice, 0.5)")
+    exact95 = F.expr("percentile(o_totalprice, 0.95)")
+    ap50 = F.percentile_approx("o_totalprice", 0.5, 1000)
+    ap95 = F.percentile_approx("o_totalprice", 0.95, 1000)
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.round(exact50, 2).alias("median_exact"),
+            F.round(exact95, 2).alias("p95_exact"),
+            (F.abs(ap50 - exact50) * 100 <= exact50)
+            .cast("bigint")
+            .alias("median_sketch_ok"),
+            (F.abs(ap95 - exact95) * 100 <= exact95)
+            .cast("bigint")
+            .alias("p95_sketch_ok"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+QUANTILE_SKETCH_SQL = """
+SELECT o_orderstatus,
+       round(quantile_cont(o_totalprice, 0.5), 2) AS median_exact,
+       round(quantile_cont(o_totalprice, 0.95), 2) AS p95_exact,
+       CAST(1 AS BIGINT) AS median_sketch_ok,
+       CAST(1 AS BIGINT) AS p95_sketch_ok
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 # --------------------------------------------------- CUSUM change-point --
 
 
@@ -1051,4 +1095,5 @@ PROFILING = {
     "user_features": (user_features, USER_FEATURES_SQL),
     "loo_target_encode": (loo_target_encode, LOO_ENCODE_SQL),
     "cusum_daily_orders": (cusum_daily_orders, CUSUM_SQL),
+    "quantile_sketch_check": (quantile_sketch_check, QUANTILE_SKETCH_SQL),
 }
