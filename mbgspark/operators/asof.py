@@ -63,3 +63,61 @@ def as_of_join(
         out = out.withColumn(f"asof_{v}", F.col(f"__asof_{v}"))
     drop = ["__ts", "__side"] + [f"__r_{v}" for v in right_vals] + [f"__asof_{v}" for v in right_vals]
     return out.drop(*drop)
+
+
+def as_of_join_cogrouped(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_vals: list[str],
+) -> DataFrame:
+    """The same as-of semantics via the cogrouped-pandas path
+    (``groupBy().cogroup().applyInPandas`` + ``pandas.merge_asof``) —
+    the rung BELOW the compositional default on the custom-operator
+    ladder, kept as a pinned-equal alternative for two reasons: it
+    exercises the cogroup API end-to-end (both sides of a key arrive in
+    one Arrow batch pair), and it is the escape hatch when per-key logic
+    outgrows window semantics (irregular interpolation, per-key models).
+    Same shuffle cost as the window formulation (both sides hash on
+    key); the difference is an Arrow round trip and a per-key pandas
+    sort instead of codegen — prefer ``as_of_join`` in the hot path.
+    ``tests/test_asof.py`` pins the two formulations row-identical."""
+    import pandas as pd
+
+    out_fields = [f for f in left.schema.fields]
+    r_types = {v: right.schema[v].dataType.simpleString() for v in right_vals}
+    schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in out_fields]
+        + [f"`asof_{v}` {r_types[v]}" for v in right_vals]
+    )
+    l_cols = [f.name for f in out_fields]
+
+    def merge(l_pdf: pd.DataFrame, r_pdf: pd.DataFrame) -> pd.DataFrame:
+        l_sorted = l_pdf.sort_values(left_ts, kind="mergesort")
+        if r_pdf.empty:
+            out = l_sorted.copy()
+            for v in right_vals:
+                out[f"asof_{v}"] = None
+            return out[l_cols + [f"asof_{v}" for v in right_vals]]
+        r_sorted = (
+            r_pdf[[right_ts] + right_vals]
+            .sort_values(right_ts, kind="mergesort")
+            .rename(columns={v: f"asof_{v}" for v in right_vals})
+        )
+        out = pd.merge_asof(
+            l_sorted,
+            r_sorted,
+            left_on=left_ts,
+            right_on=right_ts,
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        return out[l_cols + [f"asof_{v}" for v in right_vals]]
+
+    return (
+        left.groupBy(key)
+        .cogroup(right.groupBy(key))
+        .applyInPandas(merge, schema=schema)
+    )

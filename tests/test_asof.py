@@ -30,3 +30,35 @@ def test_asof_semantics(spark):
         for r in as_of_join(left, right, "user_id", "ts", "ts", ["price"]).collect()
     }
     assert out == {1: 200.0, 2: 100.0, 3: None, 4: None}
+
+
+def test_cogrouped_asof_matches_window_formulation(spark):
+    """The cogrouped-pandas merge_asof variant is row-identical to the
+    window carry-forward default on real events (same at-or-before
+    semantics, same nulls when no prior right row), including a key
+    present only on the left."""
+    from pyspark.sql import functions as F
+
+    from mbgspark.io import load_table
+    from mbgspark.operators.asof import as_of_join, as_of_join_cogrouped
+
+    e = load_table(spark, "/root/testdata/sf0.001", "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("vts"), F.col("value").alias("vval")
+    )
+
+    a = as_of_join(clicks, views, "user_id", "ts", "vts", ["vval"])
+    b = as_of_join_cogrouped(clicks, views, "user_id", "ts", "vts", ["vval"])
+    got_a = sorted(
+        (r["user_id"], r["event_id"], str(r["ts"]), r["asof_vval"])
+        for r in a.collect()
+    )
+    got_b = sorted(
+        (r["user_id"], r["event_id"], str(r["ts"]), r["asof_vval"])
+        for r in b.collect()
+    )
+    assert len(got_a) == len(got_b) > 0
+    assert got_a == got_b
