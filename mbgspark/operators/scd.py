@@ -1,0 +1,85 @@
+"""Slowly-changing-dimension maintenance (SCD Type 2) — the warehouse
+operator that versions dimension rows instead of overwriting them, so every
+fact can be joined against the dimension AS OF its own timestamp (the
+batch-table complement of ``operators.asof``: as-of JOINS read time-versioned
+data; SCD2 is how that data gets WRITTEN).
+
+Distributed shape: one keyed equi-join between the current slice and the
+(deduplicated) update batch decides every row's fate; history rows pass
+through untouched. No windows over the dimension, no driver-side state —
+the dimension can be any size, the update batch is typically small
+(broadcastable; left to AQE, which picks broadcast when it is).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def scd2_apply(
+    dim: DataFrame,
+    updates: DataFrame,
+    key: str,
+    attrs: list[str],
+    eff_col: str,
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+) -> DataFrame:
+    """Apply an update batch to an SCD2 dimension table.
+
+    ``dim`` rows carry ``(key, *attrs, valid_from, valid_to)`` with
+    ``valid_to IS NULL`` marking the current version. ``updates`` carry
+    ``(key, *attrs, eff_col)``. Semantics per key:
+
+    - attrs CHANGED → the current row closes (``valid_to = eff``) and a
+      new current row opens (``valid_from = eff``);
+    - attrs identical → no-op (idempotent: replaying the same batch
+      changes nothing — the crash-recovery property every merge sink in
+      this repo maintains);
+    - key unseen → a new current row opens;
+    - keys without an update pass through unchanged.
+
+    Multiple updates per key in one batch collapse to the LATEST by
+    ``eff_col`` (keep-latest, deterministic id-free tiebreak on the
+    attrs struct) before the join — applying intra-batch intermediate
+    versions requires a per-key ordered fold and is a different operator.
+    History rows (``valid_to`` set) are untouched by construction."""
+    latest = updates.groupBy(key).agg(
+        F.max(F.struct(F.col(eff_col), *[F.col(a) for a in attrs])).alias("__u")
+    )
+    u = latest.select(
+        F.col(key),
+        F.col(f"__u.{eff_col}").alias("__eff"),
+        *[F.col(f"__u.{a}").alias(f"__new_{a}") for a in attrs],
+    )
+    hist = dim.filter(F.col(to_col).isNotNull())
+    cur = dim.filter(F.col(to_col).isNull())
+    joined = cur.join(u, key, "full_outer")
+    changed = F.col("__eff").isNotNull() & (
+        F.col(from_col).isNull()  # new key: no current row
+        | ~F.struct(*[F.col(a) for a in attrs]).eqNullSafe(
+            F.struct(*[F.col(f"__new_{a}").alias(a) for a in attrs])
+        )
+    )
+    # surviving current rows: untouched keys + unchanged-attr keys
+    keep_cur = joined.filter(F.col(from_col).isNotNull() & ~changed).select(
+        key, *attrs, from_col, to_col
+    )
+    # closed versions of changed keys that HAD a current row
+    closed = joined.filter(changed & F.col(from_col).isNotNull()).select(
+        key,
+        *attrs,
+        from_col,
+        F.col("__eff").alias(to_col),
+    )
+    # new current versions (changed keys and brand-new keys)
+    opened = joined.filter(changed).select(
+        key,
+        *[F.col(f"__new_{a}").alias(a) for a in attrs],
+        F.col("__eff").alias(from_col),
+        F.lit(None).cast(dim.schema[to_col].dataType).alias(to_col),
+    )
+    return hist.select(key, *attrs, from_col, to_col).unionByName(
+        keep_cur
+    ).unionByName(closed).unionByName(opened)

@@ -166,6 +166,7 @@ _PRIORITY = [
     "item_cooccurrence_events",
     "dup_cluster_histogram",
     "quantile_sketch_check",
+    "scd2_customer_dim",
     "etl_lifecycle",
 ]
 

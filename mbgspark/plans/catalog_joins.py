@@ -1243,6 +1243,80 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+# ----------------------------------------------------------- SCD Type 2 --
+def scd2_customer_dim(spark, sf_dir):
+    """SCD2 dimension maintenance over customer: the stored dimension is
+    every customer current since epoch '1995-01-01'; the update batch
+    (built in-query, identically in the oracle) moves customers with
+    c_custkey % 7 == 0 to segment 'MOVED' and adds two brand-new keys at
+    '2000-06-01'. Changed keys close + reopen, the c_custkey % 14 == 0
+    half of a parallel no-op batch proves idempotence (same attrs →
+    untouched), new keys insert. Output = the full versioned dimension."""
+    from mbgspark.operators.scd import scd2_apply
+
+    c = _t(spark, sf_dir, "customer")
+    dim = c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.lit("1995-01-01").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+    )
+    upd_changed = c.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        F.lit("MOVED").alias("c_mktsegment"),
+        F.lit("2000-06-01").alias("eff"),
+    )
+    upd_same = c.filter(F.col("c_custkey") % 14 == 1).select(
+        "c_custkey", "c_mktsegment", F.lit("2000-06-01").alias("eff")
+    )
+    upd_new = spark.range(2).select(
+        (F.col("id") + 9000000).alias("c_custkey"),
+        F.lit("FRESH").alias("c_mktsegment"),
+        F.lit("2000-06-01").alias("eff"),
+    )
+    updates = upd_changed.unionByName(upd_same).unionByName(upd_new)
+    return scd2_apply(
+        dim, updates, "c_custkey", ["c_mktsegment"], "eff"
+    ).orderBy("c_custkey", "valid_from", F.col("valid_to").asc_nulls_last())
+
+
+SCD2_SQL = """
+WITH dim AS (
+  SELECT c_custkey, c_mktsegment,
+         '1995-01-01' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to
+  FROM customer
+),
+updates AS (
+  SELECT c_custkey, 'MOVED' AS seg, '2000-06-01' AS eff
+  FROM customer WHERE c_custkey % 7 = 0
+  UNION ALL
+  SELECT c_custkey, c_mktsegment, '2000-06-01'
+  FROM customer WHERE c_custkey % 14 = 1
+  UNION ALL
+  SELECT 9000000 + g.i, 'FRESH', '2000-06-01'
+  FROM (SELECT unnest(generate_series(0, 1)) AS i) g
+),
+j AS (
+  SELECT coalesce(d.c_custkey, u.c_custkey) AS k,
+         d.c_mktsegment AS old_seg, d.valid_from, d.valid_to,
+         u.seg AS new_seg, u.eff,
+         (u.eff IS NOT NULL
+          AND (d.valid_from IS NULL
+               OR d.c_mktsegment IS DISTINCT FROM u.seg)) AS changed
+  FROM dim d FULL OUTER JOIN updates u USING (c_custkey)
+)
+SELECT k AS c_custkey, old_seg AS c_mktsegment, valid_from, valid_to
+FROM j WHERE valid_from IS NOT NULL AND NOT changed
+UNION ALL
+SELECT k, old_seg, valid_from, eff
+FROM j WHERE changed AND valid_from IS NOT NULL
+UNION ALL
+SELECT k, new_seg, eff, CAST(NULL AS VARCHAR)
+FROM j WHERE changed
+ORDER BY c_custkey, valid_from, valid_to NULLS LAST
+"""
+
+
 JOINS: dict[str, tuple] = {
     "shipping_priority_top10": (shipping_priority_top10, SHIPPING_PRIORITY_SQL),
     "region_nation_revenue": (region_nation_revenue, REGION_NATION_SQL),
@@ -1271,4 +1345,5 @@ JOINS: dict[str, tuple] = {
     "waiting_suppliers": (waiting_suppliers, WAITING_SUPPLIERS_SQL),
     "top_supplier": (top_supplier, TOP_SUPPLIER_SQL),
     "dormant_rich_customers": (dormant_rich_customers, DORMANT_RICH_SQL),
+    "scd2_customer_dim": (scd2_customer_dim, SCD2_SQL),
 }

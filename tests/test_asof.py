@@ -62,3 +62,44 @@ def test_cogrouped_asof_matches_window_formulation(spark):
     )
     assert len(got_a) == len(got_b) > 0
     assert got_a == got_b
+
+
+def test_scd2_apply_semantics_and_idempotence(spark):
+    """Changed keys close+reopen, unchanged-attr updates are no-ops,
+    new keys insert, history passes through — and replaying the SAME
+    batch leaves the dimension identical (idempotence)."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from mbgspark.operators.scd import scd2_apply
+
+    dim = spark.createDataFrame(
+        [
+            (1, "A", "2020-01-01", None),
+            (1, "Z", "2019-01-01", "2020-01-01"),  # history row
+            (2, "B", "2020-01-01", None),
+            (3, "C", "2020-01-01", None),
+        ],
+        "k bigint, seg string, valid_from string, valid_to string",
+    )
+    updates = spark.createDataFrame(
+        [
+            (1, "A2", "2021-06-01"),  # changed
+            (2, "B", "2021-06-01"),   # same attrs: no-op
+            (9, "NEW", "2021-06-01"), # new key
+        ],
+        "k bigint, seg string, eff string",
+    )
+    out = scd2_apply(dim, updates, "k", ["seg"], "eff")
+    rows = sorted(map(tuple, out.collect()))
+    assert rows == sorted(
+        [
+            (1, "Z", "2019-01-01", "2020-01-01"),
+            (1, "A", "2020-01-01", "2021-06-01"),
+            (1, "A2", "2021-06-01", None),
+            (2, "B", "2020-01-01", None),
+            (3, "C", "2020-01-01", None),
+            (9, "NEW", "2021-06-01", None),
+        ]
+    )
+    replay = scd2_apply(out, updates, "k", ["seg"], "eff")
+    assert sorted(map(tuple, replay.collect())) == rows
