@@ -622,3 +622,78 @@ def chi2_independence(
         ((F.col("na") - 1) * (F.col("nb") - 1)).cast("bigint").alias("dof"),
         "chi2_micro",
     )
+
+
+def check_constraints(
+    df: DataFrame,
+    unique: list[str] | None = None,
+    not_null: list[str] | None = None,
+    positive: list[str] | None = None,
+    in_set: dict[str, list[str]] | None = None,
+    fk: list[tuple[str, DataFrame, str]] | None = None,
+) -> DataFrame:
+    """Declarative data-quality gate — the pre-publish contract check a
+    pipeline runs before a dataset version goes live: uniqueness,
+    non-null, positivity, domain membership, and referential integrity,
+    each reported as (rule, n_violations). A release gate then asserts
+    every count is 0 (or routes violations to quarantine).
+
+    Distributed shape: each rule is an independent bounded aggregate over
+    ONE scan lineage — the null/positive/in-set rules fuse into a single
+    aggregation pass (conditional counts); uniqueness is one groupBy per
+    key (counting rows beyond the first per value); each FK is a
+    left-anti join against the referenced keys (AQE broadcasts small
+    dims). Nothing corpus-sized moves: every output is one row per rule."""
+    rows = []
+    conds = []
+    for c in not_null or []:
+        conds.append((f"not_null:{c}", F.col(c).isNull()))
+    for c in positive or []:
+        conds.append((f"positive:{c}", ~(F.col(c) > 0)))
+    for c, vals in (in_set or {}).items():
+        conds.append((f"in_set:{c}", ~F.col(c).isin(vals)))
+    if conds:
+        agg = df.agg(
+            *[
+                F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(name)
+                for name, cond in conds
+            ]
+        )
+        fused = agg.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(name).alias("rule"),
+                            F.col(name).alias("n_violations"),
+                        )
+                        for name, _ in conds
+                    ]
+                )
+            ).alias("r")
+        ).select("r.rule", "r.n_violations")
+        rows.append(fused)
+    for c in unique or []:
+        dup = (
+            df.groupBy(c)
+            .agg((F.count(F.lit(1)) - 1).alias("__extra"))
+            .agg(F.sum("__extra").cast("bigint").alias("n_violations"))
+            .select(F.lit(f"unique:{c}").alias("rule"), "n_violations")
+        )
+        rows.append(dup)
+    for c, ref, ref_col in fk or []:
+        orphans = (
+            df.select(F.col(c).alias("__k"))
+            .join(
+                ref.select(F.col(ref_col).alias("__k")).distinct(),
+                "__k",
+                "left_anti",
+            )
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_violations"))
+            .select(F.lit(f"fk:{c}").alias("rule"), "n_violations")
+        )
+        rows.append(orphans)
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("rule")

@@ -167,6 +167,8 @@ _PRIORITY = [
     "dup_cluster_histogram",
     "quantile_sketch_check",
     "scd2_customer_dim",
+    "scd2_asof_revenue",
+    "dq_checks_orders",
     "etl_lifecycle",
 ]
 

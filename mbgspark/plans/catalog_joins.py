@@ -1317,6 +1317,70 @@ ORDER BY c_custkey, valid_from, valid_to NULLS LAST
 """
 
 
+def scd2_asof_revenue(spark, sf_dir):
+    """The SCD2 READ path: orders joined to the versioned customer
+    dimension AS OF each order's date — revenue by the segment the
+    customer was in WHEN THEY ORDERED, not the segment they hold today
+    (the question SCD2 exists to answer). The versioned dim is built by
+    the same scd2_apply fixture as scd2_customer_dim; the temporal match
+    is a keyed equi-join plus a row-local validity-interval filter —
+    never an interval theta-join, because versions of one key are what
+    the interval bounds belong to."""
+    from mbgspark.operators.scd import scd2_apply
+
+    c = _t(spark, sf_dir, "customer")
+    dim = c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.lit("1995-01-01").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+    )
+    upd = c.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        F.lit("MOVED").alias("c_mktsegment"),
+        F.lit("2000-06-01").alias("eff"),
+    )
+    versioned = scd2_apply(dim, upd, "c_custkey", ["c_mktsegment"], "eff")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", F.date_format("o_orderdate", "yyyy-MM-dd").alias("od")
+    )
+    return (
+        o.join(F.broadcast(versioned), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            (F.col("od") >= F.col("valid_from"))
+            & (F.col("valid_to").isNull() | (F.col("od") < F.col("valid_to")))
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+SCD2_ASOF_SQL = """
+WITH versioned AS (
+  SELECT c_custkey, c_mktsegment,
+         '1995-01-01' AS valid_from,
+         CASE WHEN c_custkey % 7 = 0 THEN '2000-06-01' END AS valid_to
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, 'MOVED', '2000-06-01', CAST(NULL AS VARCHAR)
+  FROM customer WHERE c_custkey % 7 = 0
+)
+SELECT v.c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders o
+JOIN versioned v ON o.o_custkey = v.c_custkey
+WHERE strftime(o.o_orderdate, '%Y-%m-%d') >= v.valid_from
+  AND (v.valid_to IS NULL OR strftime(o.o_orderdate, '%Y-%m-%d') < v.valid_to)
+GROUP BY v.c_mktsegment
+ORDER BY v.c_mktsegment
+"""
+
+
 JOINS: dict[str, tuple] = {
     "shipping_priority_top10": (shipping_priority_top10, SHIPPING_PRIORITY_SQL),
     "region_nation_revenue": (region_nation_revenue, REGION_NATION_SQL),
@@ -1346,4 +1410,5 @@ JOINS: dict[str, tuple] = {
     "top_supplier": (top_supplier, TOP_SUPPLIER_SQL),
     "dormant_rich_customers": (dormant_rich_customers, DORMANT_RICH_SQL),
     "scd2_customer_dim": (scd2_customer_dim, SCD2_SQL),
+    "scd2_asof_revenue": (scd2_asof_revenue, SCD2_ASOF_SQL),
 }

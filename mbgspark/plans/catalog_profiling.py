@@ -634,6 +634,53 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+# ------------------------------------------------- data-quality gate --
+
+
+def dq_checks_orders(spark, sf_dir):
+    """Pre-publish contract gate over orders: key uniqueness, non-null
+    date, positive price, status domain, and customer FK integrity —
+    one row per rule with its violation count (all 0 on healthy data,
+    which is exactly what the oracle pins)."""
+    from mbgspark.operators.profiling import check_constraints
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return check_constraints(
+        o,
+        unique=["o_orderkey"],
+        not_null=["o_orderdate"],
+        positive=["o_totalprice"],
+        in_set={"o_orderstatus": ["F", "O", "P"]},
+        fk=[("o_custkey", c, "c_custkey")],
+    )
+
+
+DQ_CHECKS_SQL = """
+SELECT 'fk:o_custkey' AS rule,
+       CAST((SELECT count(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer
+                               WHERE c_custkey = o.o_custkey)) AS BIGINT)
+         AS n_violations
+UNION ALL
+SELECT 'in_set:o_orderstatus',
+       CAST((SELECT count(*) FROM orders
+             WHERE o_orderstatus NOT IN ('F', 'O', 'P')) AS BIGINT)
+UNION ALL
+SELECT 'not_null:o_orderdate',
+       CAST((SELECT count(*) FROM orders WHERE o_orderdate IS NULL) AS BIGINT)
+UNION ALL
+SELECT 'positive:o_totalprice',
+       CAST((SELECT count(*) FROM orders
+             WHERE NOT (o_totalprice > 0)) AS BIGINT)
+UNION ALL
+SELECT 'unique:o_orderkey',
+       CAST((SELECT coalesce(sum(c - 1), 0) FROM
+             (SELECT count(*) AS c FROM orders GROUP BY o_orderkey)) AS BIGINT)
+ORDER BY rule
+"""
+
+
 # ------------------------------------------------ approx quantile check --
 
 
@@ -1096,4 +1143,5 @@ PROFILING = {
     "loo_target_encode": (loo_target_encode, LOO_ENCODE_SQL),
     "cusum_daily_orders": (cusum_daily_orders, CUSUM_SQL),
     "quantile_sketch_check": (quantile_sketch_check, QUANTILE_SKETCH_SQL),
+    "dq_checks_orders": (dq_checks_orders, DQ_CHECKS_SQL),
 }

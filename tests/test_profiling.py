@@ -458,3 +458,38 @@ def test_cusum_closed_form_matches_recursion(spark):
         [(f"d{i:03d}", x) for i, x in enumerate(xs2)], "day string, cnt bigint"
     )
     assert closed_form(df2, 10) == recursion(xs2, 10)
+
+
+def test_check_constraints_counts_planted_violations(spark):
+    """Each rule counts its own planted violations independently: dup
+    keys, null date, non-positive price, out-of-domain status, orphan FK."""
+    from mbgspark.operators.profiling import check_constraints
+
+    ref = spark.createDataFrame([(1,), (2,)], "rk bigint")
+    df = spark.createDataFrame(
+        [
+            (1, "2020-01-01", 10.0, "OK", 1),
+            (1, "2020-01-02", 5.0, "OK", 2),     # dup key
+            (2, None, 0.0, "BAD", 99),           # null date, 0 price, bad status, orphan fk
+            (3, "2020-01-03", -1.0, "OK", 1),    # negative price
+        ],
+        "k bigint, d string, p double, s string, fkc bigint",
+    )
+    got = {
+        r["rule"]: r["n_violations"]
+        for r in check_constraints(
+            df,
+            unique=["k"],
+            not_null=["d"],
+            positive=["p"],
+            in_set={"s": ["OK"]},
+            fk=[("fkc", ref, "rk")],
+        ).collect()
+    }
+    assert got == {
+        "unique:k": 1,
+        "not_null:d": 1,
+        "positive:p": 2,
+        "in_set:s": 1,
+        "fk:fkc": 1,
+    }
