@@ -393,3 +393,34 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def retention_sweep(
+    spark: SparkSession,
+    path: str,
+    partition_col: str,
+    keep_after: str,
+    dry_run: bool = False,
+) -> list[str]:
+    """Partition retention for the day-partitioned store: drop partitions
+    whose value sorts strictly below ``keep_after`` (ISO dates compare
+    lexicographically) — the maintenance sweep the reference's
+    per-day collections imply (old days age out; utils.py's
+    collection-per-date naming is the same lifecycle). Deletion is
+    per-partition-directory, so the store never rewrites surviving data
+    — at 100 TB this is a metadata operation per dropped day, not a
+    copy. Returns the dropped partition values (``dry_run`` lists
+    without deleting); callers audit the list before a destructive run."""
+    import shutil
+
+    values = [
+        r[partition_col]
+        for r in existing_partition_values(spark, path, partition_col).collect()
+    ]
+    doomed = sorted(v for v in values if v is not None and str(v) < keep_after)
+    if not dry_run:
+        for v in doomed:
+            shutil.rmtree(
+                os.path.join(path, f"{partition_col}={v}"), ignore_errors=True
+            )
+    return [str(v) for v in doomed]

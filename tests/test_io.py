@@ -297,3 +297,32 @@ def test_zorder_layout_tightens_both_dimensions(spark, tmp_path):
     # file covers ~1/4 of BOTH ranges (plus range-boundary spill)
     assert z_b < 0.5 * s_b, (z_b, s_b)
     assert z_a < 0.5, z_a
+
+
+def test_retention_sweep_drops_only_old_partitions(spark, tmp_path):
+    """Partitions below the cutoff are deleted directory-wise; surviving
+    data is untouched and still readable; dry_run only lists."""
+    from pyspark.sql import functions as F
+
+    from mbgspark.io import retention_sweep, write_partitioned
+
+    df = spark.createDataFrame(
+        [(i, f"2020-01-{d:02d}") for d in (1, 2, 3) for i in range(5)],
+        "id bigint, event_date string",
+    )
+    store = str(tmp_path / "store")
+    write_partitioned(df, store, "event_date")
+
+    preview = retention_sweep(spark, store, "event_date", "2020-01-03", dry_run=True)
+    assert preview == ["2020-01-01", "2020-01-02"]
+    assert spark.read.parquet(store).count() == 15  # dry run deleted nothing
+
+    dropped = retention_sweep(spark, store, "event_date", "2020-01-03")
+    assert dropped == ["2020-01-01", "2020-01-02"]
+    left = spark.read.parquet(store)
+    assert left.count() == 5
+    # partition values are type-inferred on read (string -> date here)
+    assert left.select(
+        F.min(F.col("event_date").cast("string")),
+        F.max(F.col("event_date").cast("string")),
+    ).first() == ("2020-01-03", "2020-01-03")
