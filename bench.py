@@ -53,6 +53,10 @@ HEADLINE = [
     # corpus op of the batch (additive — compare to the 24-query basis
     # on the first 24)
     "lm_bigram_score",
+    # round 4, closing batch: inverted-index retrieval, the SCD2 temporal
+    # read path, and the data-quality gate (additive — compare to the
+    # 25-query basis on the first 25)
+    "bm25_topk", "scd2_asof_revenue", "dq_checks_orders",
 ]
 
 
