@@ -169,6 +169,7 @@ _PRIORITY = [
     "scd2_customer_dim",
     "scd2_asof_revenue",
     "dq_checks_orders",
+    "funnel_latency",
     "etl_lifecycle",
 ]
 

@@ -448,6 +448,83 @@ ORDER BY stage
 """
 
 
+
+def funnel_latency(spark, sf_dir):
+    """Time-to-convert distribution per funnel hop: exact interpolated
+    median and p90 seconds from first view to the first subsequent click,
+    and from that click to the first subsequent purchase — the latency
+    companion to funnel_view_click_purchase (counts say HOW MANY convert;
+    this says HOW FAST, which is what timeout/abandonment decisions key
+    on). Same staged keyed aggregates; the latency rollup is one bounded
+    aggregate per hop over µs-exact differences."""
+    e = _t(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id").agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id").agg(F.min("ts").alias("t3"))
+    )
+    vc = c.join(v, "user_id").select(
+        (F.unix_micros("t2") - F.unix_micros("t1")).alias("gap_us")
+    )
+    cp = p.join(c, "user_id").select(
+        (F.unix_micros("t3") - F.unix_micros("t2")).alias("gap_us")
+    )
+
+    def hop(name, df):
+        return df.agg(
+            F.lit(name).alias("hop"),
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.round(F.expr("percentile(gap_us, 0.5)") / 1000000.0, 2).alias(
+                "median_s"
+            ),
+            F.round(F.expr("percentile(gap_us, 0.9)") / 1000000.0, 2).alias(
+                "p90_s"
+            ),
+        )
+
+    return hop("view_to_click", vc).unionByName(
+        hop("click_to_purchase", cp)
+    ).orderBy("hop")
+
+
+FUNNEL_LATENCY_SQL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+c AS (
+  SELECT e.user_id, min(ts) AS t2 FROM events e JOIN v USING (user_id)
+  WHERE event_type = 'click' AND ts > t1 GROUP BY e.user_id),
+p AS (
+  SELECT e.user_id, min(ts) AS t3 FROM events e JOIN c USING (user_id)
+  WHERE event_type = 'purchase' AND ts > t2 GROUP BY e.user_id),
+vc AS (
+  SELECT epoch_us(t2) - epoch_us(t1) AS gap_us FROM c JOIN v USING (user_id)),
+cp AS (
+  SELECT epoch_us(t3) - epoch_us(t2) AS gap_us FROM p JOIN c USING (user_id))
+SELECT 'click_to_purchase' AS hop, CAST(count(*) AS BIGINT) AS n_users,
+       round(quantile_cont(gap_us, 0.5) / 1000000.0, 2) AS median_s,
+       round(quantile_cont(gap_us, 0.9) / 1000000.0, 2) AS p90_s
+FROM cp
+UNION ALL
+SELECT 'view_to_click', CAST(count(*) AS BIGINT),
+       round(quantile_cont(gap_us, 0.5) / 1000000.0, 2),
+       round(quantile_cont(gap_us, 0.9) / 1000000.0, 2)
+FROM vc
+ORDER BY hop
+"""
+
+
 def cohort_retention(spark, sf_dir):
     """Weekly cohort retention: users grouped by the week of their first
     event; for each (cohort_week, week_offset) the count of cohort users
@@ -1144,4 +1221,5 @@ PROFILING = {
     "cusum_daily_orders": (cusum_daily_orders, CUSUM_SQL),
     "quantile_sketch_check": (quantile_sketch_check, QUANTILE_SKETCH_SQL),
     "dq_checks_orders": (dq_checks_orders, DQ_CHECKS_SQL),
+    "funnel_latency": (funnel_latency, FUNNEL_LATENCY_SQL),
 }
