@@ -170,6 +170,7 @@ _PRIORITY = [
     "scd2_asof_revenue",
     "dq_checks_orders",
     "funnel_latency",
+    "event_transitions",
     "etl_lifecycle",
 ]
 

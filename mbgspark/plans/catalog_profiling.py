@@ -525,6 +525,60 @@ ORDER BY hop
 """
 
 
+
+def event_transitions(spark, sf_dir):
+    """First-order Markov transition matrix of the event stream: for each
+    (event_type -> next event_type) hop within a user's timeline, the
+    observed count and the conditional probability P(next|current) in
+    exact e4 — the journey model behind next-action prediction and
+    Markov-chain attribution. One user-partitioned lead() window over the
+    raw stream, then a bounded |types|^2 aggregate; the row denominator
+    rides a window over that tiny aggregate, never the events."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    hops = (
+        e.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w_row = Window.partitionBy("event_type")
+    return (
+        hops.withColumn("__row_total", F.sum("cnt").over(w_row))
+        .select(
+            "event_type",
+            "next_type",
+            F.col("cnt").cast("bigint").alias("cnt"),
+            F.floor(F.col("cnt") * 10000 / F.col("__row_total") + F.lit(0.5))
+            .cast("bigint")
+            .alias("p_e4"),
+        )
+        .orderBy("event_type", "next_type")
+    )
+
+
+EVENT_TRANSITIONS_SQL = """
+WITH hops AS (
+  SELECT event_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events
+),
+c AS (
+  SELECT event_type, next_type, count(*) AS cnt
+  FROM hops WHERE next_type IS NOT NULL
+  GROUP BY event_type, next_type
+)
+SELECT event_type, next_type, CAST(cnt AS BIGINT) AS cnt,
+       CAST(floor(cnt * 10000
+                  / CAST(sum(cnt) OVER (PARTITION BY event_type) AS DOUBLE)
+                  + 0.5) AS BIGINT) AS p_e4
+FROM c ORDER BY event_type, next_type
+"""
+
+
 def cohort_retention(spark, sf_dir):
     """Weekly cohort retention: users grouped by the week of their first
     event; for each (cohort_week, week_offset) the count of cohort users
@@ -1222,4 +1276,5 @@ PROFILING = {
     "quantile_sketch_check": (quantile_sketch_check, QUANTILE_SKETCH_SQL),
     "dq_checks_orders": (dq_checks_orders, DQ_CHECKS_SQL),
     "funnel_latency": (funnel_latency, FUNNEL_LATENCY_SQL),
+    "event_transitions": (event_transitions, EVENT_TRANSITIONS_SQL),
 }
