@@ -171,6 +171,7 @@ _PRIORITY = [
     "dq_checks_orders",
     "funnel_latency",
     "event_transitions",
+    "embedding_drift",
     "etl_lifecycle",
 ]
 

@@ -579,6 +579,103 @@ FROM c ORDER BY event_type, next_type
 """
 
 
+
+def embedding_drift(spark, sf_dir):
+    """Embedding-space drift between corpus snapshots, per label: cosine
+    between the label's mean vector in v1 and in the deterministically
+    mutated v2 (every 13th vector dropped, every 11th shifted +0.05 on
+    all dims — the in-query snapshot device) — the model-monitoring
+    alarm for "did this class's representation move". Means are computed
+    at the (label, dim) grain (posexplode + hash agg — the
+    label_centroids shape, shuffle width |labels|*dims) and quantized to
+    integer micro BEFORE the cosine, so the dot/norm arithmetic is exact
+    in double and the e6 output is hash-stable. Emits
+    (label, n_v1, n_v2, cos_e6)."""
+    e = _t(spark, sf_dir, "embeddings")
+    v2 = e.filter(F.col("vec_id") % 13 != 0).withColumn(
+        "embedding",
+        F.when(
+            F.col("vec_id") % 11 == 0,
+            F.transform("embedding", lambda x: x + F.lit(0.05)),
+        ).otherwise(F.col("embedding")),
+    )
+
+    def mean_micro(df):
+        return (
+            df.select("label", F.posexplode("embedding").alias("dim", "x"))
+            .groupBy("label", "dim")
+            .agg(
+                F.floor(F.avg(F.col("x").cast("double")) * 1000000 + F.lit(0.5))
+                .cast("bigint")
+                .alias("m"),
+                F.count(F.lit(1)).alias("__rows"),
+            )
+        )
+
+    m1 = mean_micro(e).select(
+        "label", "dim", F.col("m").alias("m1"), F.col("__rows").alias("r1")
+    )
+    m2 = mean_micro(v2).select(
+        "label", "dim", F.col("m").alias("m2"), F.col("__rows").alias("r2")
+    )
+    return (
+        m1.join(m2, ["label", "dim"])
+        .groupBy("label")
+        .agg(
+            (F.max("r1")).cast("bigint").alias("n_v1"),
+            (F.max("r2")).cast("bigint").alias("n_v2"),
+            F.floor(
+                F.sum(F.col("m1").cast("double") * F.col("m2"))
+                / (
+                    F.sqrt(F.sum(F.col("m1").cast("double") * F.col("m1")))
+                    * F.sqrt(F.sum(F.col("m2").cast("double") * F.col("m2")))
+                )
+                * 1000000
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("cos_e6"),
+        )
+        .orderBy("label")
+    )
+
+
+EMBEDDING_DRIFT_SQL = """
+WITH v1 AS (
+  SELECT label, g.i AS dim, embedding[g.i + 1] AS x
+  FROM embeddings, LATERAL unnest(generate_series(0, 63)) AS g(i)
+),
+v2 AS (
+  SELECT label, g.i AS dim,
+         embedding[g.i + 1]
+           + CASE WHEN vec_id % 11 = 0 THEN 0.05 ELSE 0 END AS x
+  FROM embeddings, LATERAL unnest(generate_series(0, 63)) AS g(i)
+  WHERE vec_id % 13 <> 0
+),
+m1 AS (
+  SELECT label, dim,
+         CAST(floor(avg(CAST(x AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS m,
+         count(*) AS r
+  FROM v1 GROUP BY label, dim
+),
+m2 AS (
+  SELECT label, dim,
+         CAST(floor(avg(CAST(x AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS m,
+         count(*) AS r
+  FROM v2 GROUP BY label, dim
+)
+SELECT label,
+       CAST(max(m1.r) AS BIGINT) AS n_v1,
+       CAST(max(m2.r) AS BIGINT) AS n_v2,
+       CAST(floor(sum(CAST(m1.m AS DOUBLE) * m2.m)
+                  / (sqrt(sum(CAST(m1.m AS DOUBLE) * m1.m))
+                     * sqrt(sum(CAST(m2.m AS DOUBLE) * m2.m)))
+                  * 1000000 + 0.5) AS BIGINT) AS cos_e6
+FROM m1 JOIN m2 USING (label, dim)
+GROUP BY label ORDER BY label
+"""
+
+
 def cohort_retention(spark, sf_dir):
     """Weekly cohort retention: users grouped by the week of their first
     event; for each (cohort_week, week_offset) the count of cohort users
@@ -1277,4 +1374,5 @@ PROFILING = {
     "dq_checks_orders": (dq_checks_orders, DQ_CHECKS_SQL),
     "funnel_latency": (funnel_latency, FUNNEL_LATENCY_SQL),
     "event_transitions": (event_transitions, EVENT_TRANSITIONS_SQL),
+    "embedding_drift": (embedding_drift, EMBEDDING_DRIFT_SQL),
 }
