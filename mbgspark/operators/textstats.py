@@ -655,3 +655,42 @@ def tfidf_cosine_pairs(
         .filter(F.col("cos_e6") >= min_cos_e6)
         .orderBy("id_a", "id_b")
     )
+
+
+def augment_word_dropout(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rate_e4: int = 1500,
+    seed: str = "aug",
+    out: str = "augmented_text",
+) -> DataFrame:
+    """Deterministic word-dropout augmentation — the training-data
+    augmentation family (drop ~rate of tokens to make near-copies for
+    contrastive/denoising objectives), derandomized the repo way: token
+    position i of doc d drops iff the first 4 md5 hex chars of
+    'seed|d|i' sort below the e4 rate's hex cutoff (the
+    stratified-sample device applied per-token). Same (seed, doc) →
+    same augmentation on any engine/partitioning, different seeds →
+    independent drop masks (epoch-varied augmentation = vary the seed).
+    Row-local: tokens materialize once, the mask is a filter() lambda
+    over (token, position) pairs — zero shuffles. Emits the original
+    row plus (augmented_text, n_dropped)."""
+    cutoff = f"{min(65535, rate_e4 * 65536 // 10000):04x}"
+    toks = F.filter(_tokens(F.col(text_col)), lambda x: x != "")
+    pairs = F.expr(
+        "transform(__toks, (t, i) -> struct(t AS t, "
+        f"substring(md5(concat('{seed}', '|', cast({id_col} as string), '|', "
+        "cast(i as string))), 1, 4) AS h))"
+    )
+    kept = F.filter(F.col("__pairs"), lambda p: p["h"] >= F.lit(cutoff))
+    return (
+        df.withColumn("__toks", toks)
+        .withColumn("__pairs", pairs)
+        .withColumn(out, F.array_join(F.transform(kept, lambda p: p["t"]), " "))
+        .withColumn(
+            "n_dropped",
+            (F.size("__toks") - F.size(kept)).cast("bigint"),
+        )
+        .drop("__toks", "__pairs")
+    )

@@ -172,6 +172,7 @@ _PRIORITY = [
     "funnel_latency",
     "event_transitions",
     "embedding_drift",
+    "augment_dropout",
     "etl_lifecycle",
 ]
 

@@ -720,6 +720,45 @@ FROM ranked WHERE rn <= 3 ORDER BY doc_id, rank
 """
 
 
+# ------------------------------------------------- word-dropout augment --
+
+
+def augment_dropout(spark, sf_dir):
+    """Deterministic ~15% word-dropout augmentation of every document —
+    same (seed, doc, position) mask on both engines (DuckDB's lambda
+    index is 1-based, hence the i-1 in the oracle)."""
+    from mbgspark.operators.textstats import augment_word_dropout
+
+    return (
+        augment_word_dropout(_t(spark, sf_dir, "documents"), "doc_id", "text")
+        .select("doc_id", F.md5("augmented_text").alias("aug_md5"), "n_dropped")
+        .orderBy("doc_id")
+    )
+
+
+AUGMENT_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS tk
+  FROM documents
+),
+k AS (
+  SELECT doc_id, len(tk) AS n,
+         list_filter(
+           list_transform(tk, (x, i) -> CASE
+             WHEN substring(md5('aug' || '|' || CAST(doc_id AS VARCHAR) || '|'
+                                || CAST(i - 1 AS VARCHAR)), 1, 4) >= '2666'
+             THEN x END),
+           x -> x IS NOT NULL) AS kept
+  FROM t
+)
+SELECT doc_id, md5(array_to_string(kept, ' ')) AS aug_md5,
+       CAST(n - len(kept) AS BIGINT) AS n_dropped
+FROM k ORDER BY doc_id
+"""
+
+
 # ------------------------------------------------- stratified sampling --
 
 SAMPLE_RATES = {"en": 0.5, "es": 0.25, "zh": 0.1}
@@ -1033,6 +1072,7 @@ CURATION = {
     "line_filter_stats": (line_filter_stats, LINE_FILTER_SQL),
     "quality_surprise": (quality_surprise, SURPRISE_SQL),
     "lm_bigram_score": (lm_bigram_score, BIGRAM_SURPRISE_SQL),
+    "augment_dropout": (augment_dropout, AUGMENT_SQL),
     "markup_strip_roundtrip": (markup_strip_roundtrip, MARKUP_STRIP_SQL),
     "weighted_sample_docs": (weighted_sample_docs, WEIGHTED_SAMPLE_SQL),
     "nfc_roundtrip": (nfc_roundtrip, NFC_SQL),

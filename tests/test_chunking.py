@@ -147,3 +147,35 @@ def test_bm25_ranks_rare_term_docs_first(spark):
     assert 200 not in got
     assert got[100]["n_query_terms_hit"] == 2
     assert all(got[100]["score_micro"] > v["score_micro"] for k, v in got.items() if k != 100)
+
+
+def test_word_dropout_rate_determinism_and_seed_variation(spark):
+    """Drop rate lands near the configured 15%, the same seed reproduces
+    the identical augmentation, and a different seed changes the mask."""
+    from pyspark.sql import functions as F
+
+    from mbgspark.io import load_table
+    from mbgspark.operators.textstats import augment_word_dropout
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    a1 = augment_word_dropout(d, "doc_id", "text", rate_e4=1500, seed="s1")
+    tot = a1.agg(
+        F.sum("n_dropped").alias("drop"),
+        F.sum(F.size(F.split(F.trim("text"), r"\s+"))).alias("n"),
+    ).first()
+    rate = tot["drop"] / tot["n"]
+    assert 0.10 < rate < 0.20, rate
+
+    a1b = augment_word_dropout(d, "doc_id", "text", rate_e4=1500, seed="s1")
+    assert (
+        a1.select("doc_id", "augmented_text").collect()
+        == a1b.select("doc_id", "augmented_text").collect()
+    )
+    a2 = augment_word_dropout(d, "doc_id", "text", rate_e4=1500, seed="s2")
+    diff = (
+        a1.select("doc_id", F.col("augmented_text").alias("x"))
+        .join(a2.select("doc_id", F.col("augmented_text").alias("y")), "doc_id")
+        .filter(F.col("x") != F.col("y"))
+        .count()
+    )
+    assert diff > 0
