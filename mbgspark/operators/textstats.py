@@ -694,3 +694,46 @@ def augment_word_dropout(
         )
         .drop("__toks", "__pairs")
     )
+
+
+def chunk_documents_udtf(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 20,
+    stride: int = 15,
+) -> DataFrame:
+    """``chunk_documents`` re-expressed as a Python UDTF (lateral
+    table-valued function, Spark 3.5+) — the rung BELOW the
+    compositional default on the custom-operator ladder, kept as a
+    pinned-equal alternative for the same reasons as the cogrouped
+    as-of join: it exercises the UDTF API end-to-end (one input row →
+    many output rows from Python), and it is the escape hatch when
+    per-row expansion logic outgrows sequence/explode expressions
+    (stateful tokenizers, model-driven segmentation). Row-at-a-time
+    Python — prefer ``chunk_documents`` (pure codegen) in any hot path;
+    ``tests/test_chunking.py`` pins the two row-identical."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType=f"{id_col} bigint, chunk_idx int, chunk_text string, chunk_len bigint")
+    class Chunk:
+        def eval(self, doc_id, text):
+            toks = (text or "").strip().lower().split()
+            # mirror split('\\s+') on empty/whitespace text: one '' token
+            if not toks:
+                toks = [""]
+            n = len(toks)
+            n_chunks = 1 + max(0, -(-(max(0, n - chunk_tokens)) // stride))
+            for i in range(n_chunks):
+                window = toks[i * stride : i * stride + chunk_tokens]
+                yield doc_id, i, " ".join(window), min(
+                    chunk_tokens, n - i * stride
+                )
+
+    spark = df.sparkSession
+    spark.udtf.register("__chunk_udtf", Chunk)
+    df.createOrReplaceTempView("__chunk_in")
+    return spark.sql(
+        f"SELECT c.* FROM __chunk_in, "
+        f"LATERAL __chunk_udtf({id_col}, {text_col}) AS c"
+    )

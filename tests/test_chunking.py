@@ -179,3 +179,21 @@ def test_word_dropout_rate_determinism_and_seed_variation(spark):
         .count()
     )
     assert diff > 0
+
+
+def test_udtf_chunker_matches_compositional(spark):
+    """The Python-UDTF chunker is row-identical to the sequence/explode
+    default — the API-ladder equality pin (same device as the cogrouped
+    as-of join)."""
+    from mbgspark.io import load_table
+    from mbgspark.operators.textstats import chunk_documents, chunk_documents_udtf
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+
+    def norm(df):
+        return sorted(map(tuple, df.collect()))
+
+    a = norm(chunk_documents(d, "doc_id", "text", 20, 15))
+    b = norm(chunk_documents_udtf(d, "doc_id", "text", 20, 15))
+    assert len(a) == len(b) > 0
+    assert a == b
