@@ -313,3 +313,47 @@ def start_cardinality_sink(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_drift_monitor_sink(
+    stream: DataFrame,
+    reference: DataFrame,
+    store_path: str,
+    checkpoint_path: str,
+    bucket_col: str,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Streaming distribution-drift monitor: every micro-batch's
+    ``bucket_col`` distribution is scored against a STATIC reference
+    distribution with the PSI metric (``profiling.distribution_drift_psi``
+    — Laplace-smoothed over the bucket union, integer micro output) and
+    the per-batch result row is APPENDED to a drift log. This is the
+    alerting loop of the batch drift_psi query: the reference is the
+    blessed corpus snapshot (broadcast-sized after its one-time
+    aggregation), each batch costs one bounded bucket aggregate + the
+    tiny PSI join, and the log is what a pager threshold reads
+    (> 250000 micro = the classic 0.25 action level). Append-only with
+    batch_id in the row: a replayed batch writes a duplicate log row
+    rather than corrupting state — drift rows are observations, not
+    state, so dedup-on-read by (batch_id) is the consumer's contract."""
+    from mbgspark.operators.profiling import distribution_drift_psi
+
+    ref = reference.select(F.col(bucket_col).alias("b"))
+
+    def _score(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        cur = batch_df.select(F.col(bucket_col).alias("b"))
+        row = distribution_drift_psi(ref, cur, "b").select(
+            F.lit(batch_id).cast("bigint").alias("batch_id"),
+            "n_buckets",
+            "psi_micro",
+        )
+        row.write.mode("append").parquet(store_path)
+
+    writer = stream.writeStream.foreachBatch(_score).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

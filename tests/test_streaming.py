@@ -381,3 +381,44 @@ def test_cardinality_sink_folds_sketches_and_replay_is_noop(spark, tmp_path):
         .first()["t"]
     )
     assert total == 8
+
+
+def test_drift_monitor_flags_shifted_batch(spark, tmp_path):
+    """A batch matching the reference author mix logs a near-zero PSI; a
+    skewed batch logs a PSI above the 0.25 action level."""
+    from mbgspark.streaming import read_tweet_stream, start_drift_monitor_sink
+
+    src = tmp_path / "dsrc"
+    store = str(tmp_path / "dstore")
+    reference = spark.createDataFrame(
+        [(f"a{i % 4}",) for i in range(400)], "author_handle string"
+    )
+
+    def run(ckpt):
+        q = start_drift_monitor_sink(
+            read_tweet_stream(spark, str(src)),
+            reference,
+            store,
+            str(tmp_path / ckpt),
+            bucket_col="author_handle",
+            available_now=True,
+        )
+        q.awaitTermination(120)
+
+    balanced = [dict(R1, _id=str(i), author_handle=f"a{i % 4}") for i in range(40)]
+    _write_batch(src, balanced)
+    run("ck1")
+    skewed = [dict(R1, _id=str(100 + i), author_handle="a0") for i in range(40)]
+    _write_batch(src, skewed)
+    run("ck2")
+
+    rows = sorted(
+        (r["batch_id"], r["psi_micro"]) for r in spark.read.parquet(store).collect()
+    )
+    # first run saw only the balanced batch; the second (fresh checkpoint)
+    # re-read both files as one batch dominated by the skew
+    assert len(rows) == 2
+    balanced_psi = rows[0][1]
+    mixed_psi = rows[1][1]
+    assert balanced_psi < 50_000, balanced_psi
+    assert mixed_psi > 250_000, mixed_psi
