@@ -38,7 +38,12 @@ def as_of_join(
     l_tagged = left.withColumn("__ts", F.col(left_ts)).withColumn("__side", F.lit(1))
     for v in right_vals:
         l_tagged = l_tagged.withColumn(f"__r_{v}", F.lit(None).cast(right.schema[v].dataType))
-    r_tagged = right.select(
+    # a null-timestamp right row can never be "the most recent at-or-
+    # before" anything, but under asc-nulls-first ordering it would sort
+    # ahead of EVERYTHING in the window and leak its values into
+    # null-timestamp left rows — exclude it (found by the cogrouped-
+    # equality null test, review r4)
+    r_tagged = right.filter(F.col(right_ts).isNotNull()).select(
         F.col(key),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
@@ -83,7 +88,14 @@ def as_of_join_cogrouped(
     Same shuffle cost as the window formulation (both sides hash on
     key); the difference is an Arrow round trip and a per-key pandas
     sort instead of codegen — prefer ``as_of_join`` in the hot path.
-    ``tests/test_asof.py`` pins the two formulations row-identical."""
+    ``tests/test_asof.py`` pins the two formulations row-identical.
+
+    Key-type contract: pandas merge_asof requires numeric/datetime
+    ordering keys and rejects nulls, where the window form is total —
+    NULL-timestamp left rows are therefore routed AROUND the merge
+    (emitted with null asof values, matching the window form's
+    last(ignorenulls) result) and null right timestamps are dropped
+    (they can never be "the most recent at-or-before" anything)."""
     import pandas as pd
 
     out_fields = [f for f in left.schema.fields]
@@ -94,15 +106,23 @@ def as_of_join_cogrouped(
     )
     l_cols = [f.name for f in out_fields]
 
+    out_cols = l_cols + [f"asof_{v}" for v in right_vals]
+
+    def with_null_asof(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pdf.copy()
+        for v in right_vals:
+            out[f"asof_{v}"] = None
+        return out[out_cols]
+
     def merge(l_pdf: pd.DataFrame, r_pdf: pd.DataFrame) -> pd.DataFrame:
-        l_sorted = l_pdf.sort_values(left_ts, kind="mergesort")
-        if r_pdf.empty:
-            out = l_sorted.copy()
-            for v in right_vals:
-                out[f"asof_{v}"] = None
-            return out[l_cols + [f"asof_{v}" for v in right_vals]]
+        null_left = l_pdf[l_pdf[left_ts].isna()]
+        l_live = l_pdf[l_pdf[left_ts].notna()]
+        r_live = r_pdf[r_pdf[right_ts].notna()] if not r_pdf.empty else r_pdf
+        if l_live.empty or r_live.empty:
+            return with_null_asof(l_pdf)
+        l_sorted = l_live.sort_values(left_ts, kind="mergesort")
         r_sorted = (
-            r_pdf[[right_ts] + right_vals]
+            r_live[[right_ts] + right_vals]
             .sort_values(right_ts, kind="mergesort")
             .rename(columns={v: f"asof_{v}" for v in right_vals})
         )
@@ -113,8 +133,10 @@ def as_of_join_cogrouped(
             right_on=right_ts,
             direction="backward",
             allow_exact_matches=True,
-        )
-        return out[l_cols + [f"asof_{v}" for v in right_vals]]
+        )[out_cols]
+        if null_left.empty:
+            return out
+        return pd.concat([out, with_null_asof(null_left)], ignore_index=True)
 
     return (
         left.groupBy(key)

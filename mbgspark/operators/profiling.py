@@ -503,7 +503,10 @@ def cm_estimate(
 
 
 def distribution_drift_psi(
-    old: DataFrame, new: DataFrame, bucket_col: str
+    old: DataFrame,
+    new: DataFrame,
+    bucket_col: str,
+    old_pre_counted: bool = False,
 ) -> DataFrame:
     """Population Stability Index between two snapshots' distributions
     over a bucket column — THE drift alarm a production data pipeline
@@ -524,8 +527,16 @@ def distribution_drift_psi(
     micro-units BEFORE the sum (the repo-standard floor(x*1e6 + 0.5)
     device), so the output is exact-integer and hash-stable.
 
-    Emits one row: (n_buckets, psi_micro)."""
-    oc = old.groupBy(F.col(bucket_col).alias("b")).agg(F.count("*").alias("c1"))
+    Emits one row: (n_buckets, psi_micro). ``old_pre_counted=True``
+    treats ``old`` as an already-aggregated (bucket, c1) frame — the
+    repeated-scoring mode (streaming monitor) aggregates its reference
+    ONCE instead of per call."""
+    if old_pre_counted:
+        oc = old.select(F.col(bucket_col).alias("b"), F.col("c1"))
+    else:
+        oc = old.groupBy(F.col(bucket_col).alias("b")).agg(
+            F.count("*").alias("c1")
+        )
     nc = new.groupBy(F.col(bucket_col).alias("b")).agg(F.count("*").alias("c2"))
     joined = oc.join(nc, "b", "full_outer").select(
         "b",
@@ -644,6 +655,8 @@ def check_constraints(
     key (counting rows beyond the first per value); each FK is a
     left-anti join against the referenced keys (AQE broadcasts small
     dims). Nothing corpus-sized moves: every output is one row per rule."""
+    if not any([unique, not_null, positive, in_set, fk]):
+        raise ValueError("check_constraints: no rules given")
     rows = []
     conds = []
     for c in not_null or []:

@@ -44,7 +44,14 @@ def scd2_apply(
     ``eff_col`` (keep-latest, deterministic id-free tiebreak on the
     attrs struct) before the join — applying intra-batch intermediate
     versions requires a per-key ordered fold and is a different operator.
-    History rows (``valid_to`` set) are untouched by construction."""
+    History rows (``valid_to`` set) are untouched by construction.
+
+    Late-arriving updates (``eff`` earlier than the current row's
+    ``valid_from``) would mint INVERTED validity intervals that no as-of
+    read could ever match — the row would silently vanish from temporal
+    queries — so they raise instead (an eager validation action at call
+    time, same documented trade as ``io.merge_by_key``'s partition
+    check); retrofitting history is a restatement job, not an apply."""
     latest = updates.groupBy(key).agg(
         F.max(F.struct(F.col(eff_col), *[F.col(a) for a in attrs])).alias("__u")
     )
@@ -56,6 +63,17 @@ def scd2_apply(
     hist = dim.filter(F.col(to_col).isNotNull())
     cur = dim.filter(F.col(to_col).isNull())
     joined = cur.join(u, key, "full_outer")
+    n_late = joined.filter(
+        F.col("__eff").isNotNull()
+        & F.col(from_col).isNotNull()
+        & (F.col("__eff") < F.col(from_col))
+    ).count()
+    if n_late:
+        raise ValueError(
+            f"scd2_apply: {n_late} update(s) effective BEFORE the current "
+            "version's valid_from — late-arriving updates would invert "
+            "validity intervals; restate history explicitly instead"
+        )
     changed = F.col("__eff").isNotNull() & (
         F.col(from_col).isNull()  # new key: no current row
         | ~F.struct(*[F.col(a) for a in attrs]).eqNullSafe(

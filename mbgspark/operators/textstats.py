@@ -713,15 +713,23 @@ def chunk_documents_udtf(
     (stateful tokenizers, model-driven segmentation). Row-at-a-time
     Python — prefer ``chunk_documents`` (pure codegen) in any hot path;
     ``tests/test_chunking.py`` pins the two row-identical."""
+    import re
+
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType=f"{id_col} bigint, chunk_idx int, chunk_text string, chunk_len bigint")
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    # mirror the JVM semantics EXACTLY (the pin depends on it): Spark
+    # trim() strips only ' ' (not tabs/newlines, unlike Python strip()),
+    # and Java \s is the ASCII class [ \t\n\x0b\f\r] (Python's \s
+    # would also split on NBSP); a leading separator yields a leading ''
+    # token in both engines, so empties are NOT dropped
+    _java_ws = re.compile("[ \t\n\x0b\f\r]+")
+
+    @udtf(returnType=f"{id_col} {id_type}, chunk_idx int, chunk_text string, chunk_len bigint")
     class Chunk:
         def eval(self, doc_id, text):
-            toks = (text or "").strip().lower().split()
-            # mirror split('\\s+') on empty/whitespace text: one '' token
-            if not toks:
-                toks = [""]
+            toks = _java_ws.split((text or "").strip(" ").lower())
             n = len(toks)
             n_chunks = 1 + max(0, -(-(max(0, n - chunk_tokens)) // stride))
             for i in range(n_chunks):

@@ -1345,7 +1345,9 @@ def scd2_asof_revenue(spark, sf_dir):
         "o_custkey", "o_totalprice", F.date_format("o_orderdate", "yyyy-MM-dd").alias("od")
     )
     return (
-        o.join(F.broadcast(versioned), F.col("o_custkey") == F.col("c_custkey"))
+        # the versioned dim is the BIG side here (full customer + extra
+        # versions) — broadcast is AQE's call, not a hint (review r4)
+        o.join(versioned, F.col("o_custkey") == F.col("c_custkey"))
         .filter(
             (F.col("od") >= F.col("valid_from"))
             & (F.col("valid_to").isNull() | (F.col("od") < F.col("valid_to")))

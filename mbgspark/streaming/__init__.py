@@ -338,13 +338,24 @@ def start_drift_monitor_sink(
     state, so dedup-on-read by (batch_id) is the consumer's contract."""
     from mbgspark.operators.profiling import distribution_drift_psi
 
-    ref = reference.select(F.col(bucket_col).alias("b"))
+    # aggregate + persist the reference distribution ONCE — every batch
+    # scores against the bounded (bucket, c1) frame, never re-scanning
+    # the blessed snapshot (review r4)
+    ref_counts = (
+        reference.select(F.col(bucket_col).alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("c1"))
+        .persist()
+    )
+    ref_counts.count()
 
     def _score(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         cur = batch_df.select(F.col(bucket_col).alias("b"))
-        row = distribution_drift_psi(ref, cur, "b").select(
+        row = distribution_drift_psi(
+            ref_counts, cur, "b", old_pre_counted=True
+        ).select(
             F.lit(batch_id).cast("bigint").alias("batch_id"),
             "n_buckets",
             "psi_micro",

@@ -103,3 +103,49 @@ def test_scd2_apply_semantics_and_idempotence(spark):
     )
     replay = scd2_apply(out, updates, "k", ["seg"], "eff")
     assert sorted(map(tuple, replay.collect())) == rows
+
+
+def test_cogrouped_asof_handles_null_timestamps(spark):
+    """NULL-timestamp left rows get null asof values (like the window
+    form) instead of crashing pandas merge_asof; null right timestamps
+    are ignored."""
+    from mbgspark.operators.asof import as_of_join, as_of_join_cogrouped
+
+    left = spark.createDataFrame(
+        [(1, 100, 10), (1, None, 11), (2, 50, 20)],
+        "user_id bigint, ts bigint, event_id bigint",
+    )
+    right = spark.createDataFrame(
+        [(1, 90, 1.0), (1, None, 9.9), (2, 60, 2.0)],
+        "user_id bigint, vts bigint, vval double",
+    )
+    a = sorted(
+        (r["user_id"], r["event_id"], r["asof_vval"])
+        for r in as_of_join(left, right, "user_id", "ts", "vts", ["vval"]).collect()
+    )
+    b = sorted(
+        (r["user_id"], r["event_id"], r["asof_vval"])
+        for r in as_of_join_cogrouped(
+            left, right, "user_id", "ts", "vts", ["vval"]
+        ).collect()
+    )
+    assert b == [(1, 10, 1.0), (1, 11, None), (2, 20, None)]
+    assert a == b
+
+
+def test_scd2_rejects_late_arriving_updates(spark):
+    """An update effective before the current version's valid_from would
+    invert the validity interval — scd2_apply raises instead."""
+    import pytest
+
+    from mbgspark.operators.scd import scd2_apply
+
+    dim = spark.createDataFrame(
+        [(1, "A", "2021-01-01", None)],
+        "k bigint, seg string, valid_from string, valid_to string",
+    )
+    late = spark.createDataFrame(
+        [(1, "B", "2020-06-01")], "k bigint, seg string, eff string"
+    )
+    with pytest.raises(ValueError, match="late-arriving"):
+        scd2_apply(dim, late, "k", ["seg"], "eff")
