@@ -415,3 +415,59 @@ def jl_project(
     return df.select(
         F.col(id_col), F.explode(F.array(*dims)).alias("__p")
     ).select(id_col, F.col("__p.dim").cast("bigint").alias("dim"), "__p.value_e6")
+
+
+def label_noise_flags(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Label-noise mining (confident-learning-lite): flag vectors whose
+    k nearest neighbors MAJORITY-vote a different label — the standing
+    audit for mislabeled examples in a labeled embedding corpus (noisy
+    labels poison contrastive/classifier training far out of proportion
+    to their count). Neighbors come from the exact cosine top-k here;
+    at corpus scale swap the scoring source for the IVF probe join
+    exactly as for plain top-k — the vote is a bounded per-vector
+    aggregate either way. Majority = strictly more than k/2 neighbors
+    agreeing on one label; the argmax tie-break is deterministic
+    ((count, label) struct ordering). Emits every vector:
+    (id, label, neighbor_label, n_agree, is_suspect)."""
+    nn = brute_force_topk(df, df, k=k, id_col=id_col, vec_col=vec_col)
+    labels = df.select(
+        F.col(id_col).alias("match_id"), F.col(label_col).alias("__nl")
+    )
+    votes = (
+        nn.join(labels, "match_id")
+        .groupBy("query_id", "__nl")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    top_vote = votes.groupBy("query_id").agg(
+        # padded-string argmax key: portable to the DuckDB oracle's
+        # max_by, which has no struct ordering (same device as
+        # user_features' modal type)
+        F.expr(
+            "max_by(__nl, concat(lpad(cast(__n as string), 10, '0'), '|', "
+            "lpad(cast(__nl as string), 10, '0')))"
+        ).alias("neighbor_label"),
+        F.max("__n").cast("bigint").alias("n_agree"),
+    )
+    own = df.select(F.col(id_col), F.col(label_col))
+    return (
+        own.join(top_vote, F.col(id_col) == F.col("query_id"))
+        .select(
+            id_col,
+            label_col,
+            "neighbor_label",
+            "n_agree",
+            (
+                (F.col("neighbor_label") != F.col(label_col))
+                & (F.col("n_agree") * 2 > k)
+            )
+            .cast("bigint")
+            .alias("is_suspect"),
+        )
+        .orderBy(id_col)
+    )

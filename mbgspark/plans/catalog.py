@@ -173,6 +173,7 @@ _PRIORITY = [
     "event_transitions",
     "embedding_drift",
     "augment_dropout",
+    "label_noise",
     "etl_lifecycle",
 ]
 

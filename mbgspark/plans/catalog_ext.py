@@ -1133,6 +1133,52 @@ ORDER BY item_a, item_b
 """
 
 
+
+def label_noise(spark, sf_dir):
+    """k-NN label-noise audit over the full embeddings table: vectors
+    whose 3 nearest neighbors majority-vote a different label are
+    flagged as suspects."""
+    from mbgspark.operators.similarity import label_noise_flags
+
+    return label_noise_flags(_t(spark, sf_dir, "embeddings"), k=3)
+
+
+LABEL_NOISE_SQL = """
+WITH c AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS query_id, m.vec_id AS match_id, m.label AS nl,
+         round(list_dot_product(q.v, m.v)
+               / (sqrt(list_dot_product(q.v, q.v))
+                  * sqrt(list_dot_product(m.v, m.v))), 4) AS cos_sim
+  FROM c q CROSS JOIN c m WHERE q.vec_id <> m.vec_id
+),
+nn AS (
+  SELECT query_id, match_id, nl FROM (
+    SELECT query_id, match_id, nl,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos_sim DESC, match_id) AS rnk
+    FROM scored) WHERE rnk <= 3
+),
+votes AS (
+  SELECT query_id, nl, count(*) AS n FROM nn GROUP BY query_id, nl
+),
+top_vote AS (
+  SELECT query_id,
+         max_by(nl, lpad(CAST(n AS VARCHAR), 10, '0') || '|'
+                    || lpad(CAST(nl AS VARCHAR), 10, '0')) AS neighbor_label,
+         CAST(max(n) AS BIGINT) AS n_agree
+  FROM votes GROUP BY query_id
+)
+SELECT e.vec_id, e.label, t.neighbor_label, t.n_agree,
+       CAST(t.neighbor_label <> e.label AND t.n_agree * 2 > 3 AS BIGINT)
+         AS is_suspect
+FROM embeddings e JOIN top_vote t ON t.query_id = e.vec_id
+ORDER BY e.vec_id
+"""
+
+
 def hard_negatives(spark, sf_dir):
     """Contrastive hard-negative mining: top-3 most-similar vectors with a
     DIFFERENT label, per query vector vec_id < 5."""
@@ -2210,6 +2256,7 @@ EXT: dict[str, tuple] = {
     "ann_cosine_topk": (ann_cosine_topk, ANN_TOPK_SQL),
     "ann_quantized_topk": (ann_quantized_topk, ANN_QUANTIZED_SQL),
     "hard_negatives": (hard_negatives, HARD_NEGATIVES_SQL),
+    "label_noise": (label_noise, LABEL_NOISE_SQL),
     "zorder_keys": (zorder_keys, ZORDER_SQL),
     "jl_projection": (jl_projection, JL_SQL),
     "item_cooccurrence_events": (item_cooccurrence_events, ITEM_COOC_SQL),

@@ -178,3 +178,27 @@ def test_jl_projection_preserves_similarity_structure(spark):
     # projected clusters stay separated by a wide margin
     assert mw > 0.9, mw
     assert mw - mc > 0.5, (mw, mc)
+
+
+def test_label_noise_flags_planted_mislabel(spark):
+    """A vector planted inside a tight foreign cluster is flagged; the
+    cluster's own members are not."""
+    from mbgspark.operators.similarity import label_noise_flags
+
+    rows = []
+    for c in range(2):
+        for m in range(5):
+            v = [0.0] * 8
+            v[c * 4] = 1.0
+            v[c * 4 + 1] = 0.1 * m
+            rows.append((c * 10 + m, v, c))
+    # vector 99: geometry of cluster 0, label 1 -> mislabeled
+    v = [0.0] * 8
+    v[0] = 1.0
+    v[1] = 0.05
+    rows.append((99, v, 1))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>, label int")
+    out = {r["vec_id"]: r.asDict() for r in label_noise_flags(df, k=3).collect()}
+    assert out[99]["is_suspect"] == 1
+    assert out[99]["neighbor_label"] == 0
+    assert all(out[i]["is_suspect"] == 0 for i in out if i != 99)
