@@ -174,6 +174,7 @@ _PRIORITY = [
     "embedding_drift",
     "augment_dropout",
     "label_noise",
+    "dedup_strategy_venn",
     "etl_lifecycle",
 ]
 

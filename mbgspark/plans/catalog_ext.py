@@ -230,6 +230,75 @@ ORDER BY j.id_a, j.id_b
 """
 
 
+
+def dedup_strategy_venn(spark, sf_dir):
+    """Strategy-comparison report: duplicate pairs found by EXACT
+    normalized-text match vs by MinHash near-dup (jaccard >= 0.5), as a
+    Venn of pair sets — the tuning surface for "is near-dup adding
+    anything over exact, and is LSH losing exact pairs". The invariant
+    worth watching: exact duplicates share every band, so exact_only can
+    exceed 0 ONLY when the bucket cap dropped a viral bucket — this
+    report is where that loss becomes visible in one number."""
+    corpus = _dup_corpus(spark, sf_dir)
+    exact_pairs = (
+        corpus.alias("a")
+        .join(
+            corpus.alias("b"),
+            (F.md5(F.col("a.t")) == F.md5(F.col("b.t")))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    near_pairs = dd.minhash_near_dups(
+        corpus, "id", "t", k=3, num_hashes=8, bands=4, threshold=0.5
+    ).select("id_a", "id_b")
+    both = exact_pairs.join(near_pairs, ["id_a", "id_b"], "inner")
+    exact_only = exact_pairs.join(near_pairs, ["id_a", "id_b"], "left_anti")
+    near_only = near_pairs.join(exact_pairs, ["id_a", "id_b"], "left_anti")
+
+    def cnt(name, df):
+        return df.agg(
+            F.lit(name).alias("category"),
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        )
+
+    return (
+        cnt("both", both)
+        .unionByName(cnt("exact_only", exact_only))
+        .unionByName(cnt("near_only", near_only))
+        .orderBy("category")
+    )
+
+
+DEDUP_VENN_SQL = f"""
+WITH unioned AS ({DUP_SQL_UNION}),
+exact_pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM unioned a JOIN unioned b
+    ON md5(a.t) = md5(b.t) AND a.id < b.id
+),
+near_pairs AS (
+  SELECT id_a, id_b FROM ({DEDUP_MINHASH_SQL.replace("ORDER BY id_a, id_b", "")})
+)
+SELECT 'both' AS category,
+       CAST((SELECT count(*) FROM exact_pairs e
+             JOIN near_pairs n USING (id_a, id_b)) AS BIGINT) AS n_pairs
+UNION ALL
+SELECT 'exact_only',
+       CAST((SELECT count(*) FROM exact_pairs e
+             WHERE NOT EXISTS (SELECT 1 FROM near_pairs n
+                               WHERE n.id_a = e.id_a AND n.id_b = e.id_b))
+            AS BIGINT)
+UNION ALL
+SELECT 'near_only',
+       CAST((SELECT count(*) FROM near_pairs n
+             WHERE NOT EXISTS (SELECT 1 FROM exact_pairs e
+                               WHERE e.id_a = n.id_a AND e.id_b = n.id_b))
+            AS BIGINT)
+ORDER BY category
+"""
+
+
 def dedup_incremental(spark, sf_dir):
     """Incremental MinHash near-dup: a 45-doc ingest batch (two perturbed
     copies per source doc — first token dropped, ids +1M / +2M) checked
@@ -2237,6 +2306,7 @@ EXT: dict[str, tuple] = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_SQL),
     "dedup_minhash_estimate": (dedup_minhash_estimate, DEDUP_MINHASH_EST_SQL),
+    "dedup_strategy_venn": (dedup_strategy_venn, DEDUP_VENN_SQL),
     "dedup_incremental": (dedup_incremental, DEDUP_INCREMENTAL_SQL),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
     "dup_spans": (dup_spans, DUP_SPANS_SQL),
