@@ -423,6 +423,7 @@ def label_noise_flags(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    neighbors: DataFrame | None = None,
 ) -> DataFrame:
     """Label-noise mining (confident-learning-lite): flag vectors whose
     k nearest neighbors MAJORITY-vote a different label — the standing
@@ -434,8 +435,17 @@ def label_noise_flags(
     aggregate either way. Majority = strictly more than k/2 neighbors
     agreeing on one label; the argmax tie-break is deterministic
     ((count, label) struct ordering). Emits every vector:
-    (id, label, neighbor_label, n_agree, is_suspect)."""
-    nn = brute_force_topk(df, df, k=k, id_col=id_col, vec_col=vec_col)
+    (id, label, neighbor_label, n_agree, is_suspect).
+
+    ``neighbors`` injects a precomputed (query_id, match_id) top-k frame
+    — pass ``ivf_topk(df, df, k=k, ...)`` (or a persisted index lookup)
+    to run the audit at corpus scale without the exact all-pairs scan;
+    the vote logic is identical either way."""
+    nn = (
+        neighbors
+        if neighbors is not None
+        else brute_force_topk(df, df, k=k, id_col=id_col, vec_col=vec_col)
+    )
     labels = df.select(
         F.col(id_col).alias("match_id"), F.col(label_col).alias("__nl")
     )

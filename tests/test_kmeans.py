@@ -202,3 +202,19 @@ def test_label_noise_flags_planted_mislabel(spark):
     assert out[99]["is_suspect"] == 1
     assert out[99]["neighbor_label"] == 0
     assert all(out[i]["is_suspect"] == 0 for i in out if i != 99)
+
+
+def test_label_noise_accepts_ivf_neighbors(spark):
+    """The IVF candidate frame slots into the audit without changing the
+    vote logic — the corpus-scale path."""
+    from mbgspark.io import load_table
+    from mbgspark.operators.similarity import ivf_topk, label_noise_flags
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    nn = ivf_topk(e, e, k=3, n_cells=8, nprobe=4)
+    out = label_noise_flags(e, k=3, neighbors=nn)
+    rows = out.collect()
+    assert len(rows) == e.count()
+    assert set(out.columns) == {
+        "vec_id", "label", "neighbor_label", "n_agree", "is_suspect"
+    }
