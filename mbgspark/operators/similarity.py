@@ -463,18 +463,26 @@ def label_noise_flags(
             "lpad(cast(__nl as string), 10, '0')))"
         ).alias("neighbor_label"),
         F.max("__n").cast("bigint").alias("n_agree"),
+        # majority denominator = the ACTUAL neighbor count of this query,
+        # not the k argument — an injected frame deeper (or shallower)
+        # than k would otherwise flag minority votes (review r4)
+        F.sum("__n").cast("bigint").alias("__total"),
     )
     own = df.select(F.col(id_col), F.col(label_col))
+    # LEFT join: a vector with no neighbors at all (an injected sparse
+    # index frame can produce this) must still appear — unflagged with
+    # n_agree 0, never silently dropped from the audit (review r4)
     return (
-        own.join(top_vote, F.col(id_col) == F.col("query_id"))
+        own.join(top_vote, F.col(id_col) == F.col("query_id"), "left")
         .select(
             id_col,
             label_col,
             "neighbor_label",
-            "n_agree",
+            F.coalesce("n_agree", F.lit(0)).cast("bigint").alias("n_agree"),
             (
-                (F.col("neighbor_label") != F.col(label_col))
-                & (F.col("n_agree") * 2 > k)
+                F.col("neighbor_label").isNotNull()
+                & (F.col("neighbor_label") != F.col(label_col))
+                & (F.col("n_agree") * 2 > F.col("__total"))
             )
             .cast("bigint")
             .alias("is_suspect"),

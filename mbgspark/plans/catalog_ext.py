@@ -238,7 +238,11 @@ def dedup_strategy_venn(spark, sf_dir):
     anything over exact, and is LSH losing exact pairs". The invariant
     worth watching: exact duplicates share every band, so exact_only can
     exceed 0 ONLY when the bucket cap dropped a viral bucket — this
-    report is where that loss becomes visible in one number."""
+    report is where that loss becomes visible in one number. Caveat:
+    documents with EMPTY normalized text can also land in exact_only
+    without any cap involvement — they form exact md5 pairs but produce
+    no shingles, so they never reach the band stage; on corpora with
+    empty docs, read exact_only alongside a min-length gate."""
     corpus = _dup_corpus(spark, sf_dir)
     exact_pairs = (
         corpus.alias("a")
@@ -252,20 +256,31 @@ def dedup_strategy_venn(spark, sf_dir):
     near_pairs = dd.minhash_near_dups(
         corpus, "id", "t", k=3, num_hashes=8, bands=4, threshold=0.5
     ).select("id_a", "id_b")
-    both = exact_pairs.join(near_pairs, ["id_a", "id_b"], "inner")
-    exact_only = exact_pairs.join(near_pairs, ["id_a", "id_b"], "left_anti")
-    near_only = near_pairs.join(exact_pairs, ["id_a", "id_b"], "left_anti")
-
-    def cnt(name, df):
-        return df.agg(
-            F.lit(name).alias("category"),
-            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
-        )
-
+    # ONE full-outer pass classifies every pair — three separate
+    # inner/anti branches would re-derive both expensive pair lineages
+    # per branch (per-branch pruning defeats ReuseExchange, the
+    # build_ivf_index lesson); the literal 3-row spine keeps empty
+    # categories present with n_pairs = 0
+    j = exact_pairs.withColumn("__e", F.lit(1)).join(
+        near_pairs.withColumn("__n", F.lit(1)), ["id_a", "id_b"], "full_outer"
+    )
+    cat = (
+        F.when(F.col("__e").isNotNull() & F.col("__n").isNotNull(), "both")
+        .when(F.col("__e").isNotNull(), "exact_only")
+        .otherwise("near_only")
+    )
+    counts = j.groupBy(cat.alias("category")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c")
+    )
+    spine = spark.createDataFrame(
+        [("both",), ("exact_only",), ("near_only",)], "category string"
+    )
     return (
-        cnt("both", both)
-        .unionByName(cnt("exact_only", exact_only))
-        .unionByName(cnt("near_only", near_only))
+        spine.join(counts, "category", "left")
+        .select(
+            "category",
+            F.coalesce("__c", F.lit(0)).cast("bigint").alias("n_pairs"),
+        )
         .orderBy("category")
     )
 
@@ -1237,13 +1252,15 @@ top_vote AS (
   SELECT query_id,
          max_by(nl, lpad(CAST(n AS VARCHAR), 10, '0') || '|'
                     || lpad(CAST(nl AS VARCHAR), 10, '0')) AS neighbor_label,
-         CAST(max(n) AS BIGINT) AS n_agree
+         CAST(max(n) AS BIGINT) AS n_agree,
+         CAST(sum(n) AS BIGINT) AS total
   FROM votes GROUP BY query_id
 )
-SELECT e.vec_id, e.label, t.neighbor_label, t.n_agree,
-       CAST(t.neighbor_label <> e.label AND t.n_agree * 2 > 3 AS BIGINT)
-         AS is_suspect
-FROM embeddings e JOIN top_vote t ON t.query_id = e.vec_id
+SELECT e.vec_id, e.label, t.neighbor_label,
+       CAST(coalesce(t.n_agree, 0) AS BIGINT) AS n_agree,
+       CAST(t.neighbor_label IS NOT NULL AND t.neighbor_label <> e.label
+            AND t.n_agree * 2 > t.total AS BIGINT) AS is_suspect
+FROM embeddings e LEFT JOIN top_vote t ON t.query_id = e.vec_id
 ORDER BY e.vec_id
 """
 

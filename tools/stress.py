@@ -291,6 +291,34 @@ def main() -> None:
         ),
     )
 
+    # ---- round-4 closing batch ----
+    # tfidf_cosine on the hash-rewritten corpus is the GOOD case for
+    # top-term blocking (the inverse of the gate-SF caveat): every copy
+    # has its own vocabulary, so characteristic terms are truly rare and
+    # pairs exist only within a copy — if candidate volume stays bounded
+    # here, real corpora (rare terms by construction) behave the same
+    from mbgspark.operators.textstats import bigram_surprise  # noqa: F811
+    from mbgspark.operators.textstats import bm25_search, tfidf_cosine_pairs
+
+    run(
+        "tfidf_cosine_pairs",
+        tfidf_cosine_pairs(corpus, "id", "t", k=3, min_cos_e6=600000),
+    )
+    # BM25 over the scaled corpus for 3 terms drawn from copy-0's
+    # rewritten vocabulary (they exist; other copies' tokens differ)
+    sample_terms = [
+        r["t"].split()[0] for r in corpus.filter(F.col("id") < 3).collect()
+    ]
+    run("bm25_topk", bm25_search(corpus, sample_terms, "id", "t", k=10))
+    # label-noise audit through the IVF path (the corpus-scale form)
+    from mbgspark.operators.similarity import ivf_topk, label_noise_flags
+
+    emb_labeled = emb_corpus.withColumn(
+        "label", (F.col("vec_id") % 7).cast("int")
+    )
+    nn = ivf_topk(emb_labeled, emb_labeled, k=3, n_cells=16, nprobe=4)
+    run("label_noise_ivf", label_noise_flags(emb_labeled, k=3, neighbors=nn))
+
     expected_pairs = 30 * n
     found = results["minhash_lsh_neardup"]["out_rows"]
     print(
