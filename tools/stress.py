@@ -292,11 +292,13 @@ def main() -> None:
     )
 
     # ---- round-4 closing batch ----
-    # tfidf_cosine on the hash-rewritten corpus is the GOOD case for
-    # top-term blocking (the inverse of the gate-SF caveat): every copy
-    # has its own vocabulary, so characteristic terms are truly rare and
-    # pairs exist only within a copy — if candidate volume stays bounded
-    # here, real corpora (rare terms by construction) behave the same
+    # tfidf_cosine on the hash-rewritten corpus measures the HONEST
+    # worst case: tokens are rewritten per COPY, so each 5,030-doc copy
+    # still shares the generator's tiny vocabulary internally and
+    # blocking degrades toward intra-copy all-pairs (measured: 4.5M
+    # pairs, 54 s at N=20). The operator's own docstring carries the
+    # caveat — top-term blocking is VOCABULARY-driven and needs genuinely
+    # rare characteristic terms; this row is the quantified evidence
     from mbgspark.operators.textstats import bigram_surprise  # noqa: F811
     from mbgspark.operators.textstats import bm25_search, tfidf_cosine_pairs
 
@@ -313,10 +315,20 @@ def main() -> None:
     # label-noise audit through the IVF path (the corpus-scale form)
     from mbgspark.operators.similarity import ivf_topk, label_noise_flags
 
+    # persist: the audit consumes the embedding lineage from several
+    # plan branches (assignment, probe, verify, labels) and the 5-way
+    # union+rotate generator would recompute per consumer (the
+    # build_minhash_index lesson; un-persisted this measured 156 s)
     emb_labeled = emb_corpus.withColumn(
         "label", (F.col("vec_id") % 7).cast("int")
-    )
-    nn = ivf_topk(emb_labeled, emb_labeled, k=3, n_cells=16, nprobe=4)
+    ).persist()
+    n_vec = emb_labeled.count()
+    # CELLS SCALE WITH THE CORPUS (the IVF analog of the multiprobe
+    # block_bits rule): candidates/query ~ n*probe/cells, so fixed cells
+    # degrade toward brute force — 16 cells at 20k vectors measured
+    # 383 s where sqrt(n)=141 cells measured 55 s, same recall machinery
+    n_cells = max(16, int(n_vec ** 0.5))
+    nn = ivf_topk(emb_labeled, emb_labeled, k=3, n_cells=n_cells, nprobe=4)
     run("label_noise_ivf", label_noise_flags(emb_labeled, k=3, neighbors=nn))
 
     expected_pairs = 30 * n
