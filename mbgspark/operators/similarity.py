@@ -121,6 +121,14 @@ def ivf_topk(
 ) -> DataFrame:
     """Approximate cosine top-k via IVF cells.
 
+    SIZING RULE (measured, tools/stress.py): candidates per query ~
+    n * nprobe / n_cells, so a FIXED cell count degrades toward brute
+    force as the corpus grows — at 20k vectors, the default 16 cells
+    measured 383 s on the label-noise audit where sqrt(n) = 141 cells
+    measured 55 s at the same recall machinery. Scale ``n_cells`` with
+    ~sqrt(corpus) (the cell-count analog of the embedding-multiprobe
+    block_bits rule); the default fits the ~10^2-10^3-vector gate SFs.
+
     Default centroids are the ``n_cells`` lowest-id corpus vectors —
     deterministic and cheap. Pass ``centroids`` (e.g. from
     ``kmeans_centroids``) to swap in a trained quantizer WITHOUT changing
