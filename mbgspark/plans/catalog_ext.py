@@ -238,7 +238,13 @@ def dedup_strategy_venn(spark, sf_dir):
     anything over exact, and is LSH losing exact pairs". The invariant
     worth watching: exact duplicates share every band, so exact_only can
     exceed 0 ONLY when the bucket cap dropped a viral bucket — this
-    report is where that loss becomes visible in one number. Caveat:
+    report is where that loss becomes visible in one number. At
+    production scale persist BOTH pair frames before the comparison
+    (the index-discipline rule): each side's lineage — the exact
+    self-join and the full MinHash pipeline — appears once in this
+    lazy plan, but per-side column pruning blocks ReuseExchange of the
+    shared corpus scans, so materializing the (small) pair sets is the
+    cost model a real audit wants anyway. Caveat:
     documents with EMPTY normalized text can also land in exact_only
     without any cap involvement — they form exact md5 pairs but produce
     no shingles, so they never reach the band stage; on corpora with

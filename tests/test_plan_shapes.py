@@ -439,3 +439,42 @@ def test_top_supplier_max_is_broadcast(spark):
     plan = plan_of(spark, "top_supplier")
     assert "BroadcastExchange" in plan
     assert "GreaterThanOrEqual(l_shipdate" in plan
+
+
+def test_scd2_apply_is_hash_joins_only(spark):
+    """SCD2 maintenance: the fate of every row comes from hash joins —
+    no nested loop, no cartesian anywhere in the versioned union."""
+    plan = plan_of(spark, "scd2_customer_dim")
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_dq_scalar_rules_fuse_into_one_aggregate(spark):
+    """The null/positive/domain rules share ONE aggregation over one
+    orders scan (scan count = orders + customer FK side only)."""
+    plan = plan_of(spark, "dq_checks_orders")
+    assert plan.count("Scan parquet") <= 4, plan.count("Scan parquet")
+    assert "Cartesian" not in plan
+
+
+def test_event_transitions_window_is_user_partitioned(spark):
+    """The lead() window partitions by user — never a global window over
+    the stream; the probability denominator windows over the bounded
+    types^2 aggregate."""
+    plan = plan_of(spark, "event_transitions")
+    assert "hashpartitioning(user_id" in plan
+
+
+def test_augment_dropout_is_single_narrow_projection(spark):
+    """Word dropout is row-local: exactly one exchange (the output
+    sort), zero joins."""
+    plan = plan_of(spark, "augment_dropout")
+    assert plan.count("Exchange") == 1, plan.count("Exchange")
+    assert "Join" not in plan
+
+
+def test_label_noise_vote_is_bounded_aggregates(spark):
+    """The audit's only non-equi piece is the broadcast query side of
+    the top-k scorer; votes and the argmax are hash aggregates."""
+    plan = plan_of(spark, "label_noise")
+    assert "Cartesian" not in plan
+    assert plan.count("BroadcastNestedLoop") == 1  # the broadcast scorer
