@@ -161,3 +161,21 @@ def test_weighted_sample_is_weight_proportional_and_deterministic(spark):
     # draw; 12 seeds x 20 draws = 240, heavy expectation ~> 200; require
     # a wide-margin majority to keep the test noise-proof
     assert heavy >= 170, heavy
+
+
+def test_weighted_sample_is_nested_in_n(spark):
+    """Same seed: the top-n sample is a strict prefix-superset chain in
+    n — the property that makes sample-size ladders comparable (the
+    A-ES key ordering is fixed; n only moves the cut)."""
+    rows = [(i, (i % 13) + 1) for i in range(300)]
+    df = spark.createDataFrame(rows, "id bigint, w bigint")
+    from mbgspark.operators.shuffle import weighted_sample_topn
+
+    prev: set = set()
+    for n in (10, 25, 60, 120):
+        cur = {
+            r["id"] for r in weighted_sample_topn(df, "id", "w", n=n, seed="x").collect()
+        }
+        assert len(cur) == n
+        assert prev <= cur
+        prev = cur
