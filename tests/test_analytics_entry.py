@@ -144,3 +144,23 @@ def test_item_cooccurrence_cap_bounds_power_users(spark):
     assert pairs[("a", "b")]["co_users"] == 10
     # perfect affinity: lift = P(ab)/(P(a)P(b)) = 1/(10/11 * 10/11) > 1
     assert pairs[("a", "b")]["lift_e4"] > 10000
+
+
+def test_every_catalog_entry_builds_a_plan(spark):
+    """Catalog-wide analysis smoke: every one of the 160 builders
+    constructs and ANALYZES its plan against the gate tables (schema
+    resolution, column references, UDF registration) — registration
+    bitrot in any entry fails here in seconds instead of surfacing as a
+    driver-row error. Execution is parity's job; this is the compile
+    gate."""
+    from mbgspark.plans.catalog import CATALOG
+
+    sf = "/root/testdata/sf0.001"
+    failures = []
+    for name, (builder, _) in CATALOG.items():
+        try:
+            df = builder(spark, sf)
+            df.schema  # forces analysis
+        except Exception as e:  # noqa: BLE001
+            failures.append((name, str(e).splitlines()[0]))
+    assert not failures, failures
