@@ -175,6 +175,7 @@ _PRIORITY = [
     "augment_dropout",
     "label_noise",
     "dedup_strategy_venn",
+    "top_session_paths",
     "etl_lifecycle",
 ]
 

@@ -676,6 +676,56 @@ GROUP BY label ORDER BY label
 """
 
 
+
+def top_session_paths(spark, sf_dir):
+    """Top-20 user journeys: the TIME-ordered event-type path within each
+    (user, day) — 'view>view>click>purchase' — ranked by how many
+    user-days follow it. The "what do users actually do" query behind
+    flow dashboards and funnel design. Ordered aggregation device:
+    collect_list of (ts, event_id, type) structs -> array_sort (struct
+    ordering = time order with a deterministic id tiebreak) -> row-local
+    transform+join; the path table the top-k reads is
+    |distinct paths|-sized. Day is the session proxy here; swap in
+    sessionize_events' island ids for gap-based sessions — the path
+    aggregation is identical."""
+    e = _t(spark, sf_dir, "events")
+    paths = (
+        e.groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("ts", "event_id", "event_type")
+                        )
+                    ),
+                    lambda x: x["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_user_days"))
+        .orderBy(F.desc("n_user_days"), "path")
+        .limit(20)
+    )
+
+
+TOP_PATHS_SQL = """
+WITH paths AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM events GROUP BY user_id, CAST(ts AS DATE)
+)
+SELECT path, CAST(count(*) AS BIGINT) AS n_user_days
+FROM paths GROUP BY path
+ORDER BY n_user_days DESC, path
+LIMIT 20
+"""
+
+
 def cohort_retention(spark, sf_dir):
     """Weekly cohort retention: users grouped by the week of their first
     event; for each (cohort_week, week_offset) the count of cohort users
@@ -1385,4 +1435,5 @@ PROFILING = {
     "funnel_latency": (funnel_latency, FUNNEL_LATENCY_SQL),
     "event_transitions": (event_transitions, EVENT_TRANSITIONS_SQL),
     "embedding_drift": (embedding_drift, EMBEDDING_DRIFT_SQL),
+    "top_session_paths": (top_session_paths, TOP_PATHS_SQL),
 }
