@@ -176,6 +176,7 @@ _PRIORITY = [
     "label_noise",
     "dedup_strategy_venn",
     "top_session_paths",
+    "rolling_distinct_users",
     "etl_lifecycle",
 ]
 

@@ -726,6 +726,70 @@ LIMIT 20
 """
 
 
+
+def rolling_distinct_users(spark, sf_dir):
+    """Rolling distinct users over the trailing 7 PRESENT days — the
+    classic sliding-distinct problem, solved the only way it scales:
+    per-day HLL sketches unioned over a ROWS window (sketches merge;
+    raw distinct sets cannot without re-shuffling every key per window
+    position). The exact rolling count is computed alongside FOR THE
+    GATE ONLY (a rank-distance self-join — affordable at gate SF,
+    exactly what production avoids) and the hash-checked surface is the
+    exact value + the sketch's 5%-accuracy flag, the HLL/quantile
+    contract device."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    est = daily.select(
+        "day",
+        F.hll_sketch_estimate(F.hll_union_agg("sk").over(w)).alias("__est"),
+    )
+    # exact: rank days, join each target day to its trailing 6 ranks
+    days = daily.select("day").withColumn(
+        "__r", F.row_number().over(Window.orderBy("day"))
+    )
+    ud = e.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    exact = (
+        days.alias("t")
+        .join(days.alias("s"), F.expr("s.__r BETWEEN t.__r - 6 AND t.__r"))
+        .join(ud.alias("u"), F.expr("u.day = s.day"))
+        .groupBy(F.col("t.day").alias("day"))
+        .agg(F.countDistinct("u.user_id").cast("bigint").alias("rolling7_exact"))
+    )
+    return (
+        exact.join(est, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "rolling7_exact",
+            (F.abs(F.col("__est") - F.col("rolling7_exact")) * 20
+             <= F.col("rolling7_exact"))
+            .cast("bigint")
+            .alias("sketch_ok"),
+        )
+        .orderBy("day")
+    )
+
+
+ROLLING_DISTINCT_SQL = """
+WITH days AS (
+  SELECT day, row_number() OVER (ORDER BY day) AS r FROM (
+    SELECT DISTINCT CAST(ts AS DATE) AS day FROM events)
+),
+ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events)
+SELECT strftime(t.day, '%Y-%m-%d') AS day,
+       CAST(count(DISTINCT u.user_id) AS BIGINT) AS rolling7_exact,
+       CAST(1 AS BIGINT) AS sketch_ok
+FROM days t
+JOIN days s ON s.r BETWEEN t.r - 6 AND t.r
+JOIN ud u ON u.day = s.day
+GROUP BY t.day ORDER BY day
+"""
+
+
 def cohort_retention(spark, sf_dir):
     """Weekly cohort retention: users grouped by the week of their first
     event; for each (cohort_week, week_offset) the count of cohort users
@@ -1436,4 +1500,5 @@ PROFILING = {
     "event_transitions": (event_transitions, EVENT_TRANSITIONS_SQL),
     "embedding_drift": (embedding_drift, EMBEDDING_DRIFT_SQL),
     "top_session_paths": (top_session_paths, TOP_PATHS_SQL),
+    "rolling_distinct_users": (rolling_distinct_users, ROLLING_DISTINCT_SQL),
 }
