@@ -177,6 +177,7 @@ _PRIORITY = [
     "dedup_strategy_venn",
     "top_session_paths",
     "rolling_distinct_users",
+    "rfm_segments",
     "etl_lifecycle",
 ]
 

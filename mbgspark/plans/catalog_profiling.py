@@ -790,6 +790,71 @@ GROUP BY t.day ORDER BY day
 """
 
 
+
+def rfm_segments(spark, sf_dir):
+    """RFM segmentation grid: users bucketed into recency/frequency/
+    monetary quintiles (ntile over the per-user feature vector) and the
+    grid cells counted — the standard segmentation table marketing/
+    retention teams read. All three ntile windows run over the
+    150-row-per-group user_features OUTPUT (the bounded-window
+    precedent), never the raw events; recency ranks ascending (recent =
+    1) while frequency/monetary rank descending (heavy = 1), the RFM
+    convention."""
+    from pyspark.sql import Window
+
+    f = user_features(spark, sf_dir)
+    seg = f.select(
+        "user_id",
+        F.ntile(5).over(Window.orderBy(F.asc("recency_days"), F.asc("user_id")))
+        .alias("r_quintile"),
+        F.ntile(5).over(Window.orderBy(F.desc("frequency"), F.asc("user_id")))
+        .alias("f_quintile"),
+        F.ntile(5).over(Window.orderBy(F.desc("monetary"), F.asc("user_id")))
+        .alias("m_quintile"),
+    )
+    return (
+        seg.groupBy("r_quintile", "f_quintile", "m_quintile")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .select(
+            F.col("r_quintile").cast("bigint").alias("r_quintile"),
+            F.col("f_quintile").cast("bigint").alias("f_quintile"),
+            F.col("m_quintile").cast("bigint").alias("m_quintile"),
+            "n_users",
+        )
+        .orderBy("r_quintile", "f_quintile", "m_quintile")
+    )
+
+
+RFM_SQL = """
+WITH anchor AS (SELECT max(ts) AS e FROM events),
+per_type AS (
+  SELECT user_id, event_type, count(*) AS n, max(ts) AS last_ts,
+         sum(value) AS v
+  FROM events GROUP BY user_id, event_type
+),
+f AS (
+  SELECT user_id,
+         date_diff('day', CAST(max(last_ts) AS DATE),
+                   CAST((SELECT e FROM anchor) AS DATE)) AS recency_days,
+         sum(n) AS frequency, round(sum(v), 2) AS monetary
+  FROM per_type GROUP BY user_id
+),
+seg AS (
+  SELECT user_id,
+         ntile(5) OVER (ORDER BY recency_days ASC, user_id ASC) AS r_quintile,
+         ntile(5) OVER (ORDER BY frequency DESC, user_id ASC) AS f_quintile,
+         ntile(5) OVER (ORDER BY monetary DESC, user_id ASC) AS m_quintile
+  FROM f
+)
+SELECT CAST(r_quintile AS BIGINT) AS r_quintile,
+       CAST(f_quintile AS BIGINT) AS f_quintile,
+       CAST(m_quintile AS BIGINT) AS m_quintile,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM seg GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
 def cohort_retention(spark, sf_dir):
     """Weekly cohort retention: users grouped by the week of their first
     event; for each (cohort_week, week_offset) the count of cohort users
@@ -1501,4 +1566,5 @@ PROFILING = {
     "embedding_drift": (embedding_drift, EMBEDDING_DRIFT_SQL),
     "top_session_paths": (top_session_paths, TOP_PATHS_SQL),
     "rolling_distinct_users": (rolling_distinct_users, ROLLING_DISTINCT_SQL),
+    "rfm_segments": (rfm_segments, RFM_SQL),
 }
