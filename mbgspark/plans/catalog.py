@@ -178,6 +178,7 @@ _PRIORITY = [
     "top_session_paths",
     "rolling_distinct_users",
     "rfm_segments",
+    "mad_anomalous_days",
     "etl_lifecycle",
 ]
 

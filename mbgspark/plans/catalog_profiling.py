@@ -855,6 +855,65 @@ ORDER BY 1, 2, 3
 """
 
 
+
+def mad_anomalous_days(spark, sf_dir):
+    """Robust anomalous-day detection: days whose event count deviates
+    from the MEDIAN by more than 3 scaled MADs (median absolute
+    deviation x 1.4826 ~ sigma under normality) — the outlier detector
+    that, unlike mean/stddev z-scores, is not dragged by the outliers it
+    hunts. Two exact-percentile passes over the bounded daily series
+    (each a one-row broadcast back onto it); the robust-z surface is e4
+    integer. Emits only flagged days (plus the stats that flagged
+    them). The synthetic event stream is uniform (no genuinely anomalous
+    days), so the surface emits EVERY day with its robust z and the
+    flag — a flagged-only output would be a 0-row gate query, which is
+    no evidence at all (the Q22 lesson)."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    med = daily.agg(F.expr("percentile(cnt, 0.5)").alias("__med"))
+    dev = daily.crossJoin(F.broadcast(med)).withColumn(
+        "__ad", F.abs(F.col("cnt") - F.col("__med"))
+    )
+    mad = dev.agg(F.expr("percentile(__ad, 0.5)").alias("__mad"))
+    return (
+        dev.crossJoin(F.broadcast(mad))
+        .withColumn(
+            "robust_z_e4",
+            F.floor(
+                F.col("__ad") / (F.col("__mad") * 1.4826) * 10000 + F.lit(0.5)
+            ).cast("bigint"),
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("cnt").cast("bigint").alias("cnt"),
+            "robust_z_e4",
+            (F.col("robust_z_e4") > 30000).cast("bigint").alias("is_anomaly"),
+        )
+        .orderBy("day")
+    )
+
+
+MAD_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, count(*) AS cnt FROM events GROUP BY 1
+),
+med AS (SELECT quantile_cont(cnt, 0.5) AS m FROM daily),
+dev AS (
+  SELECT day, cnt, abs(cnt - (SELECT m FROM med)) AS ad FROM daily
+),
+mad AS (SELECT quantile_cont(ad, 0.5) AS d FROM dev)
+SELECT strftime(day, '%Y-%m-%d') AS day, CAST(cnt AS BIGINT) AS cnt,
+       CAST(floor(ad / ((SELECT d FROM mad) * 1.4826) * 10000 + 0.5) AS BIGINT)
+         AS robust_z_e4,
+       CAST(CAST(floor(ad / ((SELECT d FROM mad) * 1.4826) * 10000 + 0.5)
+                 AS BIGINT) > 30000 AS BIGINT) AS is_anomaly
+FROM dev
+ORDER BY day
+"""
+
+
 def cohort_retention(spark, sf_dir):
     """Weekly cohort retention: users grouped by the week of their first
     event; for each (cohort_week, week_offset) the count of cohort users
@@ -1567,4 +1626,5 @@ PROFILING = {
     "top_session_paths": (top_session_paths, TOP_PATHS_SQL),
     "rolling_distinct_users": (rolling_distinct_users, ROLLING_DISTINCT_SQL),
     "rfm_segments": (rfm_segments, RFM_SQL),
+    "mad_anomalous_days": (mad_anomalous_days, MAD_SQL),
 }

@@ -493,3 +493,27 @@ def test_check_constraints_counts_planted_violations(spark):
         "in_set:s": 1,
         "fk:fkc": 1,
     }
+
+
+def test_mad_detector_flags_planted_spike_not_dragged_by_it(spark):
+    """A 10x spike day is flagged by the robust z (>3) while every
+    near-uniform day stays well under it — the property mean/stddev
+    z-scores lose when the spike drags the mean."""
+    from pyspark.sql import functions as F
+
+    rows = [(f"2024-01-{d:02d}", 1000 + (d % 5)) for d in range(1, 21)]
+    rows[6] = ("2024-01-07", 10000)  # planted spike
+    daily = spark.createDataFrame(rows, "day string, cnt bigint")
+    med = daily.agg(F.expr("percentile(cnt, 0.5)").alias("m"))
+    dev = daily.crossJoin(F.broadcast(med)).withColumn(
+        "ad", F.abs(F.col("cnt") - F.col("m"))
+    )
+    mad = dev.agg(F.expr("percentile(ad, 0.5)").alias("d"))
+    z = {
+        r["day"]: r["z"]
+        for r in dev.crossJoin(F.broadcast(mad))
+        .withColumn("z", F.col("ad") / (F.col("d") * 1.4826))
+        .collect()
+    }
+    assert z["2024-01-07"] > 3
+    assert all(v <= 3 for d, v in z.items() if d != "2024-01-07")
