@@ -1,7 +1,7 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 entry()      — flagship §3.1 ETL lifecycle on sf0.001.
-queries()    — 108 catalog queries: SURVEY.md §2.11 core (q1–q28), the
+queries()    — 164 catalog queries: SURVEY.md §2.11 core (q1–q28), the
                warehouse join suite, the LLM-data-pipeline suite (dedup /
                similarity / text analysis / multimodal plumbing), the
                corpus-curation suite (decontamination, repetition filters,
@@ -11,11 +11,12 @@ queries()    — 108 catalog queries: SURVEY.md §2.11 core (q1–q28), the
                heavy hitters, splits, samples, histograms, snapshot diff,
                embedding decontamination, Gopher gate, incremental
                dedup), the full 602-term location dictionary, k-means,
-               and the reprocess idempotence invariant. ALL 108 carry
+               and the reprocess idempotence invariant. ALL 164 carry
                DuckDB oracles.
                Ordered by verification priority (the driver checks the
-               first 50): see mbgspark/plans/catalog.py for the round-4
-               window packing rationale.
+               first 50): see mbgspark/plans/catalog.py for the round-5
+               window packing rationale (backlog-drain round — the
+               window is exclusively the never-driver-verified queue).
 oracle_sql() — matching DuckDB SQL per query.
 
 Implementation lives in the ``mbgspark`` package.
