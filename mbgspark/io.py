@@ -400,7 +400,7 @@ def retention_sweep(
     path: str,
     partition_col: str,
     keep_after: str,
-    dry_run: bool = False,
+    dry_run: bool = True,
 ) -> list[str]:
     """Partition retention for the day-partitioned store: drop partitions
     whose value sorts strictly below ``keep_after`` (ISO dates compare
@@ -409,18 +409,44 @@ def retention_sweep(
     collection-per-date naming is the same lifecycle). Deletion is
     per-partition-directory, so the store never rewrites surviving data
     — at 100 TB this is a metadata operation per dropped day, not a
-    copy. Returns the dropped partition values (``dry_run`` lists
-    without deleting); callers audit the list before a destructive run."""
-    import shutil
+    copy. Returns the dropped partition values.
 
+    Deletes through the Hadoop FileSystem API resolved from the path's
+    scheme, so the sweep works identically on ``file://``, ``hdfs://``
+    and ``s3a://`` stores (ADVICE r4: a local ``shutil.rmtree`` silently
+    deletes NOTHING on remote filesystems while still reporting the
+    partitions dropped). A partition that fails to delete — or that the
+    filesystem reports missing after the delete call — raises
+    ``RuntimeError`` naming it: a retention list must never claim a drop
+    that didn't happen. ``dry_run`` now defaults to True (audit-first):
+    callers list, review, then re-invoke with ``dry_run=False``."""
     values = [
         r[partition_col]
         for r in existing_partition_values(spark, path, partition_col).collect()
     ]
+    mixed = [v for v in values if v is not None and len(str(v)) != len(keep_after)]
+    if mixed:
+        raise ValueError(
+            "retention_sweep compares partition values lexicographically, "
+            f"which needs fixed-width values; found width-mismatched {mixed[:5]} "
+            f"vs cutoff {keep_after!r}"
+        )
     doomed = sorted(v for v in values if v is not None and str(v) < keep_after)
     if not dry_run:
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
         for v in doomed:
-            shutil.rmtree(
-                os.path.join(path, f"{partition_col}={v}"), ignore_errors=True
+            part_path = jvm.org.apache.hadoop.fs.Path(
+                os.path.join(path, f"{partition_col}={v}")
             )
+            fs = part_path.getFileSystem(conf)
+            # recursive delete; False return = not deleted (missing or
+            # failure) — re-check existence to distinguish, and raise on
+            # a partition that survives the call
+            deleted = bool(fs.delete(part_path, True))
+            if not deleted and bool(fs.exists(part_path)):
+                raise RuntimeError(
+                    f"retention_sweep: failed to delete partition "
+                    f"{partition_col}={v} under {path}"
+                )
     return [str(v) for v in doomed]

@@ -95,8 +95,24 @@ def as_of_join_cogrouped(
     NULL-timestamp left rows are therefore routed AROUND the merge
     (emitted with null asof values, matching the window form's
     last(ignorenulls) result) and null right timestamps are dropped
-    (they can never be "the most recent at-or-before" anything)."""
+    (they can never be "the most recent at-or-before" anything).
+
+    The right timestamp is renamed to the reserved ``__r_ts`` before the
+    merge (ADVICE r4): with the raw name, a left column spelled like
+    ``right_ts`` — including the common same-name-both-sides layout —
+    makes pandas suffix the collision ``_x``/``_y`` and the output
+    projection KeyErrors, where the window form handles same-name
+    columns fine. Left columns named ``__r_ts`` or colliding with an
+    ``asof_*`` output are rejected eagerly with the rename guidance."""
     import pandas as pd
+
+    reserved = {"__r_ts"} | {f"asof_{v}" for v in right_vals}
+    clash = sorted(reserved & set(left.columns))
+    if clash:
+        raise ValueError(
+            f"as_of_join_cogrouped: left columns {clash} collide with "
+            "reserved merge names (__r_ts / asof_*); rename them first"
+        )
 
     out_fields = [f for f in left.schema.fields]
     r_types = {v: right.schema[v].dataType.simpleString() for v in right_vals}
@@ -123,14 +139,16 @@ def as_of_join_cogrouped(
         l_sorted = l_live.sort_values(left_ts, kind="mergesort")
         r_sorted = (
             r_live[[right_ts] + right_vals]
-            .sort_values(right_ts, kind="mergesort")
-            .rename(columns={v: f"asof_{v}" for v in right_vals})
+            .rename(
+                columns={right_ts: "__r_ts", **{v: f"asof_{v}" for v in right_vals}}
+            )
+            .sort_values("__r_ts", kind="mergesort")
         )
         out = pd.merge_asof(
             l_sorted,
             r_sorted,
             left_on=left_ts,
-            right_on=right_ts,
+            right_on="__r_ts",
             direction="backward",
             allow_exact_matches=True,
         )[out_cols]

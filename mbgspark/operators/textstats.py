@@ -7,8 +7,14 @@ reproducible in an ANSI-SQL oracle — no model weights, no Python hot path.
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+# per-process id source for registered UDTF/view names — deterministic,
+# monotonic, and unique across concurrent chunk_documents_udtf calls
+_UDTF_CALL_IDS = itertools.count()
 
 # Tiny per-language marker-word lists (n-gram heuristic stand-in). On real
 # corpora swap for charset n-gram profiles; the operator shape is identical.
@@ -712,12 +718,20 @@ def chunk_documents_udtf(
     per-row expansion logic outgrows sequence/explode expressions
     (stateful tokenizers, model-driven segmentation). Row-at-a-time
     Python — prefer ``chunk_documents`` (pure codegen) in any hot path;
-    ``tests/test_chunking.py`` pins the two row-identical."""
+    ``tests/test_chunking.py`` pins the two row-identical.
+
+    Registered names are derived from a per-process counter (ADVICE r4:
+    fixed global ``__chunk_in``/``__chunk_udtf`` names let two
+    concurrent or nested calls in one session clobber each other's
+    view), and the interpolated column names are backtick-quoted so
+    non-identifier names (spaces, dashes, keywords) parse."""
     import re
 
     from pyspark.sql.functions import udtf
 
     id_type = df.schema[id_col].dataType.simpleString()
+    if "`" in id_col or "`" in text_col:
+        raise ValueError("column names containing backticks are not supported")
 
     # mirror the JVM semantics EXACTLY (the pin depends on it): Spark
     # trim() strips only ' ' (not tabs/newlines, unlike Python strip()),
@@ -726,7 +740,7 @@ def chunk_documents_udtf(
     # token in both engines, so empties are NOT dropped
     _java_ws = re.compile("[ \t\n\x0b\f\r]+")
 
-    @udtf(returnType=f"{id_col} {id_type}, chunk_idx int, chunk_text string, chunk_len bigint")
+    @udtf(returnType=f"`{id_col}` {id_type}, chunk_idx int, chunk_text string, chunk_len bigint")
     class Chunk:
         def eval(self, doc_id, text):
             toks = _java_ws.split((text or "").strip(" ").lower())
@@ -739,9 +753,12 @@ def chunk_documents_udtf(
                 )
 
     spark = df.sparkSession
-    spark.udtf.register("__chunk_udtf", Chunk)
-    df.createOrReplaceTempView("__chunk_in")
+    call_id = next(_UDTF_CALL_IDS)
+    udtf_name = f"__chunk_udtf_{call_id}"
+    view_name = f"__chunk_in_{call_id}"
+    spark.udtf.register(udtf_name, Chunk)
+    df.createOrReplaceTempView(view_name)
     return spark.sql(
-        f"SELECT c.* FROM __chunk_in, "
-        f"LATERAL __chunk_udtf({id_col}, {text_col}) AS c"
+        f"SELECT c.* FROM {view_name}, "
+        f"LATERAL {udtf_name}(`{id_col}`, `{text_col}`) AS c"
     )

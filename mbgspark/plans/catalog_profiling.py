@@ -867,7 +867,13 @@ def mad_anomalous_days(spark, sf_dir):
     them). The synthetic event stream is uniform (no genuinely anomalous
     days), so the surface emits EVERY day with its robust z and the
     flag — a flagged-only output would be a 0-row gate query, which is
-    no evidence at all (the Q22 lesson)."""
+    no evidence at all (the Q22 lesson).
+
+    MAD = 0 (at least half the days share the median count — plausible
+    on a flat series) makes the robust z undefined: the guard emits
+    NULL for robust_z_e4 AND is_anomaly on every day, identically in
+    both engines (ADVICE r4 — unguarded, Spark floors Infinity to
+    garbage while DuckDB errors casting it, a divergent failure)."""
     e = _t(spark, sf_dir, "events")
     daily = e.groupBy(F.to_date("ts").alias("day")).agg(
         F.count(F.lit(1)).alias("cnt")
@@ -881,9 +887,12 @@ def mad_anomalous_days(spark, sf_dir):
         dev.crossJoin(F.broadcast(mad))
         .withColumn(
             "robust_z_e4",
-            F.floor(
-                F.col("__ad") / (F.col("__mad") * 1.4826) * 10000 + F.lit(0.5)
-            ).cast("bigint"),
+            F.when(
+                F.col("__mad") > 0,
+                F.floor(
+                    F.col("__ad") / (F.col("__mad") * 1.4826) * 10000 + F.lit(0.5)
+                ).cast("bigint"),
+            ),
         )
         .select(
             F.date_format("day", "yyyy-MM-dd").alias("day"),
@@ -903,13 +912,19 @@ med AS (SELECT quantile_cont(cnt, 0.5) AS m FROM daily),
 dev AS (
   SELECT day, cnt, abs(cnt - (SELECT m FROM med)) AS ad FROM daily
 ),
-mad AS (SELECT quantile_cont(ad, 0.5) AS d FROM dev)
+mad AS (SELECT quantile_cont(ad, 0.5) AS d FROM dev),
+scored AS (
+  SELECT day, cnt,
+         CASE WHEN (SELECT d FROM mad) > 0
+              THEN CAST(floor(ad / ((SELECT d FROM mad) * 1.4826) * 10000 + 0.5)
+                        AS BIGINT)
+         END AS robust_z_e4
+  FROM dev
+)
 SELECT strftime(day, '%Y-%m-%d') AS day, CAST(cnt AS BIGINT) AS cnt,
-       CAST(floor(ad / ((SELECT d FROM mad) * 1.4826) * 10000 + 0.5) AS BIGINT)
-         AS robust_z_e4,
-       CAST(CAST(floor(ad / ((SELECT d FROM mad) * 1.4826) * 10000 + 0.5)
-                 AS BIGINT) > 30000 AS BIGINT) AS is_anomaly
-FROM dev
+       robust_z_e4,
+       CAST(robust_z_e4 > 30000 AS BIGINT) AS is_anomaly
+FROM scored
 ORDER BY day
 """
 

@@ -277,10 +277,49 @@ def start_cardinality_sink(
     with a NULL timestamp fold into an '__unknown__' day row rather
     than a NULL key (a NULL day would match neither isin(touched) nor
     its negation below and silently vanish on the next merge).
+
+    The store rewrite is a staged swap, not ``mode("overwrite")`` on the
+    live path (ADVICE r4: overwrite is delete-then-write — a crash
+    between the two permanently loses every prior day's sketch, and the
+    checkpoint will NOT replay old batches to rebuild them). Each fold
+    writes the next generation to a ``__staging`` sibling, then
+    delete-old + rename-staging — and the only crash window that leaves
+    the live path missing (between delete and rename) leaves a FULLY
+    COMMITTED staging generation behind, which the next fold's recovery
+    step renames into place before touching anything (completeness
+    attested by the parquet committer's _SUCCESS marker). Every crash
+    point therefore resolves to a complete store + an at-least-once
+    batch replay, which HLL-union idempotence absorbs. Staging also
+    removes the old read-while-overwriting-self hazard, so the fold
+    writes the plan directly instead of collecting rows through the
+    driver.
     """
+    staging_path = store_path.rstrip("/") + "__staging"
+
+    def _swap_in(spark: SparkSession) -> None:
+        jvm = spark._jvm
+        final_p = jvm.org.apache.hadoop.fs.Path(store_path)
+        stage_p = jvm.org.apache.hadoop.fs.Path(staging_path)
+        fs = final_p.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(final_p) and not fs.delete(final_p, True):
+            raise RuntimeError(f"cardinality sink: failed to drop old {store_path}")
+        if not fs.rename(stage_p, final_p):
+            raise RuntimeError(
+                f"cardinality sink: failed to promote {staging_path} -> {store_path}"
+            )
+
+    def _staging_committed(spark: SparkSession) -> bool:
+        jvm = spark._jvm
+        marker = jvm.org.apache.hadoop.fs.Path(staging_path + "/_SUCCESS")
+        fs = marker.getFileSystem(spark._jsc.hadoopConfiguration())
+        return bool(fs.exists(marker))
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        if not _store_exists(spark, store_path) and _staging_committed(spark):
+            # crashed between delete-old and rename: the staging
+            # generation IS the newest complete store — finish the swap
+            _swap_in(spark)
         day_sketches = batch_df.groupBy(
             F.coalesce(
                 F.date_format(ts_col, "yyyy-MM-dd"), F.lit("__unknown__")
@@ -300,12 +339,10 @@ def start_cardinality_sink(
             out = untouched.unionByName(merged_hit)
         else:
             out = day_sketches
-        # rewrite the tiny sketch table atomically (a few KB per day; at
-        # production scale partition by month and overwrite dynamically)
-        rows = out.collect()
-        spark.createDataFrame(rows, out.schema).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(store_path)
+        # stage the next generation (reads the live store, writes the
+        # sibling — no self-overwrite), then swap it into place
+        out.coalesce(1).write.mode("overwrite").parquet(staging_path)
+        _swap_in(spark)
 
     writer = stream.writeStream.foreachBatch(_fold).option(
         "checkpointLocation", checkpoint_path

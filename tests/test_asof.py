@@ -149,3 +149,49 @@ def test_scd2_rejects_late_arriving_updates(spark):
     )
     with pytest.raises(ValueError, match="late-arriving"):
         scd2_apply(dim, late, "k", ["seg"], "eff")
+
+
+def test_cogrouped_asof_same_name_timestamps(spark):
+    """Left and right timestamp columns sharing a name (the common
+    layout) work in the cogrouped form — the right ts is renamed to the
+    reserved __r_ts before merge_asof, so pandas never suffixes a
+    collision (ADVICE r4). Pinned equal to the window form."""
+    from mbgspark.operators.asof import as_of_join, as_of_join_cogrouped
+
+    left = spark.createDataFrame(
+        [(1, 100, 10), (1, 80, 11), (2, 50, 20)],
+        "user_id bigint, ts bigint, event_id bigint",
+    )
+    right = spark.createDataFrame(
+        [(1, 90, 1.0), (1, 100, 2.0), (2, 60, 3.0)],
+        "user_id bigint, ts bigint, vval double",
+    )
+    a = sorted(
+        (r["user_id"], r["event_id"], r["asof_vval"])
+        for r in as_of_join(left, right, "user_id", "ts", "ts", ["vval"]).collect()
+    )
+    b = sorted(
+        (r["user_id"], r["event_id"], r["asof_vval"])
+        for r in as_of_join_cogrouped(
+            left, right, "user_id", "ts", "ts", ["vval"]
+        ).collect()
+    )
+    assert b == [(1, 10, 2.0), (1, 11, None), (2, 20, None)]
+    assert a == b
+
+
+def test_cogrouped_asof_rejects_reserved_left_columns(spark):
+    """A left column colliding with the reserved merge names raises
+    eagerly with rename guidance instead of KeyErroring inside pandas."""
+    import pytest
+
+    from mbgspark.operators.asof import as_of_join_cogrouped
+
+    left = spark.createDataFrame(
+        [(1, 100, 5.0)], "user_id bigint, ts bigint, asof_vval double"
+    )
+    right = spark.createDataFrame(
+        [(1, 90, 1.0)], "user_id bigint, vts bigint, vval double"
+    )
+    with pytest.raises(ValueError, match="asof_vval"):
+        as_of_join_cogrouped(left, right, "user_id", "ts", "vts", ["vval"])

@@ -197,3 +197,26 @@ def test_udtf_chunker_matches_compositional(spark):
     b = norm(chunk_documents_udtf(d, "doc_id", "text", 20, 15))
     assert len(a) == len(b) > 0
     assert a == b
+
+
+def test_udtf_chunker_concurrent_calls_do_not_clobber(spark):
+    """Two chunker plans built before either is evaluated stay distinct:
+    registered view/UDTF names are per-call (ADVICE r4 — fixed global
+    names let the second call rebind the first plan's view)."""
+    from mbgspark.operators.textstats import chunk_documents_udtf
+
+    d1 = spark.createDataFrame(
+        [(1, "a b c d e f")], "doc_id bigint, text string"
+    )
+    d2 = spark.createDataFrame(
+        [(2, "x y z")], "doc_id bigint, text string"
+    )
+    out1 = chunk_documents_udtf(d1, "doc_id", "text", chunk_tokens=4, stride=2)
+    out2 = chunk_documents_udtf(d2, "doc_id", "text", chunk_tokens=4, stride=2)
+    # evaluate AFTER both are built — with shared names, out1 would now
+    # read d2's rows
+    r1 = sorted(map(tuple, out1.collect()))
+    r2 = sorted(map(tuple, out2.collect()))
+    assert {t[0] for t in r1} == {1}
+    assert {t[0] for t in r2} == {2}
+    assert r1[0][2].startswith("a b")

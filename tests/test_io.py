@@ -313,11 +313,12 @@ def test_retention_sweep_drops_only_old_partitions(spark, tmp_path):
     store = str(tmp_path / "store")
     write_partitioned(df, store, "event_date")
 
-    preview = retention_sweep(spark, store, "event_date", "2020-01-03", dry_run=True)
+    # dry_run is the DEFAULT (audit-first): listing deletes nothing
+    preview = retention_sweep(spark, store, "event_date", "2020-01-03")
     assert preview == ["2020-01-01", "2020-01-02"]
     assert spark.read.parquet(store).count() == 15  # dry run deleted nothing
 
-    dropped = retention_sweep(spark, store, "event_date", "2020-01-03")
+    dropped = retention_sweep(spark, store, "event_date", "2020-01-03", dry_run=False)
     assert dropped == ["2020-01-01", "2020-01-02"]
     left = spark.read.parquet(store)
     assert left.count() == 5

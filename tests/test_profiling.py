@@ -517,3 +517,39 @@ def test_mad_detector_flags_planted_spike_not_dragged_by_it(spark):
     }
     assert z["2024-01-07"] > 3
     assert all(v <= 3 for d, v in z.items() if d != "2024-01-07")
+
+
+def test_mad_zero_guard_flat_series_yields_null_in_both_engines(spark, tmp_path):
+    """A flat daily series (every day shares the median count) makes
+    MAD = 0 and the robust z undefined: the catalog query emits NULL
+    robust_z_e4 and NULL is_anomaly on every day, and the DuckDB oracle
+    agrees row-for-row instead of erroring on an infinity cast
+    (ADVICE r4)."""
+    import datetime as dt
+
+    import duckdb
+
+    from mbgspark.plans.catalog_profiling import MAD_SQL, mad_anomalous_days
+
+    rows = [
+        (dt.datetime(2024, 1, d, h), f"u{h}")
+        for d in range(1, 8)
+        for h in range(4)  # exactly 4 events every day -> MAD = 0
+    ]
+    spark.createDataFrame(rows, "ts timestamp, user_id string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "events.parquet"))
+
+    got = mad_anomalous_days(spark, str(tmp_path)).collect()
+    assert len(got) == 7
+    assert all(r["robust_z_e4"] is None and r["is_anomaly"] is None for r in got)
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet/*.parquet')"
+    )
+    oracle = con.execute(MAD_SQL).fetchall()
+    assert [(r["day"], r["cnt"], r["robust_z_e4"], r["is_anomaly"]) for r in got] == [
+        tuple(row) for row in oracle
+    ]

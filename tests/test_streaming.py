@@ -422,3 +422,114 @@ def test_drift_monitor_flags_shifted_batch(spark, tmp_path):
     mixed_psi = rows[1][1]
     assert balanced_psi < 50_000, balanced_psi
     assert mixed_psi > 250_000, mixed_psi
+
+
+def test_cardinality_sink_recovers_staged_generation_after_crash(spark, tmp_path):
+    """Crash-window recovery for the staged sketch-store swap (ADVICE
+    r4): if a crash lands between delete-old and rename-staging, the
+    live path is missing but the staging dir holds the fully-committed
+    newest generation — the next fold renames it into place before
+    folding, so no prior day's sketch is ever lost. Simulated by moving
+    the store into the staging path (the exact on-disk crash state)."""
+    import shutil
+
+    from mbgspark.streaming import read_tweet_stream, start_cardinality_sink
+
+    src = tmp_path / "crsrc"
+    store = str(tmp_path / "crstore")
+
+    def run(ckpt):
+        q = start_cardinality_sink(
+            read_tweet_stream(spark, str(src)),
+            store,
+            str(tmp_path / ckpt),
+            key_col="author_handle",
+            ts_col="created_at",
+            available_now=True,
+        )
+        q.awaitTermination(120)
+
+    day1 = [dict(R1, _id=str(i), author_handle=f"a{i % 3}") for i in range(10)]
+    _write_batch(src, day1)
+    run("cr_ck_a")
+
+    # simulate the crash: store vanished mid-swap, staging holds the
+    # committed generation
+    shutil.move(store, store + "__staging")
+    assert not (tmp_path / "crstore").exists()
+
+    day2 = [
+        dict(R2, _id=str(100 + i), author_handle=f"b{i % 5}") for i in range(10)
+    ]
+    _write_batch(src, day2)
+    run("cr_ck_b")
+
+    est = {
+        r["day"]: r["est"]
+        for r in spark.read.parquet(store)
+        .select("day", F.hll_sketch_estimate("hll_sketch").alias("est"))
+        .collect()
+    }
+    # day 1's sketches survived the crash; day 2 folded on top
+    assert est == {"2025-01-01": 3, "2025-01-02": 5}
+
+
+def test_merge_sink_restarts_from_checkpoint_after_mid_batch_crash(spark, tmp_path):
+    """Kill-and-restart recovery for the merge sink (VERDICT r4 item 5;
+    reference analog: the browser-restart recovery loop,
+    resilient_etl.py:388-404). The crash state is constructed exactly as
+    Spark leaves it when a query dies mid-batch: the checkpoint's
+    offsets/N exists but commits/N does not — the batch's side effect
+    (the store merge) already ran, the commit never landed. On restart
+    the engine re-delivers batch N from the recorded offsets; the keyed
+    merge is idempotent, so the store converges to the single-run
+    result."""
+    src = tmp_path / "crash_src"
+    store = str(tmp_path / "crash_store")
+    ck = tmp_path / "crash_ck"
+
+    # batch 0 processed and committed...
+    _write_batch(src, [R1, R2])
+    q = start_merge_sink(
+        read_tweet_stream(spark, str(src)), store, str(ck), available_now=True
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(store).count() == 2
+
+    # ...then "crash mid-batch": erase the commit marker, keeping the
+    # offset — the on-disk state of a query killed between side effect
+    # and commit
+    commit0 = ck / "commits" / "0"
+    assert commit0.exists()
+    commit0.unlink()
+    crc = ck / "commits" / ".0.crc"  # local-FS checksum twin of the marker
+    if crc.exists():
+        crc.unlink()
+
+    # more data arrives while the job is down
+    _write_batch(src, [R1B])
+
+    # restart from the SAME checkpoint: batch 0 replays (merge no-op),
+    # then the new file processes as the next batch
+    q = start_merge_sink(
+        read_tweet_stream(spark, str(src)), store, str(ck), available_now=True
+    )
+    q.awaitTermination(120)
+
+    back = spark.read.parquet(store)
+    assert back.count() == 2
+    assert back.filter(F.col("_id") == "1").first()["like_count"] == 5
+
+    # equality with the no-crash single run over the same source
+    fresh_store = str(tmp_path / "fresh_store")
+    q = start_merge_sink(
+        read_tweet_stream(spark, str(src)),
+        fresh_store,
+        str(tmp_path / "fresh_ck"),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    cols = sorted(back.columns)
+    got = sorted(map(tuple, back.select(*cols).collect()))
+    want = sorted(map(tuple, spark.read.parquet(fresh_store).select(*cols).collect()))
+    assert got == want
