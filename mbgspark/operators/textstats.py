@@ -597,6 +597,7 @@ def tfidf_cosine_pairs(
     text_col: str = "text",
     k: int = 3,
     min_cos_e6: int = 100000,
+    max_block_df: int | None = 100,
 ) -> DataFrame:
     """Sparse TF-IDF cosine similarity between documents — the
     sparse-vector member of the near-dup family (Jaccard sees token SETS,
@@ -606,15 +607,29 @@ def tfidf_cosine_pairs(
 
     Scale shape = top-term blocking on the inverted index: each doc is
     pruned to its top-k TF-IDF terms (``tfidf_top_terms`` — row-local
-    after one TF shuffle), and the candidate+dot step is ONE equi-self-
-    join on those terms followed by a pair aggregate — pairs exist only
-    for docs sharing a TOP term, never all-pairs; characteristic terms
-    are rare by construction (high IDF), so bucket sizes stay small
-    exactly where a raw-token join would explode. Norms are per-doc
-    row-local sums. All integer-micro weights: products are exact in
-    double, the cosine is quantized to e6 before the driver hash.
+    after one TF shuffle); candidate pairs come from an equi-self-join
+    on those terms, then the dot aggregates per pair — never all-pairs.
+
+    The blocking key carries a STOP-TERM CUTOFF (VERDICT r4 item 3): a
+    term held as a top term by more than ``max_block_df`` documents is
+    excluded from CANDIDATE GENERATION (not from scoring), so block
+    sizes — and with them candidate volume, ≤ vocab·max_block_df²/2 —
+    are bounded by construction instead of by vocabulary luck. Without
+    it, a cohort sharing a tiny vocabulary degenerates toward all-pairs
+    (measured r4: 5,030 docs over ~60 words → 4.5M pairs / 54 s).
+    Surviving pairs keep their EXACT uncapped cosine: the dot re-joins
+    the full top-k term lists, so only pairs sharing NO sub-cutoff term
+    are lost — precisely the pairs whose every shared term is a
+    cohort-wide stopword, the least characteristic matches. When every
+    block is under the cutoff the output is identical to the uncapped
+    join. ``max_block_df=None`` opts into the unbounded single-join
+    (the r4 behavior). Norms are per-doc row-local sums. All
+    integer-micro weights: products are exact in double, the cosine is
+    quantized to e6 before the driver hash.
 
     Emits (id_a, id_b, n_shared_terms, cos_e6 >= min_cos_e6)."""
+    from pyspark.sql import Window
+
     t = tfidf_top_terms(df, id_col, text_col, k)
     # accumulate norms/dots in DOUBLE, mirroring the oracle exactly: a
     # corpus-unique term repeated ~220+ times at web-scale N pushes
@@ -633,15 +648,45 @@ def tfidf_cosine_pairs(
     b = t.select(
         F.col(id_col).alias("id_b"), "term", F.col("score_micro").alias("__wb")
     )
-    dots = (
-        a.join(b, "term")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_shared_terms"),
-            F.sum(F.col("__wa") * F.col("__wb")).alias("__dot"),
+    if max_block_df is None:
+        dots = (
+            a.join(b, "term")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_shared_terms"),
+                F.sum(F.col("__wa") * F.col("__wb")).alias("__dot"),
+            )
         )
-    )
+    else:
+        # block df = how many docs hold the term in their top-k — the
+        # block size itself, counted over the SAME term-partitioned
+        # shuffle (window, not a second aggregate lineage)
+        rare = (
+            t.withColumn(
+                "__bdf", F.count(F.lit(1)).over(Window.partitionBy("term"))
+            )
+            .filter(F.col("__bdf") <= max_block_df)
+            .select(id_col, "term")
+        )
+        cand = (
+            rare.select(F.col(id_col).alias("id_a"), "term")
+            .join(rare.select(F.col(id_col).alias("id_b"), "term"), "term")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        # full dot for surviving candidates: re-join the complete top-k
+        # lists so the cutoff changes WHICH pairs form, never their score
+        dots = (
+            cand.join(a, "id_a")
+            .join(b.withColumnRenamed("__wb", "__wb_"), ["id_b", "term"])
+            .groupBy("id_a", "id_b")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_shared_terms"),
+                F.sum(F.col("__wa") * F.col("__wb_")).alias("__dot"),
+            )
+        )
     na = norms.select(F.col(id_col).alias("id_a"), F.col("__norm").alias("__na"))
     nb = norms.select(F.col(id_col).alias("id_b"), F.col("__norm").alias("__nb"))
     return (

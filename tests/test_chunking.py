@@ -220,3 +220,53 @@ def test_udtf_chunker_concurrent_calls_do_not_clobber(spark):
     assert {t[0] for t in r1} == {1}
     assert {t[0] for t in r2} == {2}
     assert r1[0][2].startswith("a b")
+
+
+def test_tfidf_cosine_stop_term_cutoff_bounds_blocks_not_scores(spark):
+    """The max_block_df blocking cutoff (VERDICT r4 item 3): a pair
+    sharing ONLY an over-cutoff stop term never forms, a pair sharing
+    any rare term survives WITH ITS EXACT UNCAPPED COSINE (the dot
+    re-joins full top-k lists), and when every block is under the
+    cutoff the capped and uncapped outputs are identical."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from mbgspark.operators.textstats import tfidf_cosine_pairs
+
+    # 'common' tops every doc; rarepair tops only docs 1/2
+    rows = [
+        (1, "common common rarepair alpha"),
+        (2, "common common rarepair beta"),
+        (3, "common common gamma delta"),
+        (4, "common common epsilon zeta"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    uncapped = {
+        (r["id_a"], r["id_b"]): (r["n_shared_terms"], r["cos_e6"])
+        for r in tfidf_cosine_pairs(
+            d, "doc_id", "text", k=3, min_cos_e6=1, max_block_df=None
+        ).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"]): (r["n_shared_terms"], r["cos_e6"])
+        for r in tfidf_cosine_pairs(
+            d, "doc_id", "text", k=3, min_cos_e6=1, max_block_df=3
+        ).collect()
+    }
+    # 'common' (block df 4 > 3) is no longer a blocking key: pairs that
+    # shared only it are gone, the rare-term pair survives
+    assert (1, 2) in capped
+    assert (3, 4) not in capped and (1, 3) not in capped
+    # the survivor's score is the EXACT uncapped score (incl. the shared
+    # stop term's contribution to the dot)
+    assert capped[(1, 2)] == uncapped[(1, 2)]
+    assert uncapped[(1, 2)][0] == 2  # common + rarepair both shared
+
+    # cutoff above every block size -> identical output
+    wide = {
+        (r["id_a"], r["id_b"]): (r["n_shared_terms"], r["cos_e6"])
+        for r in tfidf_cosine_pairs(
+            d, "doc_id", "text", k=3, min_cos_e6=1, max_block_df=100
+        ).collect()
+    }
+    assert wide == uncapped

@@ -292,19 +292,26 @@ def main() -> None:
     )
 
     # ---- round-4 closing batch ----
-    # tfidf_cosine on the hash-rewritten corpus measures the HONEST
-    # worst case: tokens are rewritten per COPY, so each 5,030-doc copy
-    # still shares the generator's tiny vocabulary internally and
-    # blocking degrades toward intra-copy all-pairs (measured: 4.5M
-    # pairs, 54 s at N=20). The operator's own docstring carries the
-    # caveat — top-term blocking is VOCABULARY-driven and needs genuinely
-    # rare characteristic terms; this row is the quantified evidence
+    # tfidf_cosine on the hash-rewritten corpus exercises the
+    # vocabulary-degenerate worst case: tokens are rewritten per COPY,
+    # so each 5,030-doc copy still shares the generator's tiny
+    # vocabulary internally and uncapped blocking degrades toward
+    # intra-copy all-pairs (measured r4: 4.5M pairs, 54 s at N=20).
+    # Since round 5 the DEFAULT max_block_df=100 stop-term cutoff bounds
+    # block sizes by construction (VERDICT r4 item 3) — both variants
+    # run here so SCALE.md carries capped time + pair-recall vs uncapped
     from mbgspark.operators.textstats import bigram_surprise  # noqa: F811
     from mbgspark.operators.textstats import bm25_search, tfidf_cosine_pairs
 
     run(
-        "tfidf_cosine_pairs",
+        "tfidf_cosine_pairs_capped",
         tfidf_cosine_pairs(corpus, "id", "t", k=3, min_cos_e6=600000),
+    )
+    run(
+        "tfidf_cosine_pairs_uncapped",
+        tfidf_cosine_pairs(
+            corpus, "id", "t", k=3, min_cos_e6=600000, max_block_df=None
+        ),
     )
     # BM25 over the scaled corpus for 3 terms drawn from copy-0's
     # rewritten vocabulary (they exist; other copies' tokens differ)
