@@ -176,6 +176,7 @@ def lsh_candidate_pairs(
     rows_per_band: int = 2,
     max_bucket_size: int | None = 1000,
     on_oversized=None,
+    observe_oversized=None,
 ) -> DataFrame:
     """Band the signature; docs sharing any band bucket become candidate pairs.
 
@@ -206,13 +207,49 @@ def lsh_candidate_pairs(
     it in its own action (ADVICE r3). Mega-clusters of IDENTICAL text are
     not lost either way: exact dedup runs before LSH in the curation
     pipeline; what the cap skips is near-identical (non-exact) clusters
-    above the cap, which is why production pipelines should monitor."""
+    above the cap, which is why production pipelines should monitor.
+
+    ``observe_oversized`` (VERDICT r4 item 4) is the zero-cost default
+    monitoring channel: pass a ``pyspark.sql.Observation`` and the
+    bucket-size aggregate — which the cap computes anyway — is observed
+    for ``oversized_buckets`` / ``oversized_rows`` counts AS A SIDE
+    EFFECT of whatever action the caller runs on the returned pairs (the
+    ``observed_ingest`` pattern: no second band-row pass, no separate
+    action). Read ``observation.get`` after the action."""
     band_rows = _lsh_band_rows(signatures, id_col, bands, rows_per_band)
     if max_bucket_size is not None:
         sized = band_rows.groupBy("band_idx", "band_key").agg(
             F.count("*").alias("__n")
         )
+        if observe_oversized is not None:
+            sized = sized.observe(
+                observe_oversized,
+                F.sum(
+                    F.when(F.col("__n") > max_bucket_size, 1).otherwise(0)
+                ).alias("oversized_buckets"),
+                F.sum(
+                    F.when(F.col("__n") > max_bucket_size, F.col("__n")).otherwise(
+                        0
+                    )
+                ).alias("oversized_rows"),
+            )
         oversized = sized.filter(F.col("__n") > max_bucket_size)
+        blacklist = oversized.select("band_idx", "band_key")
+        if observe_oversized is not None:
+            # AQE's empty-relation propagation would PRUNE the observed
+            # subtree whenever no bucket exceeds the cap (the common
+            # case) — the metrics row then never materializes and
+            # Observation.get fails. A sentinel row (band_idx = -1,
+            # which _lsh_band_rows never emits) keeps the anti-join's
+            # build side non-empty, so the bucket-size aggregate — and
+            # the metrics riding it — always executes. One literal row;
+            # the non-observed path keeps the pure blacklist.
+            spark = signatures.sparkSession
+            sentinel = spark.range(1).select(
+                F.lit(-1).cast("int").alias("band_idx"),
+                F.lit("__sentinel__").alias("band_key"),
+            )
+            blacklist = blacklist.unionByName(sentinel)
         if on_oversized is not None:
             on_oversized(
                 oversized.select(
@@ -222,7 +259,7 @@ def lsh_candidate_pairs(
                 )
             )
         band_rows = band_rows.join(
-            oversized.select("band_idx", "band_key"),
+            blacklist,
             ["band_idx", "band_key"],
             "left_anti",
         )
@@ -365,6 +402,7 @@ def minhash_near_dups(
     threshold: float = 0.6,
     max_bucket_size: int | None = 1000,
     on_oversized=None,
+    observe_oversized=None,
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: shingle → signature → band buckets →
     candidate pairs → exact-Jaccard verify. All equi-joins and group-bys;
@@ -394,6 +432,7 @@ def minhash_near_dups(
     pairs = lsh_candidate_pairs(
         sig, id_col, bands, num_hashes // bands,
         max_bucket_size=max_bucket_size, on_oversized=on_oversized,
+        observe_oversized=observe_oversized,
     )
     arrays = packed.select(id_col, "__shingles")
     return jaccard_verify_arrays(arrays, pairs, id_col, threshold, "__shingles")

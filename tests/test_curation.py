@@ -447,3 +447,53 @@ def test_domain_cap_is_deterministic_and_nested(spark):
         .collect()
     )
     assert all(r["n"] == 5 for r in per)
+
+
+def test_curation_neardup_emits_oversized_metrics_without_extra_action(spark):
+    """VERDICT r4 item 4: a planted mega-cluster of NEAR-identical
+    (non-exact) texts that blows past the LSH bucket cap surfaces in the
+    pipeline's own Observation metrics as a side effect of the one
+    survivors action — no opt-in plumbing, no second band-row pass. A
+    clean corpus reports zero oversized buckets through the same
+    channel."""
+    from pyspark.sql import functions as F
+
+    from mbgspark.operators.curation import curate_neardup_observed
+
+    base = "shared viral boilerplate text repeated across the whole cluster"
+    mega = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        # unique trailing token: exact dedup must NOT collapse these,
+        # so they all reach LSH and land in the same band buckets
+        F.concat(F.lit(base + " tail"), F.col("id").cast("string")).alias(
+            "text"
+        ),
+    )
+    clean = spark.createDataFrame(
+        [(1000 + i, f"totally distinct document number {i} about topic {i}") for i in range(5)],
+        "doc_id bigint, text string",
+    )
+    corpus = mega.unionByName(clean)
+
+    survivors, obs = curate_neardup_observed(
+        corpus, "doc_id", "text", threshold=0.5, max_bucket_size=100
+    )
+    n = survivors.count()  # the ONE action; metrics ride it
+    got = obs.get
+    assert got["oversized_buckets"] >= 1
+    assert got["oversized_rows"] > 100
+    # capped buckets generate no pairs, so the mega-cluster survives
+    # intact (observable, not silently shrunk) and clean docs survive
+    assert n == 305
+
+    s2, obs2 = curate_neardup_observed(
+        spark.createDataFrame(
+            [(i, f"unique text {i} with its own words {i*7}") for i in range(20)],
+            "doc_id bigint, text string",
+        ),
+        "doc_id",
+        "text",
+        max_bucket_size=100,
+    )
+    assert s2.count() == 20
+    assert obs2.get["oversized_buckets"] == 0
