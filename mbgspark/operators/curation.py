@@ -645,15 +645,26 @@ def curate_neardup_observed(
     greedy — the batch convention). Returns ``(survivors, observation)``.
 
     The cap's silent-drop trade-off (ADVICE r3) is closed here without
-    opt-in plumbing: the bucket-size aggregate the cap computes anyway is
-    observed (``observe_oversized``), so ``observation.get`` — read after
-    any action on the survivors — reports ``oversized_buckets`` /
+    opt-in plumbing: the bucket-size aggregate the cap computes anyway
+    collapses to a ONE-ROW global metrics frame (``metrics_out``), which
+    is crossJoined — broadcast, ×1 cardinality — into the survivors
+    lineage and ``observe()``d there, so ``observation.get`` — read
+    after any action on the survivors — reports ``oversized_buckets`` /
     ``oversized_rows`` as a side effect of the run itself, the
-    ``observed_ingest`` pattern. A mega-cluster of near-identical
-    (non-exact) texts that blows past the cap therefore shows up in the
-    pipeline's own metrics instead of vanishing; exact mega-clusters
-    never reach LSH (the fingerprint stage collapses them first, which
-    has no quadratic step)."""
+    ``observed_ingest`` pattern. The global-agg + crossJoin shape is
+    deliberate: a global aggregate emits exactly one row even on empty
+    input, so AQE's empty-relation propagation can never fold the
+    metrics subtree away — observing the bucket frame inside the pair
+    plan instead (the first implementation) silently lost the metrics
+    whenever the candidate join or the drop anti-join came up
+    runtime-empty, i.e. precisely on the clean corpora that should
+    report zero. A mega-cluster of near-identical (non-exact) texts that
+    blows past the cap therefore shows up in the pipeline's own metrics
+    instead of vanishing; exact mega-clusters never reach LSH (the
+    fingerprint stage collapses them first, which has no quadratic
+    step). Edge: if the action's result is zero survivor rows the
+    crossJoin itself is empty-folded and ``observation.get`` raises —
+    a corpus that curates to nothing has no metrics ride to attach to."""
     from pyspark.sql import Observation
 
     from mbgspark.operators.dedup import minhash_near_dups
@@ -666,7 +677,7 @@ def curate_neardup_observed(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
-    obs = Observation("curation_neardup_metrics")
+    metrics: list[DataFrame] = []
     pairs = minhash_near_dups(
         uniq,
         id_col,
@@ -676,8 +687,18 @@ def curate_neardup_observed(
         bands=bands,
         threshold=threshold,
         max_bucket_size=max_bucket_size,
-        observe_oversized=obs,
+        metrics_out=metrics,
     )
     drop_ids = pairs.select(F.col("id_b").alias(id_col)).distinct()
-    survivors = uniq.join(drop_ids, id_col, "left_anti")
+    obs = Observation("curation_neardup_metrics")
+    mrow = metrics[0].observe(
+        obs,
+        F.max("oversized_buckets").alias("oversized_buckets"),
+        F.max("oversized_rows").alias("oversized_rows"),
+    )
+    survivors = (
+        uniq.join(drop_ids, id_col, "left_anti")
+        .crossJoin(F.broadcast(mrow))
+        .drop("oversized_buckets", "oversized_rows")
+    )
     return survivors, obs

@@ -176,7 +176,7 @@ def lsh_candidate_pairs(
     rows_per_band: int = 2,
     max_bucket_size: int | None = 1000,
     on_oversized=None,
-    observe_oversized=None,
+    metrics_out: list | None = None,
 ) -> DataFrame:
     """Band the signature; docs sharing any band bucket become candidate pairs.
 
@@ -209,47 +209,41 @@ def lsh_candidate_pairs(
     pipeline; what the cap skips is near-identical (non-exact) clusters
     above the cap, which is why production pipelines should monitor.
 
-    ``observe_oversized`` (VERDICT r4 item 4) is the zero-cost default
-    monitoring channel: pass a ``pyspark.sql.Observation`` and the
-    bucket-size aggregate — which the cap computes anyway — is observed
-    for ``oversized_buckets`` / ``oversized_rows`` counts AS A SIDE
-    EFFECT of whatever action the caller runs on the returned pairs (the
-    ``observed_ingest`` pattern: no second band-row pass, no separate
-    action). Read ``observation.get`` after the action."""
+    ``metrics_out`` (VERDICT r4 item 4) is the zero-extra-pass monitoring
+    channel: pass a list and a ONE-ROW metrics DataFrame —
+    ``(oversized_buckets, oversized_rows)``, a global aggregate over the
+    bucket-size frame the cap computes anyway — is appended for the
+    caller to fold into its own output lineage (crossJoin the broadcast
+    row, or ``observe()`` it; see ``curation.curate_neardup_observed``).
+    A global aggregate is the one shape that survives AQE: its output is
+    exactly one row even on empty input, so empty-relation propagation
+    can never fold it away — whereas observing the pre-filter bucket
+    frame directly (the first implementation) lost the metrics whenever
+    ANY downstream stage (the pair self-join, the verify joins, the
+    caller's anti-join) came up runtime-empty and AQE dropped the
+    then-unreferenced observed subtree, stages-already-executed
+    notwithstanding."""
     band_rows = _lsh_band_rows(signatures, id_col, bands, rows_per_band)
     if max_bucket_size is not None:
         sized = band_rows.groupBy("band_idx", "band_key").agg(
             F.count("*").alias("__n")
         )
-        if observe_oversized is not None:
-            sized = sized.observe(
-                observe_oversized,
-                F.sum(
-                    F.when(F.col("__n") > max_bucket_size, 1).otherwise(0)
-                ).alias("oversized_buckets"),
-                F.sum(
-                    F.when(F.col("__n") > max_bucket_size, F.col("__n")).otherwise(
-                        0
+        if metrics_out is not None:
+            metrics_out.append(
+                sized.agg(
+                    F.sum(F.when(F.col("__n") > max_bucket_size, 1).otherwise(0))
+                    .cast("bigint")
+                    .alias("oversized_buckets"),
+                    F.sum(
+                        F.when(
+                            F.col("__n") > max_bucket_size, F.col("__n")
+                        ).otherwise(0)
                     )
-                ).alias("oversized_rows"),
+                    .cast("bigint")
+                    .alias("oversized_rows"),
+                )
             )
         oversized = sized.filter(F.col("__n") > max_bucket_size)
-        blacklist = oversized.select("band_idx", "band_key")
-        if observe_oversized is not None:
-            # AQE's empty-relation propagation would PRUNE the observed
-            # subtree whenever no bucket exceeds the cap (the common
-            # case) — the metrics row then never materializes and
-            # Observation.get fails. A sentinel row (band_idx = -1,
-            # which _lsh_band_rows never emits) keeps the anti-join's
-            # build side non-empty, so the bucket-size aggregate — and
-            # the metrics riding it — always executes. One literal row;
-            # the non-observed path keeps the pure blacklist.
-            spark = signatures.sparkSession
-            sentinel = spark.range(1).select(
-                F.lit(-1).cast("int").alias("band_idx"),
-                F.lit("__sentinel__").alias("band_key"),
-            )
-            blacklist = blacklist.unionByName(sentinel)
         if on_oversized is not None:
             on_oversized(
                 oversized.select(
@@ -259,9 +253,18 @@ def lsh_candidate_pairs(
                 )
             )
         band_rows = band_rows.join(
-            blacklist,
+            oversized.select("band_idx", "band_key"),
             ["band_idx", "band_key"],
             "left_anti",
+        )
+    elif metrics_out is not None:
+        # cap disabled: nothing can be dropped — a literal zero row keeps
+        # the caller's fold unconditional
+        metrics_out.append(
+            signatures.sparkSession.range(1).select(
+                F.lit(0).cast("bigint").alias("oversized_buckets"),
+                F.lit(0).cast("bigint").alias("oversized_rows"),
+            )
         )
     a = band_rows.alias("a")
     b = band_rows.alias("b")
@@ -402,7 +405,7 @@ def minhash_near_dups(
     threshold: float = 0.6,
     max_bucket_size: int | None = 1000,
     on_oversized=None,
-    observe_oversized=None,
+    metrics_out: list | None = None,
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: shingle → signature → band buckets →
     candidate pairs → exact-Jaccard verify. All equi-joins and group-bys;
@@ -432,7 +435,7 @@ def minhash_near_dups(
     pairs = lsh_candidate_pairs(
         sig, id_col, bands, num_hashes // bands,
         max_bucket_size=max_bucket_size, on_oversized=on_oversized,
-        observe_oversized=observe_oversized,
+        metrics_out=metrics_out,
     )
     arrays = packed.select(id_col, "__shingles")
     return jaccard_verify_arrays(arrays, pairs, id_col, threshold, "__shingles")
@@ -475,6 +478,7 @@ def minhash_near_dups_incremental(
     threshold: float = 0.6,
     max_bucket_size: int | None = 1000,
     on_oversized=None,
+    metrics_out: list | None = None,
     corpus_index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Incremental near-dup detection — the production mode at 100 TB: a
@@ -532,11 +536,27 @@ def minhash_near_dups_incremental(
     if max_bucket_size is not None:
         # combined (batch+corpus) bucket population: a viral corpus bucket
         # joined by even one batch row would emit bucket_n pairs per doc
-        oversized = (
-            band_rows.groupBy("band_idx", "band_key")
-            .agg(F.count("*").alias("__n"))
-            .filter(F.col("__n") > max_bucket_size)
+        sized = band_rows.groupBy("band_idx", "band_key").agg(
+            F.count("*").alias("__n")
         )
+        if metrics_out is not None:
+            # one-row global aggregate — the AQE-elimination-proof shape
+            # (see lsh_candidate_pairs) for the caller's metrics fold
+            metrics_out.append(
+                sized.agg(
+                    F.sum(F.when(F.col("__n") > max_bucket_size, 1).otherwise(0))
+                    .cast("bigint")
+                    .alias("oversized_buckets"),
+                    F.sum(
+                        F.when(
+                            F.col("__n") > max_bucket_size, F.col("__n")
+                        ).otherwise(0)
+                    )
+                    .cast("bigint")
+                    .alias("oversized_rows"),
+                )
+            )
+        oversized = sized.filter(F.col("__n") > max_bucket_size)
         if on_oversized is not None:
             on_oversized(
                 oversized.select(
@@ -547,6 +567,13 @@ def minhash_near_dups_incremental(
             oversized.select("band_idx", "band_key"),
             ["band_idx", "band_key"],
             "left_anti",
+        )
+    elif metrics_out is not None:
+        metrics_out.append(
+            batch.sparkSession.range(1).select(
+                F.lit(0).cast("bigint").alias("oversized_buckets"),
+                F.lit(0).cast("bigint").alias("oversized_rows"),
+            )
         )
 
     # ONE bucket join: batch rows against ALL rows, corpus-corpus pairs

@@ -196,6 +196,7 @@ def start_neardup_gate_sink(
     text_col: str = "text",
     threshold: float = 0.6,
     available_now: bool = False,
+    on_metrics=None,
 ) -> StreamingQuery:
     """Streaming near-duplicate ingest gate: each micro-batch is checked
     against the accumulated store with ``minhash_near_dups_incremental``
@@ -214,17 +215,31 @@ def start_neardup_gate_sink(
     scale the store side runs against the persisted MinHash index
     (``build_minhash_index``) instead of re-reading raw text — wire it via
     the corpus_index parameter when the index store exists.
-    """
+
+    ``on_metrics(batch_id, {"oversized_buckets": n, "oversized_rows": n})``
+    surfaces the LSH bucket-cap drops per micro-batch (VERDICT r4 item 4)
+    — the one-row global metrics frame (``metrics_out``, the
+    AQE-elimination-proof shape; see ``lsh_candidate_pairs``) is
+    crossJoined into each batch's survivors and observed there, so the
+    numbers ride the batch's own append action; a viral mega-cluster
+    arriving on the stream shows up in the gate's metrics channel the
+    batch it lands. An all-duplicates batch appends zero rows, which
+    empty-folds the ride-along — reported as zeros (nothing new was
+    written, so nothing was capped away from the written set either)."""
     from mbgspark.operators.dedup import minhash_near_dups, minhash_near_dups_incremental
 
     def _gate(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Observation
+
         spark = batch_df.sparkSession
         batch_df = batch_df.dropDuplicates([id_col])
         slim = batch_df.select(id_col, text_col)
+        metrics: list[DataFrame] = [] if on_metrics else None
         if _store_exists(spark, store_path):
             corpus = spark.read.parquet(store_path).select(id_col, text_col)
             pairs = minhash_near_dups_incremental(
-                slim, corpus, id_col, text_col, threshold=threshold
+                slim, corpus, id_col, text_col, threshold=threshold,
+                metrics_out=metrics,
             )
             drop_ids = (
                 pairs.filter(F.col("match_source") == "corpus")
@@ -237,11 +252,35 @@ def start_neardup_gate_sink(
             )
         else:
             pairs = minhash_near_dups(
-                slim, id_col, text_col, threshold=threshold
+                slim, id_col, text_col, threshold=threshold,
+                metrics_out=metrics,
             )
             drop_ids = pairs.select(F.col("id_b").alias(id_col)).distinct()
         survivors = batch_df.join(drop_ids, id_col, "left_anti")
+        obs = None
+        if on_metrics:
+            obs = Observation(f"neardup_gate_{batch_id}")
+            mrow = metrics[0].observe(
+                obs,
+                F.max("oversized_buckets").alias("oversized_buckets"),
+                F.max("oversized_rows").alias("oversized_rows"),
+            )
+            survivors = survivors.crossJoin(F.broadcast(mrow)).drop(
+                "oversized_buckets", "oversized_rows"
+            )
         survivors.write.mode("append").parquet(store_path)
+        if obs is not None:
+            try:
+                got = obs.get
+            except Exception:  # zero survivors: the ride-along was folded
+                got = {}
+            on_metrics(
+                batch_id,
+                {
+                    "oversized_buckets": got.get("oversized_buckets") or 0,
+                    "oversized_rows": got.get("oversized_rows") or 0,
+                },
+            )
 
     writer = stream.writeStream.foreachBatch(_gate).option(
         "checkpointLocation", checkpoint_path

@@ -289,6 +289,8 @@ def test_neardup_gate_admits_each_document_once(spark, tmp_path):
     near = "quick brown fox jumps over the lazy dog near the river bank"  # 1st tok dropped
     other = "completely unrelated text about catalyst physical plan pruning rules"
 
+    metrics: list = []
+
     def run(batch_rows, ckpt):
         _write_batch(src, batch_rows)
         stream = (
@@ -296,7 +298,8 @@ def test_neardup_gate_admits_each_document_once(spark, tmp_path):
             .json(str(src))
         )
         q = start_neardup_gate_sink(
-            stream, store, str(ckpt), threshold=0.5, available_now=True
+            stream, store, str(ckpt), threshold=0.5, available_now=True,
+            on_metrics=lambda bid, m: metrics.append((bid, m)),
         )
         q.awaitTermination(120)
         return sorted(r["doc_id"] for r in spark.read.parquet(store).collect())
@@ -326,6 +329,11 @@ def test_neardup_gate_admits_each_document_once(spark, tmp_path):
     # fixpoint of the gate (exact self-dups all rejected)
     got = run([], ck / "3")
     assert got == [1, 3, 11]
+
+    # the per-batch LSH-cap metrics channel fired for every micro-batch
+    # and reports zero drops on this un-viral corpus
+    assert len(metrics) >= 2
+    assert all(m["oversized_buckets"] == 0 for _, m in metrics)
 
 
 def test_cardinality_sink_folds_sketches_and_replay_is_noop(spark, tmp_path):
