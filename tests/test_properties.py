@@ -175,3 +175,42 @@ def test_length_histogram_partitions_all_rows(spark, vals):
         b = v.bit_length() if v > 0 else 0
         expect[b] = expect.get(b, 0) + 1
     assert {r["len_bucket"]: r["cnt"] for r in out} == expect
+
+
+WORDS = st.lists(
+    st.sampled_from(
+        ["alpha", "beta", "gamma", "delta", "common", "stop", "rare1", "rare2"]
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(docs=st.lists(WORDS, min_size=2, max_size=8), cutoff=st.integers(1, 6))
+@SETTINGS
+def test_tfidf_cutoff_subset_and_score_preserving(spark, docs, cutoff):
+    """For ANY corpus and ANY cutoff: capped pairs ⊆ uncapped pairs, and
+    every surviving pair keeps its exact uncapped (n_shared_terms,
+    cos_e6) — the df stop-term cutoff changes WHICH pairs form, never
+    their score (VERDICT r4 item 3)."""
+    from mbgspark.operators.textstats import tfidf_cosine_pairs
+
+    d = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)],
+        "doc_id bigint, text string",
+    )
+    unc = {
+        (r["id_a"], r["id_b"]): (r["n_shared_terms"], r["cos_e6"])
+        for r in tfidf_cosine_pairs(
+            d, "doc_id", "text", k=3, min_cos_e6=1, max_block_df=None
+        ).collect()
+    }
+    cap = {
+        (r["id_a"], r["id_b"]): (r["n_shared_terms"], r["cos_e6"])
+        for r in tfidf_cosine_pairs(
+            d, "doc_id", "text", k=3, min_cos_e6=1, max_block_df=cutoff
+        ).collect()
+    }
+    assert set(cap) <= set(unc)
+    for pair, score in cap.items():
+        assert score == unc[pair]
