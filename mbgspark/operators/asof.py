@@ -113,6 +113,16 @@ def as_of_join_cogrouped(
             f"as_of_join_cogrouped: left columns {clash} collide with "
             "reserved merge names (__r_ts / asof_*); rename them first"
         )
+    if right_ts in right_vals:
+        # the rename dict would collapse ({right_ts: __r_ts} and
+        # {right_ts: asof_*} share a key) and the merge key vanishes —
+        # the window form handles this layout; use it, or alias the
+        # timestamp to a second column on the right first
+        raise ValueError(
+            f"as_of_join_cogrouped: right_vals must not contain the "
+            f"right timestamp column {right_ts!r}; select it under a "
+            "second alias on the right side, or use as_of_join"
+        )
 
     out_fields = [f for f in left.schema.fields]
     r_types = {v: right.schema[v].dataType.simpleString() for v in right_vals}

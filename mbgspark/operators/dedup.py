@@ -169,6 +169,38 @@ def _lsh_band_rows(
     ).select(id_col, *carry, "band.band_idx", "band.band_key")
 
 
+def _oversized_metrics_row(spark, sized: DataFrame | None, max_bucket_size):
+    """The one-row (oversized_buckets, oversized_rows) metrics frame for
+    the caller's observability fold — single-sourced so the candidate and
+    incremental paths can't drift. A global aggregate emits exactly one
+    row even on empty input (the AQE-elimination-proof shape), and the
+    sums are coalesced to 0 so an empty bucket frame (e.g. every doc
+    shorter than the shingle size) reports zeros, not NULLs. ``sized``
+    None means the cap is disabled — nothing can be dropped, literal
+    zeros."""
+    if sized is None:
+        return spark.range(1).select(
+            F.lit(0).cast("bigint").alias("oversized_buckets"),
+            F.lit(0).cast("bigint").alias("oversized_rows"),
+        )
+    return sized.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("__n") > max_bucket_size, 1).otherwise(0)),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("oversized_buckets"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("__n") > max_bucket_size, F.col("__n")).otherwise(0)
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("oversized_rows"),
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str,
@@ -230,18 +262,7 @@ def lsh_candidate_pairs(
         )
         if metrics_out is not None:
             metrics_out.append(
-                sized.agg(
-                    F.sum(F.when(F.col("__n") > max_bucket_size, 1).otherwise(0))
-                    .cast("bigint")
-                    .alias("oversized_buckets"),
-                    F.sum(
-                        F.when(
-                            F.col("__n") > max_bucket_size, F.col("__n")
-                        ).otherwise(0)
-                    )
-                    .cast("bigint")
-                    .alias("oversized_rows"),
-                )
+                _oversized_metrics_row(signatures.sparkSession, sized, max_bucket_size)
             )
         oversized = sized.filter(F.col("__n") > max_bucket_size)
         if on_oversized is not None:
@@ -258,13 +279,8 @@ def lsh_candidate_pairs(
             "left_anti",
         )
     elif metrics_out is not None:
-        # cap disabled: nothing can be dropped — a literal zero row keeps
-        # the caller's fold unconditional
         metrics_out.append(
-            signatures.sparkSession.range(1).select(
-                F.lit(0).cast("bigint").alias("oversized_buckets"),
-                F.lit(0).cast("bigint").alias("oversized_rows"),
-            )
+            _oversized_metrics_row(signatures.sparkSession, None, None)
         )
     a = band_rows.alias("a")
     b = band_rows.alias("b")
@@ -540,21 +556,8 @@ def minhash_near_dups_incremental(
             F.count("*").alias("__n")
         )
         if metrics_out is not None:
-            # one-row global aggregate — the AQE-elimination-proof shape
-            # (see lsh_candidate_pairs) for the caller's metrics fold
             metrics_out.append(
-                sized.agg(
-                    F.sum(F.when(F.col("__n") > max_bucket_size, 1).otherwise(0))
-                    .cast("bigint")
-                    .alias("oversized_buckets"),
-                    F.sum(
-                        F.when(
-                            F.col("__n") > max_bucket_size, F.col("__n")
-                        ).otherwise(0)
-                    )
-                    .cast("bigint")
-                    .alias("oversized_rows"),
-                )
+                _oversized_metrics_row(batch.sparkSession, sized, max_bucket_size)
             )
         oversized = sized.filter(F.col("__n") > max_bucket_size)
         if on_oversized is not None:
@@ -569,12 +572,7 @@ def minhash_near_dups_incremental(
             "left_anti",
         )
     elif metrics_out is not None:
-        metrics_out.append(
-            batch.sparkSession.range(1).select(
-                F.lit(0).cast("bigint").alias("oversized_buckets"),
-                F.lit(0).cast("bigint").alias("oversized_rows"),
-            )
-        )
+        metrics_out.append(_oversized_metrics_row(batch.sparkSession, None, None))
 
     # ONE bucket join: batch rows against ALL rows, corpus-corpus pairs
     # excluded by the side predicate — never generated, never filtered out
@@ -792,6 +790,8 @@ def auto_multiprobe_params(
     emb: DataFrame,
     vec_col: str = "embedding",
     target_bucket_size: int = 80,
+    block_bits: int | None = None,
+    tables: int | None = None,
 ) -> tuple[int, int]:
     """Derive (block_bits, tables) from the corpus itself — the measured
     sizing rule (r4, SCALE.md) promoted from docstring guidance to the
@@ -810,17 +810,35 @@ def auto_multiprobe_params(
     configuration (8 bits, 8 tables): 21.6 s / recall 0.994 where the
     old fixed (4, 4) ran 182 s at recall 0.989. The dim cap keeps
     axis-subset tables in range (tables·block_bits ≤ dim — beyond it,
-    element_at returns NULL and concat_ws silently shortens keys)."""
+    element_at returns NULL and concat_ws silently shortens keys).
+
+    Mixed explicit/derived calls resolve against each other, not against
+    the fully-auto values: an explicit ``block_bits`` makes the derived
+    tables = max(1, min(8, dim // block_bits)) — deriving tables from
+    the AUTO bits instead would let explicit-deep buckets silently
+    exceed dim (review r5) — and an explicit ``tables`` clamps the
+    derived bits to dim // tables."""
     import math
 
     n, dim = emb.agg(
         F.count(F.lit(1)), F.min(F.size(F.col(vec_col)))
     ).first()
     if not n or not dim:
-        return 4, 1
-    bits = max(4, math.ceil(math.log2(max(n, 1) / target_bucket_size)))
-    bits = min(bits, int(dim))
-    tables = max(1, min(8, int(dim) // bits))
+        return (
+            block_bits if block_bits is not None else 4,
+            tables if tables is not None else 1,
+        )
+    dim = int(dim)
+    if block_bits is None:
+        bits = max(4, math.ceil(math.log2(max(n, 1) / target_bucket_size)))
+        bits = min(bits, dim)
+        if tables is not None:
+            # explicit tables: the derived bits must still fit the dims
+            bits = max(1, min(bits, dim // max(tables, 1)))
+    else:
+        bits = block_bits
+    if tables is None:
+        tables = max(1, min(8, dim // max(bits, 1)))
     return bits, tables
 
 
@@ -867,9 +885,9 @@ def embedding_near_dups_multiprobe(
     Pass explicit values to pin a configuration (the catalog gate query
     does, so its oracle replays the same buckets)."""
     if block_bits is None or tables is None:
-        auto_bits, auto_tables = auto_multiprobe_params(emb, vec_col)
-        block_bits = auto_bits if block_bits is None else block_bits
-        tables = auto_tables if tables is None else tables
+        block_bits, tables = auto_multiprobe_params(
+            emb, vec_col, block_bits=block_bits, tables=tables
+        )
     tbl = emb.select(
         F.col(id_col).alias("id"),
         F.posexplode(

@@ -166,7 +166,22 @@ def ivf_topk(
     an equi-join on cell id. Pass ``corpus_index`` (a materialized
     ``build_ivf_index`` frame) to skip corpus assignment entirely — the
     same ingest-time-index contract as incremental dedup; centroids must
-    then match the ones the index was built with."""
+    then match the ones the index was built with.
+
+    ``corpus_index`` + all-default cells is rejected eagerly (review
+    r5): the auto √n count is a function of the CURRENT corpus size, so
+    an index persisted at 20k vectors probed with centroids re-derived
+    at 80k would rank against cells the index never assigned — probes
+    beyond the original cell set match nothing and recall silently
+    collapses. Pass the same ``n_cells`` (or the same ``centroids``)
+    the index was built with; record it next to the persisted index the
+    way you record any model parameter."""
+    if corpus_index is not None and n_cells is None and centroids is None:
+        raise ValueError(
+            "ivf_topk with corpus_index requires the n_cells (or centroids) "
+            "the index was built with — the auto default derives from the "
+            "CURRENT corpus count and may no longer match the index"
+        )
     if n_cells is None and centroids is None:
         n_cells = auto_ivf_cells(corpus)
     cents = _centroid_table(corpus, n_cells, id_col, vec_col, centroids)

@@ -803,7 +803,15 @@ def chunk_documents_udtf(
     view_name = f"__chunk_in_{call_id}"
     spark.udtf.register(udtf_name, Chunk)
     df.createOrReplaceTempView(view_name)
-    return spark.sql(
-        f"SELECT c.* FROM {view_name}, "
-        f"LATERAL {udtf_name}(`{id_col}`, `{text_col}`) AS c"
-    )
+    try:
+        # spark.sql analyzes eagerly, so the resolved plan no longer
+        # needs the registrations — drop both immediately or a
+        # long-lived session (streaming driver calling this per batch)
+        # accumulates one view + one function per call (review r5)
+        return spark.sql(
+            f"SELECT c.* FROM {view_name}, "
+            f"LATERAL {udtf_name}(`{id_col}`, `{text_col}`) AS c"
+        )
+    finally:
+        spark.catalog.dropTempView(view_name)
+        spark.sql(f"DROP TEMPORARY FUNCTION IF EXISTS {udtf_name}")

@@ -272,7 +272,14 @@ def start_neardup_gate_sink(
         if obs is not None:
             try:
                 got = obs.get
-            except Exception:  # zero survivors: the ride-along was folded
+            except Exception as e:
+                # ONLY the zero-survivors empty-fold is a benign zeros
+                # case (AQE folded the ride-along; Spark completes the
+                # observation with an empty row, surfacing as the toPyRow
+                # assertion). Anything else is a real failure — a metrics
+                # channel must never report "fine" on error (review r5).
+                if "assertion failed" not in str(e):
+                    raise
                 got = {}
             on_metrics(
                 batch_id,

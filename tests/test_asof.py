@@ -195,3 +195,22 @@ def test_cogrouped_asof_rejects_reserved_left_columns(spark):
     )
     with pytest.raises(ValueError, match="asof_vval"):
         as_of_join_cogrouped(left, right, "user_id", "ts", "vts", ["vval"])
+
+
+def test_cogrouped_asof_rejects_right_ts_in_right_vals(spark):
+    """right_vals containing the right timestamp column would collapse
+    the rename dict and KeyError inside the executor — rejected eagerly
+    with guidance (review r5); the window form handles the same request."""
+    import pytest
+
+    from mbgspark.operators.asof import as_of_join, as_of_join_cogrouped
+
+    left = spark.createDataFrame(
+        [(1, 100, 10)], "user_id bigint, lts bigint, event_id bigint"
+    )
+    right = spark.createDataFrame([(1, 90)], "user_id bigint, ts bigint")
+    with pytest.raises(ValueError, match="right_vals"):
+        as_of_join_cogrouped(left, right, "user_id", "lts", "ts", ["ts"])
+    # the window form serves the same request fine
+    got = as_of_join(left, right, "user_id", "lts", "ts", ["ts"]).collect()
+    assert got[0]["asof_ts"] == 90

@@ -397,3 +397,39 @@ def test_minhash_estimate_tracks_exact_jaccard(spark):
     for pair, d in got.items():
         # 8 hashes -> granularity 1250; allow two components of slack
         assert abs(d["minhash_est_e4"] - d["jaccard"] * 10000) <= 2 * 1250 + 1, d
+
+
+def test_auto_multiprobe_mixed_explicit_defaults_respect_dim(spark):
+    """Mixed explicit/derived sizing resolves against the explicit value
+    (review r5): explicit deep bits cap the derived tables at
+    dim // bits, and explicit tables clamp the derived bits — the
+    tables*bits <= dim invariant holds in every mix."""
+    big = spark.range(20000).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(float(i)) for i in range(64)]).alias("embedding"),
+    )
+    bits, tables = dd.auto_multiprobe_params(big, block_bits=16)
+    assert (bits, tables) == (16, 4)  # not the auto-bits-derived 8 tables
+    bits, tables = dd.auto_multiprobe_params(big, tables=8)
+    assert tables == 8 and bits * tables <= 64
+    narrow = spark.range(20000).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(float(i)) for i in range(8)]).alias("embedding"),
+    )
+    bits, tables = dd.auto_multiprobe_params(narrow, block_bits=4)
+    assert (bits, tables) == (4, 2)
+
+
+def test_oversized_metrics_zero_not_null_on_shingleless_corpus(spark):
+    """A corpus whose docs are all shorter than the shingle size yields
+    an EMPTY bucket frame — the metrics row must still read (0, 0), not
+    (NULL, NULL) (review r5: SUM over zero rows is NULL unguarded)."""
+    from mbgspark.operators.curation import curate_neardup_observed
+
+    tiny = spark.createDataFrame(
+        [(1, "one two"), (2, "three"), (3, "four five")],
+        "doc_id bigint, text string",
+    )
+    survivors, obs = curate_neardup_observed(tiny, "doc_id", "text")
+    assert survivors.count() == 3
+    assert obs.get == {"oversized_buckets": 0, "oversized_rows": 0}

@@ -248,3 +248,19 @@ def test_auto_ivf_cells_sqrt_rule_and_default_recall(spark):
         for r in ivf_topk(e, q, k=3, nprobe=4).collect()
     }
     assert len(auto & exact) / len(exact) >= 0.6, (cells, len(auto & exact))
+
+
+def test_ivf_topk_rejects_index_with_default_cells(spark):
+    """corpus_index + all-default cells raises eagerly (review r5): the
+    auto sqrt(n) count re-derives from the CURRENT corpus, which may no
+    longer match what the persisted index was built with."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mbgspark.io import load_table
+    from mbgspark.operators.similarity import build_ivf_index, ivf_topk
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    idx = build_ivf_index(e, n_cells=8)
+    with pytest.raises(ValueError, match="n_cells"):
+        ivf_topk(e, e.filter(F.col("vec_id") < 3), k=3, corpus_index=idx)

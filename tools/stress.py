@@ -193,12 +193,25 @@ def main() -> None:
         emb_corpus = emb_corpus.unionByName(p)
     # block_bits/tables SELF-SIZED (VERDICT r4 item 2): the default now
     # derives (bits, tables) from a cheap corpus count at plan-build time
-    # via auto_multiprobe_params — at this 20k-vector/64-dim stress that
-    # resolves to the measured-fast (8, 8) (21.6 s vs 182 s for the old
-    # fixed (4, 4), recall 0.994 vs 0.989) with NO argument passed.
+    # via auto_multiprobe_params with NO argument passed. The rule is
+    # asserted against this corpus's actual size (n_emb copies × 2 ×
+    # |embeddings|): at N=50 (20,000 vectors, 64 dims) it resolves to
+    # the measured-fast (8, 8) (21.6 s vs 182 s for the old fixed
+    # (4, 4), recall 0.994 vs 0.989); at N=20 (8,000 vectors) to (7, 8).
+    import math
+
+    n_vec = emb_corpus.count()
     auto_bits, auto_tables = dd.auto_multiprobe_params(emb_corpus)
-    print(f"auto multiprobe params: block_bits={auto_bits} tables={auto_tables}")
-    assert (auto_bits, auto_tables) == (8, 8), (auto_bits, auto_tables)
+    want_bits = min(64, max(4, math.ceil(math.log2(n_vec / 80))))
+    print(
+        f"auto multiprobe params: block_bits={auto_bits} tables={auto_tables}"
+        f" (n={n_vec}, rule bits={want_bits})"
+    )
+    assert (auto_bits, auto_tables) == (want_bits, min(8, 64 // want_bits)), (
+        auto_bits,
+        auto_tables,
+        n_vec,
+    )
     run(
         "embedding_multiprobe",
         dd.embedding_near_dups_multiprobe(emb_corpus, threshold=0.95),
