@@ -598,6 +598,7 @@ def tfidf_cosine_pairs(
     k: int = 3,
     min_cos_e6: int = 100000,
     max_block_df: int | None = 100,
+    terms_index: DataFrame | None = None,
 ) -> DataFrame:
     """Sparse TF-IDF cosine similarity between documents — the
     sparse-vector member of the near-dup family (Jaccard sees token SETS,
@@ -627,10 +628,26 @@ def tfidf_cosine_pairs(
     integer-micro weights: products are exact in double, the cosine is
     quantized to e6 before the driver hash.
 
+    INDEX CONTRACT (the ``build_minhash_index`` precedent): this plan
+    consumes the top-terms frame from SIX branches (blocking-df window,
+    both candidate sides, both dot sides, norms), and Spark's
+    ReuseExchange only merges canonically identical subtrees — so an
+    un-materialized lineage re-runs the TF/DF/pack aggregates once per
+    consumer (visible as six copies of the 1-row corpus-count broadcast
+    in the executed plan, pinned in test_plan_shapes). Production
+    materializes ``tfidf_top_terms`` once at ingest (parquet or
+    ``persist()`` — k rows per doc, far smaller than the corpus) and
+    passes it via ``terms_index``; results are pinned identical either
+    way. The self-contained default stays for bounded gate-SF runs.
+
     Emits (id_a, id_b, n_shared_terms, cos_e6 >= min_cos_e6)."""
     from pyspark.sql import Window
 
-    t = tfidf_top_terms(df, id_col, text_col, k)
+    t = (
+        terms_index
+        if terms_index is not None
+        else tfidf_top_terms(df, id_col, text_col, k)
+    )
     # accumulate norms/dots in DOUBLE, mirroring the oracle exactly: a
     # corpus-unique term repeated ~220+ times at web-scale N pushes
     # score_micro^2 past 2^63, where a bigint sum would wrap silently

@@ -270,3 +270,25 @@ def test_tfidf_cosine_stop_term_cutoff_bounds_blocks_not_scores(spark):
         ).collect()
     }
     assert wide == uncapped
+
+
+def test_tfidf_cosine_terms_index_path_is_identical(spark):
+    """The materialized-terms-index path (the build_minhash_index
+    contract applied to sparse cosine) returns row-identical results to
+    the self-contained default — and is what production passes so the
+    six-consumer plan stops re-running the TF/DF aggregates."""
+    from mbgspark.io import load_table
+    from mbgspark.operators.textstats import tfidf_cosine_pairs, tfidf_top_terms
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    direct = tfidf_cosine_pairs(d, "doc_id", "text", k=3, min_cos_e6=1).collect()
+    idx = tfidf_top_terms(d, "doc_id", "text", k=3).persist()
+    try:
+        idx.count()
+        indexed = tfidf_cosine_pairs(
+            d, "doc_id", "text", k=3, min_cos_e6=1, terms_index=idx
+        ).collect()
+        assert len(direct) == len(indexed) > 0
+        assert direct == indexed
+    finally:
+        idx.unpersist()

@@ -478,3 +478,28 @@ def test_label_noise_vote_is_bounded_aggregates(spark):
     plan = plan_of(spark, "label_noise")
     assert "Cartesian" not in plan
     assert plan.count("BroadcastNestedLoop") == 1  # the broadcast scorer
+
+
+def test_tfidf_cosine_capped_blocking_is_equijoins_no_cartesian(spark):
+    """The r5 stop-term blocking cutoff keeps the sparse-cosine plan
+    all-equi-join: candidate generation, the full-top-k dot re-join and
+    the norm joins are hash/sort-merge joins — no CartesianProduct, and
+    the only nested-loop join is the bounded 1-row corpus-count
+    broadcast inside tfidf_top_terms (one per consumer lineage) — and
+    the blocking-df count is a window over the SAME term partitioning,
+    not a second aggregate lineage."""
+    plan = plan_of(spark, "tfidf_cosine")
+    assert "CartesianProduct" not in plan
+    # every BNLJ in this plan must be the 1-row __n global-count
+    # broadcast (one per consumer copy of the top-terms lineage)
+    import re
+
+    bnlj = plan.count("BroadcastNestedLoopJoin")
+    n_count_aggs = len(
+        re.findall(
+            r"HashAggregate\(keys=\[\], functions=\[count\(1\)\], output=\[__n#",
+            plan,
+        )
+    )
+    assert bnlj > 0 and bnlj == n_count_aggs, (bnlj, n_count_aggs)
+    assert "windowspecdefinition(term" in plan
