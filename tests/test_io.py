@@ -327,3 +327,20 @@ def test_retention_sweep_drops_only_old_partitions(spark, tmp_path):
         F.min(F.col("event_date").cast("string")),
         F.max(F.col("event_date").cast("string")),
     ).first() == ("2020-01-03", "2020-01-03")
+
+
+def test_retention_sweep_rejects_mixed_width_partition_values(spark, tmp_path):
+    """Lexicographic retention needs fixed-width values: a store mixing
+    '2020-1-5'-style and ISO values raises instead of silently
+    mis-sorting ('2020-1-5' < '2020-01-06' lexicographically)."""
+    import pytest
+
+    from mbgspark.io import retention_sweep, write_partitioned
+
+    df = spark.createDataFrame(
+        [(1, "2020-01-05"), (2, "2020-1-6")], "id bigint, event_date string"
+    )
+    store = str(tmp_path / "mixed_store")
+    write_partitioned(df, store, "event_date")
+    with pytest.raises(ValueError, match="fixed-width"):
+        retention_sweep(spark, store, "event_date", "2020-01-06")
