@@ -113,6 +113,11 @@ def as_of_join_cogrouped(
             f"as_of_join_cogrouped: left columns {clash} collide with "
             "reserved merge names (__r_ts / asof_*); rename them first"
         )
+    if len(set(right_vals)) != len(right_vals):
+        raise ValueError(
+            "as_of_join_cogrouped: right_vals contains duplicates — the "
+            "output would carry ambiguous duplicate asof_* columns"
+        )
     if right_ts in right_vals:
         # the rename dict would collapse ({right_ts: __r_ts} and
         # {right_ts: asof_*} share a key) and the merge key vanishes —

@@ -817,7 +817,10 @@ def auto_multiprobe_params(
     tables = max(1, min(8, dim // block_bits)) — deriving tables from
     the AUTO bits instead would let explicit-deep buckets silently
     exceed dim (review r5) — and an explicit ``tables`` clamps the
-    derived bits to dim // tables."""
+    derived bits to dim // tables. An explicit value that can't fit the
+    vector width at all (tables > dim, or block_bits > dim) raises:
+    out-of-range dims silently truncate every bucket key toward one
+    global bucket, the quadratic blowup the sizing exists to prevent."""
     import math
 
     n, dim = emb.agg(
@@ -829,6 +832,16 @@ def auto_multiprobe_params(
             tables if tables is not None else 1,
         )
     dim = int(dim)
+    if block_bits is not None and block_bits > dim:
+        raise ValueError(
+            f"block_bits={block_bits} exceeds the vector dim {dim}; keys "
+            "would silently truncate (element_at past the end is NULL)"
+        )
+    if tables is not None and tables > dim:
+        raise ValueError(
+            f"tables={tables} exceeds the vector dim {dim}; even 1-bit "
+            "tables cannot fit (tables*block_bits must be <= dim)"
+        )
     if block_bits is None:
         bits = max(4, math.ceil(math.log2(max(n, 1) / target_bucket_size)))
         bits = min(bits, dim)

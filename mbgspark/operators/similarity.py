@@ -148,10 +148,8 @@ def ivf_topk(
     plan-build time (``auto_ivf_cells`` — the cell-count analog of the
     embedding-multiprobe block_bits rule); pass an explicit value to pin
     a configuration (the catalog gate queries do, so their oracles
-    replay the same cells). With a prebuilt ``corpus_index`` the auto
-    count derives from the same corpus, which matches an auto-built
-    index by construction; pin both explicitly when they're built at
-    different times.
+    replay the same cells). With a prebuilt ``corpus_index``, the cells
+    come from the INDEX, never re-derived — see below.
 
     Default centroids are the ``n_cells`` lowest-id corpus vectors —
     deterministic and cheap. Pass ``centroids`` (e.g. from
@@ -168,23 +166,31 @@ def ivf_topk(
     same ingest-time-index contract as incremental dedup; centroids must
     then match the ones the index was built with.
 
-    ``corpus_index`` + all-default cells is rejected eagerly (review
-    r5): the auto √n count is a function of the CURRENT corpus size, so
-    an index persisted at 20k vectors probed with centroids re-derived
-    at 80k would rank against cells the index never assigned — probes
-    beyond the original cell set match nothing and recall silently
-    collapses. Pass the same ``n_cells`` (or the same ``centroids``)
-    the index was built with; record it next to the persisted index the
-    way you record any model parameter."""
+    ``corpus_index`` + default cells derives the centroid table FROM THE
+    INDEX (review r5, second pass): default centroids are identified by
+    their corpus id (cell_id = the centroid row's ``id_col``), so the
+    index's distinct cell_ids joined back to the corpus reconstruct
+    exactly the build-time centroid set — immune to corpus growth, where
+    re-deriving √n cells from the CURRENT count would probe cells the
+    persisted index never assigned and recall would silently collapse
+    (the first-pass fix raised here; deriving from the index serves the
+    documented build-then-probe flow instead of rejecting it). Two
+    caveats, both inherent to the contract: an index built with EXPLICIT
+    centroids (kmeans) must still be probed with those centroids (its
+    cell_ids are list indices, not corpus ids — unchanged rule), and a
+    centroid row deleted from the corpus drops its cell from probing
+    (keep centroid rows, or rebuild the index)."""
     if corpus_index is not None and n_cells is None and centroids is None:
-        raise ValueError(
-            "ivf_topk with corpus_index requires the n_cells (or centroids) "
-            "the index was built with — the auto default derives from the "
-            "CURRENT corpus count and may no longer match the index"
+        cents = F.broadcast(
+            corpus.join(
+                corpus_index.select(F.col("cell_id").alias(id_col)).distinct(),
+                id_col,
+            ).select(F.col(id_col).alias("cell_id"), F.col(vec_col).alias("cent"))
         )
-    if n_cells is None and centroids is None:
-        n_cells = auto_ivf_cells(corpus)
-    cents = _centroid_table(corpus, n_cells, id_col, vec_col, centroids)
+    else:
+        if n_cells is None and centroids is None:
+            n_cells = auto_ivf_cells(corpus)
+        cents = _centroid_table(corpus, n_cells, id_col, vec_col, centroids)
     # corpus → nearest cell (top-1 by cosine), or the prebuilt index
     assigned = (
         corpus_index

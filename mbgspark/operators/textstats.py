@@ -821,10 +821,14 @@ def chunk_documents_udtf(
     spark.udtf.register(udtf_name, Chunk)
     df.createOrReplaceTempView(view_name)
     try:
-        # spark.sql analyzes eagerly, so the resolved plan no longer
-        # needs the registrations — drop both immediately or a
-        # long-lived session (streaming driver calling this per batch)
-        # accumulates one view + one function per call (review r5)
+        # classic PySpark's spark.sql analyzes eagerly (this repo
+        # requires classic — io.py drives the JVM directly), so the
+        # resolved plan no longer needs the registrations — drop both
+        # immediately or a long-lived session (streaming driver calling
+        # this per batch) accumulates one view + one function per call
+        # (review r5). Under Spark Connect (unsupported here) analysis
+        # is deferred and this drop would have to move after the first
+        # action instead.
         return spark.sql(
             f"SELECT c.* FROM {view_name}, "
             f"LATERAL {udtf_name}(`{id_col}`, `{text_col}`) AS c"

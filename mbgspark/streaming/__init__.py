@@ -224,8 +224,9 @@ def start_neardup_gate_sink(
     numbers ride the batch's own append action; a viral mega-cluster
     arriving on the stream shows up in the gate's metrics channel the
     batch it lands. An all-duplicates batch appends zero rows, which
-    empty-folds the ride-along — reported as zeros (nothing new was
-    written, so nothing was capped away from the written set either)."""
+    empty-folds the ride-along — that rare path falls back to evaluating
+    the tiny metrics aggregate directly (one small extra job), so the
+    reported counts are always the true ones."""
     from mbgspark.operators.dedup import minhash_near_dups, minhash_near_dups_incremental
 
     def _gate(batch_df: DataFrame, batch_id: int) -> None:
@@ -272,15 +273,17 @@ def start_neardup_gate_sink(
         if obs is not None:
             try:
                 got = obs.get
-            except Exception as e:
-                # ONLY the zero-survivors empty-fold is a benign zeros
-                # case (AQE folded the ride-along; Spark completes the
-                # observation with an empty row, surfacing as the toPyRow
-                # assertion). Anything else is a real failure — a metrics
-                # channel must never report "fine" on error (review r5).
-                if "assertion failed" not in str(e):
-                    raise
-                got = {}
+            except Exception:
+                # the ride-along can be folded away (AQE empty-relation
+                # propagation when the batch appends zero rows) and
+                # Observation.get then fails. Rather than classifying the
+                # exception by its prose — fragile across Spark versions,
+                # and every Scala assert says 'assertion failed' — resolve
+                # by EVALUATING the tiny metrics aggregate directly: one
+                # small job over the batch's band buckets, only on this
+                # rare path, reporting the TRUE capped counts (a genuinely
+                # broken channel re-raises here instead of logging zeros).
+                got = metrics[0].first().asDict()
             on_metrics(
                 batch_id,
                 {

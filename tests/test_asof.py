@@ -214,3 +214,18 @@ def test_cogrouped_asof_rejects_right_ts_in_right_vals(spark):
     # the window form serves the same request fine
     got = as_of_join(left, right, "user_id", "lts", "ts", ["ts"]).collect()
     assert got[0]["asof_ts"] == 90
+
+
+def test_cogrouped_asof_rejects_duplicate_right_vals(spark):
+    import pytest
+
+    from mbgspark.operators.asof import as_of_join_cogrouped
+
+    left = spark.createDataFrame(
+        [(1, 100, 10)], "user_id bigint, lts bigint, event_id bigint"
+    )
+    right = spark.createDataFrame(
+        [(1, 90, 1.0)], "user_id bigint, ts bigint, vval double"
+    )
+    with pytest.raises(ValueError, match="duplicates"):
+        as_of_join_cogrouped(left, right, "user_id", "lts", "ts", ["vval", "vval"])

@@ -433,3 +433,19 @@ def test_oversized_metrics_zero_not_null_on_shingleless_corpus(spark):
     survivors, obs = curate_neardup_observed(tiny, "doc_id", "text")
     assert survivors.count() == 3
     assert obs.get == {"oversized_buckets": 0, "oversized_rows": 0}
+
+
+def test_auto_multiprobe_rejects_unfittable_explicit_values(spark):
+    """Explicit knobs that cannot fit the vector width raise instead of
+    silently truncating every bucket key toward one global bucket
+    (review r5 second pass)."""
+    import pytest
+
+    narrow = spark.range(100).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(float(i)) for i in range(8)]).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="block_bits"):
+        dd.auto_multiprobe_params(narrow, block_bits=16)
+    with pytest.raises(ValueError, match="tables"):
+        dd.auto_multiprobe_params(narrow, tables=16)

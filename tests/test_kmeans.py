@@ -250,17 +250,34 @@ def test_auto_ivf_cells_sqrt_rule_and_default_recall(spark):
     assert len(auto & exact) / len(exact) >= 0.6, (cells, len(auto & exact))
 
 
-def test_ivf_topk_rejects_index_with_default_cells(spark):
-    """corpus_index + all-default cells raises eagerly (review r5): the
-    auto sqrt(n) count re-derives from the CURRENT corpus, which may no
-    longer match what the persisted index was built with."""
-    import pytest
+def test_ivf_index_default_cells_derive_from_index_and_survive_growth(spark):
+    """corpus_index + default cells probes the INDEX's centroid set
+    (cell_ids joined back to the corpus), not a re-derived sqrt(n) of
+    the CURRENT corpus — so a query against a persisted index stays
+    correct after the corpus grows (review r5: the re-derive would rank
+    against cells the index never assigned)."""
     from pyspark.sql import functions as F
 
     from mbgspark.io import load_table
     from mbgspark.operators.similarity import build_ivf_index, ivf_topk
 
     e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
-    idx = build_ivf_index(e, n_cells=8)
-    with pytest.raises(ValueError, match="n_cells"):
-        ivf_topk(e, e.filter(F.col("vec_id") < 3), k=3, corpus_index=idx)
+    idx = build_ivf_index(e, n_cells=8).persist()
+    try:
+        idx.count()
+        q = e.filter(F.col("vec_id") < 3)
+        explicit = ivf_topk(e, q, k=3, n_cells=8, corpus_index=idx).collect()
+        derived = ivf_topk(e, q, k=3, corpus_index=idx).collect()
+        assert derived == explicit and len(derived) > 0
+
+        # corpus grows AFTER the index was persisted: the derived-cells
+        # path still probes exactly the original 8 cells (new high-id
+        # vectors are simply not in the index; nothing mis-ranks)
+        base = e.select("vec_id", "embedding")
+        grown = base.unionByName(
+            base.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+        )
+        after_growth = ivf_topk(grown, q, k=3, corpus_index=idx).collect()
+        assert after_growth == explicit
+    finally:
+        idx.unpersist()
