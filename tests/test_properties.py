@@ -214,3 +214,45 @@ def test_tfidf_cutoff_subset_and_score_preserving(spark, docs, cutoff):
     assert set(cap) <= set(unc)
     for pair, score in cap.items():
         assert score == unc[pair]
+
+
+@given(
+    n=st.integers(1, 10_000_000),
+    dim=st.sampled_from([4, 8, 16, 64, 256]),
+)
+@SETTINGS
+def test_auto_multiprobe_invariant_any_corpus_shape(spark, n, dim):
+    """For ANY corpus size and vector width, the derived multiprobe
+    config satisfies tables*block_bits <= dim and block_bits >= 1 — the
+    key-truncation impossibility invariant (review r5). Checked against
+    a closed-form mirror of the rule (the Spark call only reads
+    count+dim); the companion test below pins the mirror to the real
+    operator on a sampled grid."""
+    import math
+
+    # mirror of auto_multiprobe_params' arithmetic (the Spark call is
+    # count+dim only; the property is about the closed-form rule)
+    bits = max(4, math.ceil(math.log2(max(n, 1) / 80)))
+    bits = min(bits, dim)
+    tables = max(1, min(8, dim // max(bits, 1)))
+    assert 1 <= bits <= dim
+    assert tables * bits <= dim or tables == 1 and bits <= dim
+    assert tables >= 1
+
+
+def test_auto_multiprobe_spark_matches_rule_mirror(spark):
+    """The Spark-side derivation equals the closed-form mirror for a
+    sampled (n, dim) grid — ties the property test above to the real
+    operator."""
+    import math
+
+    from mbgspark.operators.dedup import auto_multiprobe_params
+
+    for n, dim in [(50, 8), (500, 64), (5000, 16), (20000, 64)]:
+        d = spark.range(n).select(
+            F.col("id").alias("vec_id"),
+            F.array(*[F.lit(float(i)) for i in range(dim)]).alias("embedding"),
+        )
+        bits = min(max(4, math.ceil(math.log2(n / 80))), dim)
+        tables = max(1, min(8, dim // bits))
+        assert auto_multiprobe_params(d) == (bits, tables), (n, dim)
