@@ -842,6 +842,16 @@ def auto_multiprobe_params(
             f"tables={tables} exceeds the vector dim {dim}; even 1-bit "
             "tables cannot fit (tables*block_bits must be <= dim)"
         )
+    if (
+        block_bits is not None
+        and tables is not None
+        and block_bits * tables > dim
+    ):
+        raise ValueError(
+            f"tables*block_bits = {tables}*{block_bits} exceeds the vector "
+            f"dim {dim}; axis-subset tables past the end produce "
+            "silently-truncated keys"
+        )
     if block_bits is None:
         bits = max(4, math.ceil(math.log2(max(n, 1) / target_bucket_size)))
         bits = min(bits, dim)
@@ -896,7 +906,12 @@ def embedding_near_dups_multiprobe(
     tables·block_bits ≤ dim (miss probability is (1 − p^bits)^tables for
     per-dim sign-stability p; p ≈ 0.9 for the +0.03 perturbation here).
     Pass explicit values to pin a configuration (the catalog gate query
-    does, so its oracle replays the same buckets)."""
+    does, so its oracle replays the same buckets). Passing BOTH
+    explicitly skips the sizing aggregate entirely — deliberately
+    action-free, so the caller owns the tables·block_bits ≤ dim
+    invariant on that path (mixed and auto calls are validated; route
+    through ``auto_multiprobe_params`` to validate an explicit pair
+    against a corpus)."""
     if block_bits is None or tables is None:
         block_bits, tables = auto_multiprobe_params(
             emb, vec_col, block_bits=block_bits, tables=tables

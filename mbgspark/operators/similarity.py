@@ -90,12 +90,24 @@ def build_ivf_index(
     ``corpus_index``; re-centering (new k-means centroids) is an offline
     rebuild, exactly like a FAISS IVF retrain. ``n_cells=None`` (the
     default) auto-sizes to √n via ``auto_ivf_cells``; explicit
-    ``centroids`` fix the cell count themselves, so no auto count runs."""
+    ``centroids`` fix the cell count themselves, so no auto count runs.
+
+    PROVENANCE: a DEFAULT-built index (centroids derived from corpus
+    rows, cell_id = the centroid's ``id_col``) carries the marker column
+    ``__default_cells`` — the zero-cost provenance bit that lets
+    ``ivf_topk(corpus_index=…)`` reconstruct the centroid table from
+    cell_ids safely, and that an explicit-centroid (kmeans) index does
+    NOT get (its cell_ids are list indices; a self-assignment heuristic
+    was tried first and defeated by seeded kmeans, whose centroid j
+    stays nearest its seed vector j — provenance must be recorded, not
+    inferred; review r5 third pass). The marker is a constant column, so
+    it survives parquet persistence and costs nothing to check."""
+    default_built = centroids is None
     if n_cells is None and centroids is None:
         n_cells = auto_ivf_cells(corpus)
     cents = _centroid_table(corpus, n_cells, id_col, vec_col, centroids)
     w_assign = Window.partitionBy("match_id").orderBy(F.desc("a_sim"), F.asc("cell_id"))
-    return (
+    out = (
         corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("cv"))
         .crossJoin(cents)
         .withColumn("a_sim", F.round(cosine_sim(F.col("cv"), F.col("cent")), 6))
@@ -103,6 +115,9 @@ def build_ivf_index(
         .filter(F.col("__rn") == 1)
         .select("match_id", "cv", "cell_id")
     )
+    if default_built:
+        out = out.withColumn("__default_cells", F.lit(True))
+    return out
 
 
 def _centroid_table(
@@ -172,15 +187,25 @@ def ivf_topk(
     index's distinct cell_ids joined back to the corpus reconstruct
     exactly the build-time centroid set — immune to corpus growth, where
     re-deriving √n cells from the CURRENT count would probe cells the
-    persisted index never assigned and recall would silently collapse
-    (the first-pass fix raised here; deriving from the index serves the
-    documented build-then-probe flow instead of rejecting it). Two
-    caveats, both inherent to the contract: an index built with EXPLICIT
-    centroids (kmeans) must still be probed with those centroids (its
-    cell_ids are list indices, not corpus ids — unchanged rule), and a
-    centroid row deleted from the corpus drops its cell from probing
-    (keep centroid rows, or rebuild the index)."""
+    persisted index never assigned and recall would silently collapse.
+    The derivation is gated on the index's ``__default_cells``
+    provenance marker (see ``build_ivf_index`` — recorded at build
+    time, free to check): an explicit-centroid (kmeans) index lacks it,
+    so the call raises with guidance instead of silently joining its
+    list-index cell_ids against unrelated corpus rows (review r5, third
+    pass — a self-assignment heuristic was tried and defeated by seeded
+    kmeans). NOT detected: centroid rows deleted from the corpus after
+    the build (the index can't see the corpus) — keep centroid rows, or
+    rebuild."""
     if corpus_index is not None and n_cells is None and centroids is None:
+        if "__default_cells" not in corpus_index.columns:
+            raise ValueError(
+                "corpus_index carries no __default_cells provenance marker "
+                "(explicit-centroid/kmeans index, or built before the marker "
+                "existed): its cell_ids cannot be mapped back to corpus "
+                "rows. Pass the centroids (kmeans index) or the n_cells the "
+                "index was built with."
+            )
         cents = F.broadcast(
             corpus.join(
                 corpus_index.select(F.col("cell_id").alias(id_col)).distinct(),

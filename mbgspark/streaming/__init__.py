@@ -223,10 +223,17 @@ def start_neardup_gate_sink(
     crossJoined into each batch's survivors and observed there, so the
     numbers ride the batch's own append action; a viral mega-cluster
     arriving on the stream shows up in the gate's metrics channel the
-    batch it lands. An all-duplicates batch appends zero rows, which
-    empty-folds the ride-along — that rare path falls back to evaluating
-    the tiny metrics aggregate directly (one small extra job), so the
-    reported counts are always the true ones."""
+    batch it lands. An all-duplicates batch (routine under checkpoint
+    replay — the store is a fixpoint of the gate) appends zero rows,
+    which empty-folds the ride-along; that path falls back to evaluating
+    the metrics aggregate directly, so reported counts are always true.
+    Be honest about its cost: the aggregate's lineage is the
+    batch+corpus band-bucket frame, i.e. the same order of work as the
+    gate check itself — a zero-append batch with on_metrics wired pays
+    roughly 2× (second corpus pass in self-contained mode). Leave
+    on_metrics unset on replay-heavy deployments, or wire the persisted
+    MinHash index so both the gate and the metrics read the index
+    instead of re-shingling the store."""
     from mbgspark.operators.dedup import minhash_near_dups, minhash_near_dups_incremental
 
     def _gate(batch_df: DataFrame, batch_id: int) -> None:
@@ -279,10 +286,10 @@ def start_neardup_gate_sink(
                 # Observation.get then fails. Rather than classifying the
                 # exception by its prose — fragile across Spark versions,
                 # and every Scala assert says 'assertion failed' — resolve
-                # by EVALUATING the tiny metrics aggregate directly: one
-                # small job over the batch's band buckets, only on this
-                # rare path, reporting the TRUE capped counts (a genuinely
-                # broken channel re-raises here instead of logging zeros).
+                # by EVALUATING the metrics aggregate directly, reporting
+                # the TRUE capped counts (a genuinely broken channel
+                # re-raises here instead of logging zeros). Cost caveat in
+                # the docstring: this re-runs the band-bucket lineage.
                 got = metrics[0].first().asDict()
             on_metrics(
                 batch_id,

@@ -281,3 +281,37 @@ def test_ivf_index_default_cells_derive_from_index_and_survive_growth(spark):
         assert after_growth == explicit
     finally:
         idx.unpersist()
+
+
+def test_ivf_index_derived_cells_reject_kmeans_built_index(spark):
+    """An index built with EXPLICIT (kmeans) centroids carries list-index
+    cell_ids and no __default_cells provenance marker — the
+    derive-from-index convenience path raises with guidance instead of
+    silently joining cell ids against unrelated corpus rows (review r5,
+    third pass; recorded provenance, because a self-assignment heuristic
+    is defeated by seeded kmeans keeping centroid j nearest its seed)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mbgspark.io import load_table
+    from mbgspark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = kmeans_centroids(e, k=8, iterations=2)
+    idx = build_ivf_index(e, centroids=cents).persist()
+    try:
+        idx.count()
+        with pytest.raises(ValueError, match="provenance"):
+            ivf_topk(e, e.filter(F.col("vec_id") < 3), k=3, corpus_index=idx)
+        # the documented correct call still works
+        ok = ivf_topk(
+            e, e.filter(F.col("vec_id") < 3), k=3,
+            corpus_index=idx, centroids=cents,
+        )
+        assert ok.count() > 0
+    finally:
+        idx.unpersist()

@@ -236,8 +236,8 @@ def test_auto_multiprobe_invariant_any_corpus_shape(spark, n, dim):
     bits = min(bits, dim)
     tables = max(1, min(8, dim // max(bits, 1)))
     assert 1 <= bits <= dim
-    assert tables * bits <= dim or tables == 1 and bits <= dim
     assert tables >= 1
+    assert tables * bits <= dim
 
 
 def test_auto_multiprobe_spark_matches_rule_mirror(spark):
@@ -248,7 +248,10 @@ def test_auto_multiprobe_spark_matches_rule_mirror(spark):
 
     from mbgspark.operators.dedup import auto_multiprobe_params
 
-    for n, dim in [(50, 8), (500, 64), (5000, 16), (20000, 64)]:
+    # (200000, 4) exercises the dim clamp: raw bits would be 12, the
+    # vector width forces 4 (review r5 third pass: the earlier grid
+    # never reached the clamp)
+    for n, dim in [(50, 8), (500, 64), (5000, 16), (20000, 64), (200000, 4)]:
         d = spark.range(n).select(
             F.col("id").alias("vec_id"),
             F.array(*[F.lit(float(i)) for i in range(dim)]).alias("embedding"),
@@ -256,3 +259,12 @@ def test_auto_multiprobe_spark_matches_rule_mirror(spark):
         bits = min(max(4, math.ceil(math.log2(n / 80))), dim)
         tables = max(1, min(8, dim // bits))
         assert auto_multiprobe_params(d) == (bits, tables), (n, dim)
+
+    # mixed-explicit paths keep the product invariant on the real operator
+    d64 = spark.range(1000).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(float(i)) for i in range(64)]).alias("embedding"),
+    )
+    for kwargs in ({"block_bits": 16}, {"tables": 8}, {"block_bits": 8, "tables": 8}):
+        bits, tables = auto_multiprobe_params(d64, **kwargs)
+        assert tables * bits <= 64, (kwargs, bits, tables)
