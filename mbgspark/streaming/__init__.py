@@ -213,8 +213,14 @@ def start_neardup_gate_sink(
     batch-internal pairs the lower id survives (greedy, matching the
     keep-first convention of the batch dedup operators). At production
     scale the store side runs against the persisted MinHash index
-    (``build_minhash_index``) instead of re-reading raw text — wire it via
-    the corpus_index parameter when the index store exists.
+    (``build_minhash_index``) instead of re-reading raw text — BUT note
+    the index must be appended in the same foreachBatch as the store
+    (each admitted batch's band rows + shingle arrays), because a static
+    index goes stale against the growing store and a later batch would
+    re-admit near-dups of earlier admissions. That index-maintaining
+    variant is a composition of this gate with
+    ``minhash_near_dups_incremental(corpus_index=…)`` + two appends; the
+    self-contained re-read here is the bounded-gate-SF form.
 
     ``on_metrics(batch_id, {"oversized_buckets": n, "oversized_rows": n})``
     surfaces the LSH bucket-cap drops per micro-batch (VERDICT r4 item 4)
