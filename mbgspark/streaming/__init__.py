@@ -313,6 +313,117 @@ def start_neardup_gate_sink(
     return writer.start()
 
 
+def start_neardup_gate_sink_indexed(
+    stream: DataFrame,
+    store_path: str,
+    index_path: str,
+    checkpoint_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.6,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """The INDEX-MAINTAINING form of the near-dup ingest gate — the
+    production shape at 100 TB, where ``start_neardup_gate_sink``'s
+    self-contained store re-read (re-shingle + re-minhash of the entire
+    corpus, every batch) is the cost this variant removes. Each batch:
+
+    1. reads the persisted MinHash index — band rows + shingle arrays,
+       the two ``build_minhash_index`` lineages — restricted by
+       PARTITION PRUNING to batches strictly before this one,
+    2. gates the batch through ``minhash_near_dups_incremental
+       (corpus_index=…)`` (the corpus TEXT is never touched),
+    3. writes the survivors to the store AND their own index rows to the
+       index store, all three partitioned by ``__gate_batch`` = batch id
+       with dynamic partition overwrite.
+
+    Exactly-once without markers or swaps: every write is an IDEMPOTENT
+    overwrite of this batch's own partition. A crash anywhere mid-batch
+    leaves prior partitions untouched (the gate only ever reads
+    ``__gate_batch < N``, so a half-written partition N is invisible to
+    the replay's inputs); the replayed batch recomputes the identical
+    survivor set from identical inputs — deterministic operators, same
+    checkpoint offsets — and overwrites partition N in place. Admission
+    cost per batch therefore tracks the BATCH and the index (signatures,
+    not text), which is the whole point.
+
+    Store readers see one extra ``__gate_batch`` partition column
+    (ingestion metadata — drop it or use it as arrival lineage). The
+    index layout is ``{index_path}/bands`` + ``{index_path}/arrays``.
+    Replay idempotence additionally holds at the CONTENT level like the
+    plain gate's: re-delivered docs exact-match their indexed copies and
+    are rejected."""
+    from mbgspark.operators.dedup import (
+        build_minhash_index,
+        minhash_near_dups,
+        minhash_near_dups_incremental,
+    )
+
+    bands_path = index_path.rstrip("/") + "/bands"
+    arrays_path = index_path.rstrip("/") + "/arrays"
+
+    def _write_part(df: DataFrame, path: str, batch_id: int) -> None:
+        out = df.withColumn("__gate_batch", F.lit(int(batch_id)))
+        (
+            out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__gate_batch")
+            .parquet(path)
+        )
+
+    def _gate(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df = batch_df.dropDuplicates([id_col])
+        slim = batch_df.select(id_col, text_col)
+        if _store_exists(spark, bands_path):
+            c_bands = (
+                spark.read.parquet(bands_path)
+                .filter(F.col("__gate_batch") < batch_id)
+                .drop("__gate_batch")
+            )
+            c_arrays = (
+                spark.read.parquet(arrays_path)
+                .filter(F.col("__gate_batch") < batch_id)
+                .drop("__gate_batch")
+            )
+            pairs = minhash_near_dups_incremental(
+                slim,
+                slim.limit(0),  # corpus text unused with corpus_index
+                id_col,
+                text_col,
+                threshold=threshold,
+                corpus_index=(c_bands, c_arrays),
+            )
+            drop_ids = (
+                pairs.filter(F.col("match_source") == "corpus")
+                .select(F.col("id_a").alias(id_col))
+                .unionByName(
+                    pairs.filter(F.col("match_source") == "batch")
+                    .select(F.col("id_b").alias(id_col))
+                )
+                .distinct()
+            )
+        else:
+            pairs = minhash_near_dups(slim, id_col, text_col, threshold=threshold)
+            drop_ids = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        survivors = batch_df.join(drop_ids, id_col, "left_anti")
+        # dynamic overwrite writes nothing for an empty batch — partition
+        # N simply never exists, which reads the same as empty
+        b_bands, b_arrays = build_minhash_index(
+            survivors.select(id_col, text_col), id_col, text_col
+        )
+        _write_part(b_bands, bands_path, batch_id)
+        _write_part(b_arrays, arrays_path, batch_id)
+        _write_part(survivors, store_path, batch_id)
+
+    writer = stream.writeStream.foreachBatch(_gate).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def start_cardinality_sink(
     stream: DataFrame,
     store_path: str,

@@ -541,3 +541,61 @@ def test_merge_sink_restarts_from_checkpoint_after_mid_batch_crash(spark, tmp_pa
     got = sorted(map(tuple, back.select(*cols).collect()))
     want = sorted(map(tuple, spark.read.parquet(fresh_store).select(*cols).collect()))
     assert got == want
+
+
+def test_indexed_neardup_gate_admits_once_and_replays_idempotently(spark, tmp_path):
+    """The index-maintaining gate (production form): later batches gate
+    against the persisted MinHash index only (corpus text untouched),
+    near-dups of stored docs are rejected, and a mid-batch crash
+    (commit marker erased) replays to the identical store — partition-
+    scoped idempotent overwrites, no append duplication."""
+    from mbgspark.streaming import start_neardup_gate_sink_indexed
+
+    src = tmp_path / "ig_src"
+    store = str(tmp_path / "ig_store")
+    index = str(tmp_path / "ig_index")
+    ck = tmp_path / "ig_ck"
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    near = "quick brown fox jumps over the lazy dog near the river bank"
+    other = "completely unrelated text about catalyst physical plan pruning rules"
+
+    def run():
+        stream = spark.readStream.schema("doc_id long, text string").json(str(src))
+        q = start_neardup_gate_sink_indexed(
+            stream, store, index, str(ck), threshold=0.5, available_now=True
+        )
+        q.awaitTermination(120)
+        return sorted(r["doc_id"] for r in spark.read.parquet(store).collect())
+
+    # batch 0: batch-internal near-dup collapses (lower id wins)
+    _write_batch(src, [
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": near},
+        {"doc_id": 3, "text": other},
+    ])
+    assert run() == [1, 3]
+
+    # batch 1 (same checkpoint): near-dup of STORED doc rejected via the
+    # index; novel doc admitted
+    _write_batch(src, [
+        {"doc_id": 10, "text": near},
+        {"doc_id": 11, "text": "fresh novel content with entirely new vocabulary tokens"},
+    ])
+    assert run() == [1, 3, 11]
+
+    # crash state: batch 1's side effects applied, commit marker gone
+    commit1 = ck / "commits" / "1"
+    assert commit1.exists()
+    commit1.unlink()
+    crc = ck / "commits" / ".1.crc"
+    if crc.exists():
+        crc.unlink()
+
+    # restart from the same checkpoint: batch 1 replays onto its own
+    # partitions — store converges to the single-run result
+    assert run() == [1, 3, 11]
+
+    # the index mirrors the admitted set exactly (one arrays row per doc)
+    arr = spark.read.parquet(f"{index}/arrays")
+    assert sorted(r["doc_id"] for r in arr.collect()) == [1, 3, 11]
