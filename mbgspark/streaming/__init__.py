@@ -322,6 +322,7 @@ def start_neardup_gate_sink_indexed(
     text_col: str = "text",
     threshold: float = 0.6,
     available_now: bool = False,
+    on_metrics=None,
 ) -> StreamingQuery:
     """The INDEX-MAINTAINING form of the near-dup ingest gate — the
     production shape at 100 TB, where ``start_neardup_gate_sink``'s
@@ -352,7 +353,9 @@ def start_neardup_gate_sink_indexed(
     index layout is ``{index_path}/bands`` + ``{index_path}/arrays``.
     Replay idempotence additionally holds at the CONTENT level like the
     plain gate's: re-delivered docs exact-match their indexed copies and
-    are rejected."""
+    are rejected. ``on_metrics`` is the plain gate's per-batch bucket-cap
+    channel, and here its fallback evaluation is cheap by construction —
+    the metrics lineage reads the index, not the corpus text."""
     from mbgspark.operators.dedup import (
         build_minhash_index,
         minhash_near_dups,
@@ -372,9 +375,12 @@ def start_neardup_gate_sink_indexed(
         )
 
     def _gate(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Observation
+
         spark = batch_df.sparkSession
         batch_df = batch_df.dropDuplicates([id_col])
         slim = batch_df.select(id_col, text_col)
+        metrics: list[DataFrame] = [] if on_metrics else None
         if _store_exists(spark, bands_path):
             c_bands = (
                 spark.read.parquet(bands_path)
@@ -392,6 +398,7 @@ def start_neardup_gate_sink_indexed(
                 id_col,
                 text_col,
                 threshold=threshold,
+                metrics_out=metrics,
                 corpus_index=(c_bands, c_arrays),
             )
             drop_ids = (
@@ -404,9 +411,23 @@ def start_neardup_gate_sink_indexed(
                 .distinct()
             )
         else:
-            pairs = minhash_near_dups(slim, id_col, text_col, threshold=threshold)
+            pairs = minhash_near_dups(
+                slim, id_col, text_col, threshold=threshold,
+                metrics_out=metrics,
+            )
             drop_ids = pairs.select(F.col("id_b").alias(id_col)).distinct()
         survivors = batch_df.join(drop_ids, id_col, "left_anti")
+        obs = None
+        if on_metrics:
+            obs = Observation(f"neardup_gate_idx_{batch_id}")
+            mrow = metrics[0].observe(
+                obs,
+                F.max("oversized_buckets").alias("oversized_buckets"),
+                F.max("oversized_rows").alias("oversized_rows"),
+            )
+            survivors = survivors.crossJoin(F.broadcast(mrow)).drop(
+                "oversized_buckets", "oversized_rows"
+            )
         # dynamic overwrite writes nothing for an empty batch — partition
         # N simply never exists, which reads the same as empty
         b_bands, b_arrays = build_minhash_index(
@@ -415,6 +436,20 @@ def start_neardup_gate_sink_indexed(
         _write_part(b_bands, bands_path, batch_id)
         _write_part(b_arrays, arrays_path, batch_id)
         _write_part(survivors, store_path, batch_id)
+        if obs is not None:
+            try:
+                got = obs.get
+            except Exception:
+                # folded ride-along (zero survivors): evaluate directly —
+                # cheap here, the lineage reads the index, not the corpus
+                got = metrics[0].first().asDict()
+            on_metrics(
+                batch_id,
+                {
+                    "oversized_buckets": got.get("oversized_buckets") or 0,
+                    "oversized_rows": got.get("oversized_rows") or 0,
+                },
+            )
 
     writer = stream.writeStream.foreachBatch(_gate).option(
         "checkpointLocation", checkpoint_path

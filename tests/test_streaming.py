@@ -560,10 +560,13 @@ def test_indexed_neardup_gate_admits_once_and_replays_idempotently(spark, tmp_pa
     near = "quick brown fox jumps over the lazy dog near the river bank"
     other = "completely unrelated text about catalyst physical plan pruning rules"
 
+    gate_metrics: list = []
+
     def run():
         stream = spark.readStream.schema("doc_id long, text string").json(str(src))
         q = start_neardup_gate_sink_indexed(
-            stream, store, index, str(ck), threshold=0.5, available_now=True
+            stream, store, index, str(ck), threshold=0.5, available_now=True,
+            on_metrics=lambda bid, m: gate_metrics.append((bid, m)),
         )
         q.awaitTermination(120)
         return sorted(r["doc_id"] for r in spark.read.parquet(store).collect())
@@ -599,3 +602,8 @@ def test_indexed_neardup_gate_admits_once_and_replays_idempotently(spark, tmp_pa
     # the index mirrors the admitted set exactly (one arrays row per doc)
     arr = spark.read.parquet(f"{index}/arrays")
     assert sorted(r["doc_id"] for r in arr.collect()) == [1, 3, 11]
+
+    # the metrics channel fired per batch incl. the replayed one; no
+    # bucket exceeded the cap on this corpus
+    assert len(gate_metrics) >= 3
+    assert all(m["oversized_buckets"] == 0 for _, m in gate_metrics)
