@@ -324,10 +324,8 @@ def start_neardup_gate_sink_indexed(
     available_now: bool = False,
     on_metrics=None,
 ) -> StreamingQuery:
-    """The INDEX-MAINTAINING form of the near-dup ingest gate — the
-    production shape at 100 TB, where ``start_neardup_gate_sink``'s
-    self-contained store re-read (re-shingle + re-minhash of the entire
-    corpus, every batch) is the cost this variant removes. Each batch:
+    """The INDEX-MAINTAINING form of the near-dup ingest gate. Each
+    batch:
 
     1. reads the persisted MinHash index — band rows + shingle arrays,
        the two ``build_minhash_index`` lineages — restricted by
@@ -344,9 +342,26 @@ def start_neardup_gate_sink_indexed(
     ``__gate_batch < N``, so a half-written partition N is invisible to
     the replay's inputs); the replayed batch recomputes the identical
     survivor set from identical inputs — deterministic operators, same
-    checkpoint offsets — and overwrites partition N in place. Admission
-    cost per batch therefore tracks the BATCH and the index (signatures,
-    not text), which is the whole point.
+    checkpoint offsets — and overwrites partition N in place. THAT
+    mechanism — partition-idempotent multi-sink writes, the third
+    exactly-once strategy in this module beside the merge sink's keyed
+    upsert and the sketch store's staged swap — is this variant's
+    distinctive value.
+
+    MEASURED COST HONESTY (r5, 50,300-doc store, 100-doc batch): the
+    incremental batch ran 9.7 s here vs 5.9 s for the plain gate's
+    full re-read — the parquet round-trip of the shingle ARRAYS (the
+    verify side, ~4× the raw text on disk, scanned in full by the
+    verify join) costs more than recomputing shingles from text, which
+    is exactly the repo's standing lesson (dedup.py: "recomputing is
+    cheaper than materializing corpus × ~words shingle rows"). The
+    band-rows half of the index IS cheap; the arrays half only pays off
+    when it is memory-resident (persist, as the r4 incremental
+    measurements were) or when storage layout prunes the verify scan to
+    candidate ids (id-bucketed arrays — not implemented). Prefer the
+    plain gate until then; this form remains the integration point for
+    a resident index and the reference for the partition-idempotent
+    write pattern.
 
     Store readers see one extra ``__gate_batch`` partition column
     (ingestion metadata — drop it or use it as arrival lineage). The
