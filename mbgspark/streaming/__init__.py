@@ -323,6 +323,7 @@ def start_neardup_gate_sink_indexed(
     threshold: float = 0.6,
     available_now: bool = False,
     on_metrics=None,
+    index_arrays: bool = False,
 ) -> StreamingQuery:
     """The INDEX-MAINTAINING form of the near-dup ingest gate. Each
     batch:
@@ -348,20 +349,21 @@ def start_neardup_gate_sink_indexed(
     upsert and the sketch store's staged swap — is this variant's
     distinctive value.
 
-    MEASURED COST HONESTY (r5, 50,300-doc store, 100-doc batch): the
-    incremental batch ran 9.7 s here vs 5.9 s for the plain gate's
-    full re-read — the parquet round-trip of the shingle ARRAYS (the
-    verify side, ~4× the raw text on disk, scanned in full by the
-    verify join) costs more than recomputing shingles from text, which
-    is exactly the repo's standing lesson (dedup.py: "recomputing is
-    cheaper than materializing corpus × ~words shingle rows"). The
-    band-rows half of the index IS cheap; the arrays half only pays off
-    when it is memory-resident (persist, as the r4 incremental
-    measurements were) or when storage layout prunes the verify scan to
-    candidate ids (id-bucketed arrays — not implemented). Prefer the
-    plain gate until then; this form remains the integration point for
-    a resident index and the reference for the partition-idempotent
-    write pattern.
+    MEASURED COST HONESTY (r5, 50,300-doc store, 100-doc batch, same
+    session, identical final stores): plain full-re-read gate 6.9 s;
+    ``index_arrays=True`` (full index) 9.8 s; ``index_arrays=False``
+    (the default HYBRID — candidates from persisted band rows, verify
+    shingles re-derived from store TEXT) 7.6 s. Neither indexed mode
+    beats the plain re-read at this scale: the full index loses on the
+    shingle-array parquet round-trip (~4× raw text on disk, scanned in
+    full by the verify join — the repo's standing "recompute beats
+    materializing shingle rows" lesson), and the hybrid's band-row
+    saving is eaten by reading the index + store separately. The arrays
+    index only pays off memory-resident (persist — how the r4
+    incremental measurements won) or with id-bucketed arrays pruning
+    the verify scan (not implemented). Prefer the plain gate for cost;
+    this form remains the integration point for a resident index and
+    the reference for the partition-idempotent write pattern.
 
     Store readers see one extra ``__gate_batch`` partition column
     (ingestion metadata — drop it or use it as arrival lineage). The
@@ -402,14 +404,25 @@ def start_neardup_gate_sink_indexed(
                 .filter(F.col("__gate_batch") < batch_id)
                 .drop("__gate_batch")
             )
-            c_arrays = (
-                spark.read.parquet(arrays_path)
-                .filter(F.col("__gate_batch") < batch_id)
-                .drop("__gate_batch")
-            )
+            if index_arrays:
+                c_arrays = (
+                    spark.read.parquet(arrays_path)
+                    .filter(F.col("__gate_batch") < batch_id)
+                    .drop("__gate_batch")
+                )
+                corpus_text = slim.limit(0)  # unused with full index
+            else:
+                # hybrid: bands from the index, verify shingles re-derived
+                # from the store TEXT (the measured-cheaper side)
+                c_arrays = None
+                corpus_text = (
+                    spark.read.parquet(store_path)
+                    .filter(F.col("__gate_batch") < batch_id)
+                    .select(id_col, text_col)
+                )
             pairs = minhash_near_dups_incremental(
                 slim,
-                slim.limit(0),  # corpus text unused with corpus_index
+                corpus_text,
                 id_col,
                 text_col,
                 threshold=threshold,
@@ -449,7 +462,8 @@ def start_neardup_gate_sink_indexed(
             survivors.select(id_col, text_col), id_col, text_col
         )
         _write_part(b_bands, bands_path, batch_id)
-        _write_part(b_arrays, arrays_path, batch_id)
+        if index_arrays:
+            _write_part(b_arrays, arrays_path, batch_id)
         _write_part(survivors, store_path, batch_id)
         if obs is not None:
             try:

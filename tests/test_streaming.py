@@ -567,6 +567,7 @@ def test_indexed_neardup_gate_admits_once_and_replays_idempotently(spark, tmp_pa
         q = start_neardup_gate_sink_indexed(
             stream, store, index, str(ck), threshold=0.5, available_now=True,
             on_metrics=lambda bid, m: gate_metrics.append((bid, m)),
+            index_arrays=True,  # full-index mode: the arrays mirror below
         )
         q.awaitTermination(120)
         return sorted(r["doc_id"] for r in spark.read.parquet(store).collect())
@@ -607,3 +608,38 @@ def test_indexed_neardup_gate_admits_once_and_replays_idempotently(spark, tmp_pa
     # bucket exceeded the cap on this corpus
     assert len(gate_metrics) >= 3
     assert all(m["oversized_buckets"] == 0 for _, m in gate_metrics)
+
+
+def test_indexed_gate_hybrid_mode_matches_and_skips_arrays_store(spark, tmp_path):
+    """index_arrays=False (the default hybrid): candidates come from the
+    persisted band rows, verify shingles re-derive from store TEXT — same
+    admissions as the full-index mode, and no arrays store is written."""
+    import os
+
+    from mbgspark.streaming import start_neardup_gate_sink_indexed
+
+    src = tmp_path / "hg_src"
+    store = str(tmp_path / "hg_store")
+    index = str(tmp_path / "hg_index")
+    ck = str(tmp_path / "hg_ck")
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    near = "quick brown fox jumps over the lazy dog near the river bank"
+
+    def run():
+        stream = spark.readStream.schema("doc_id long, text string").json(str(src))
+        q = start_neardup_gate_sink_indexed(
+            stream, store, index, ck, threshold=0.5, available_now=True
+        )
+        q.awaitTermination(120)
+        return sorted(r["doc_id"] for r in spark.read.parquet(store).collect())
+
+    _write_batch(src, [{"doc_id": 1, "text": base}])
+    assert run() == [1]
+    _write_batch(src, [
+        {"doc_id": 10, "text": near},  # near-dup of stored doc: rejected
+        {"doc_id": 11, "text": "fresh novel content with entirely new vocabulary tokens"},
+    ])
+    assert run() == [1, 11]
+    assert os.path.isdir(f"{index}/bands")
+    assert not os.path.exists(f"{index}/arrays")
