@@ -31,78 +31,24 @@ _ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
 }
 
 # The driver's correctness gate checks the FIRST 50 queries() entries
-# (observed in rounds 1-4: exactly the first 50 insertion-order keys got
+# (observed in rounds 1-5: exactly the first 50 insertion-order keys got
 # CORRECTNESS rows). Order therefore encodes verification priority.
-# Round-5 packing (VERDICT r4 item 1 — drain the driver-verification
-# backlog): the window is packed EXCLUSIVELY from the 66 entries that
-# have never had a driver CORRECTNESS row (the round-4 continuation
-# suites). 50 fit; the order is the round-4 queue order with ONE swap —
-# mad_anomalous_days is promoted into the window (its semantics change
-# this round: the ADVICE MAD=0 zero-guard) and jl_projection rotates to
-# the head of the r6 remainder. tfidf_cosine stays inside the window
-# (VERDICT item 3 changes its blocking semantics this round — the df
-# stop-term cutoff — so its fresh driver row lands with the new oracle).
-# After r5, the r6 window packs: the 16-entry remainder below, then any
-# entries whose latest row has aged 2 rounds (the r3-row cohort:
-# q1-q28, the r3 priority block) per the rotation invariant.
+# Round-6 packing (VERDICT r5 item 1 — rotation invariant): slots 1-16
+# are the last never-driver-verified entries (after this round, every
+# catalog entry has at least one driver row); slots 17-50 are the 34
+# stalest previously-verified entries, all from the r3-row cohort
+# (their rows are now 3 rounds old): the flagship canary
+# etl_lifecycle, the full core suite q1-q28 + q18r, and four heavy
+# r3-block operators (curate_corpus, dedup_embedding, ann_cosine_topk,
+# locate_two_pass). The 14 r3-cohort entries that don't fit
+# (label_centroids, fingerprints, salted_segment_revenue,
+# rollup_status_priority, asof_click_view, range_join_value_tiers,
+# pivot_event_types, reprocess_idempotent, stratified_sample_counts,
+# domain_mixture, url_stats, line_filter_stats, quality_surprise,
+# tfidf_terms) go FIRST in the r7 window, then the r4-row cohort.
+# Catalog stays frozen at 164.
 _PRIORITY = [
-    # -- r5 window (50): never-driver-verified backlog --
-    "profile_orders",
-    "profile_lineitem_numeric",
-    "heavy_hitter_keys",
-    "split_assign_counts",
-    "group_sample_per_lang",
-    "doc_length_histogram",
-    "gopher_quality",
-    "dedup_incremental",
-    "corpus_snapshot_diff",
-    "mixture_interleave",
-    "volume_shipping",
-    "market_share",
-    "small_qty_revenue",
-    "large_orders",
-    "disjunctive_part_revenue",
-    "trailing_30d_revenue",
-    "dup_span_report",
-    "window_rank_features",
-    "quality_by_domain",
-    "curate_corpus_v2",
-    "outlier_orders",
-    "token_budget_sample",
-    "dedup_embedding_keep_best",
-    "multimodal_frame_index",
-    "funnel_view_click_purchase",
-    "cohort_retention",
-    "waiting_suppliers",
-    "dormant_rich_customers",
-    "lm_bigram_score",
-    "ann_quantized_topk",
-    "split_leakage_counts",
-    "markup_strip_roundtrip",
-    "hard_negatives",
-    "inter_event_gaps",
-    "cardinality_sketch_users",
-    "weighted_sample_docs",
-    "nfc_roundtrip",
-    "top_supplier",
-    "count_min_user_events",
-    "drift_psi",
-    "zorder_keys",
-    "chi2_lang_source",
-    "dedup_minhash_estimate",
-    "user_features",
-    "loo_target_encode",
-    "bm25_topk",
-    "tfidf_cosine",
-    "cusum_daily_orders",
-    "domain_cap_survivors",
-    # 50th slot: semantics change this round (MAD=0 zero-guard, ADVICE
-    # r4) — a semantics-touched entry outranks a stable one, so
-    # jl_projection rotates to the head of the r6 remainder
-    "mad_anomalous_days",
-    # -- past the 50-window: the 16-entry r6 remainder (never driver
-    # verified; pack these FIRST in the r6 window, then the r3-row
-    # cohort per the rotation invariant) --
+    # -- r6 window slots 1-16: final never-driver-verified backlog --
     "jl_projection",
     "item_cooccurrence_events",
     "dup_cluster_histogram",
@@ -119,10 +65,57 @@ _PRIORITY = [
     "top_session_paths",
     "rolling_distinct_users",
     "rfm_segments",
-    # -- previously-verified entries (r3/r4 rows) follow via the _ALL
-    # splat below in suite order; etl_lifecycle pinned first among them
-    # as the flagship canary --
+    # -- slots 17-50: stalest verified cohort (latest row r3) --
     "etl_lifecycle",
+    "q1",
+    "q2",
+    "q3",
+    "q4",
+    "q5",
+    "q6",
+    "q7",
+    "q8",
+    "q9",
+    "q10",
+    "q11",
+    "q12",
+    "q13",
+    "q14",
+    "q15",
+    "q16",
+    "q17",
+    "q18",
+    "q18r",
+    "q19",
+    "q20",
+    "q21",
+    "q22",
+    "q23",
+    "q24",
+    "q25",
+    "q26",
+    "q27",
+    "q28",
+    "curate_corpus",
+    "dedup_embedding",
+    "ann_cosine_topk",
+    "locate_two_pass",
+    # -- past the 50-window: r7 head — the 14 remaining r3-row entries
+    # (staleness order), then r4-row cohort, then the r5 window --
+    "label_centroids",
+    "fingerprints",
+    "salted_segment_revenue",
+    "rollup_status_priority",
+    "asof_click_view",
+    "range_join_value_tiers",
+    "pivot_event_types",
+    "reprocess_idempotent",
+    "stratified_sample_counts",
+    "domain_mixture",
+    "url_stats",
+    "line_filter_stats",
+    "quality_surprise",
+    "tfidf_terms",
 ]
 
 CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
