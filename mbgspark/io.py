@@ -400,7 +400,7 @@ def retention_sweep(
     path: str,
     partition_col: str,
     keep_after: str,
-    dry_run: bool = True,
+    dry_run: bool | None = None,
 ) -> list[str]:
     """Partition retention for the day-partitioned store: drop partitions
     whose value sorts strictly below ``keep_after`` (ISO dates compare
@@ -418,8 +418,17 @@ def retention_sweep(
     partitions dropped). A partition that fails to delete — or that the
     filesystem reports missing after the delete call — raises
     ``RuntimeError`` naming it: a retention list must never claim a drop
-    that didn't happen. ``dry_run`` now defaults to True (audit-first):
-    callers list, review, then re-invoke with ``dry_run=False``."""
+    that didn't happen. ``dry_run`` defaults to True (audit-first):
+    callers list, review, then re-invoke with ``dry_run=False`` — and
+    because this default FLIPPED from the original destructive-by-default
+    signature (ADVICE r5: a pre-flip caller omitting ``dry_run`` now
+    silently deletes nothing while receiving the same non-empty dropped
+    list), an OMITTED ``dry_run`` with matching partitions emits a loud
+    ``UserWarning`` saying no deletion happened. Pass ``dry_run=True``
+    explicitly to audit silently."""
+    defaulted = dry_run is None
+    if defaulted:
+        dry_run = True
     values = [
         r[partition_col]
         for r in existing_partition_values(spark, path, partition_col).collect()
@@ -432,6 +441,17 @@ def retention_sweep(
             f"vs cutoff {keep_after!r}"
         )
     doomed = sorted(v for v in values if v is not None and str(v) < keep_after)
+    if defaulted and doomed:
+        import warnings
+
+        warnings.warn(
+            f"retention_sweep: dry_run not specified — defaulting to "
+            f"dry_run=True, so the {len(doomed)} matching partition(s) were "
+            f"LISTED but NOT deleted. Pass dry_run=False to delete, or "
+            f"dry_run=True to silence this warning.",
+            UserWarning,
+            stacklevel=2,
+        )
     if not dry_run:
         jvm = spark._jvm
         conf = spark._jsc.hadoopConfiguration()

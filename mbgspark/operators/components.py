@@ -145,7 +145,6 @@ def connected_components(
     labels = (
         und.select(F.col("src").alias("id")).distinct().withColumn("comp", F.col("id"))
     )
-    prev_sum = None
     for _ in range(max_iterations):
         nbr = (
             und.join(labels, und["dst"] == labels["id"])
@@ -153,18 +152,22 @@ def connected_components(
             .groupBy("id")
             .agg(F.min("__nc").alias("__nbr_min"))
         )
-        labels = labels.join(nbr, "id", "left").select(
+        stepped = labels.join(nbr, "id", "left").select(
             "id",
+            F.col("comp").alias("__prev"),
             F.least(F.col("comp"), F.coalesce("__nbr_min", "comp")).alias("comp"),
         )
         # truncate lineage (iterative-join plans otherwise double per round)
-        labels = labels.localCheckpoint()
-        # monotone invariant: labels only decrease, so sum(label) strictly
-        # decreases until the fixpoint — one cheap agg action per round
-        s = labels.agg(F.sum("comp")).collect()[0][0]
-        if s == prev_sum:
+        stepped = stepped.localCheckpoint()
+        # fixpoint probe: count of CHANGED labels this round (VERDICT r5 —
+        # the earlier sum(comp)-equality probe could in principle alias
+        # across distinct label states at bigint scale; a changed-row
+        # probe is exact by construction). limit(1) short-circuits the
+        # scan: one cheap action per round, 0 ⟺ converged.
+        changed = stepped.filter(F.col("comp") != F.col("__prev")).limit(1).count()
+        labels = stepped.drop("__prev")
+        if changed == 0:
             break
-        prev_sum = s
     else:
         raise ConvergenceError(
             f"min-label propagation did not converge in {max_iterations} "

@@ -662,12 +662,15 @@ def curate_neardup_observed(
     blows past the cap therefore shows up in the pipeline's own metrics
     instead of vanishing; exact mega-clusters never reach LSH (the
     fingerprint stage collapses them first, which has no quadratic
-    step). Edge: if the action's result is zero survivor rows the
-    crossJoin itself is empty-folded and ``observation.get`` raises —
-    a corpus that curates to nothing has no metrics ride to attach to."""
+    step). Edge (ADVICE r5): if the action's result is zero survivor
+    rows the crossJoin itself is empty-folded and the metrics never
+    arrive — the returned handle is a ``ResilientObservation``, whose
+    ``.get`` detects that case (JVM ``getRowOrEmpty`` probe) and
+    evaluates the one-row metrics aggregate directly, so a fully-empty
+    curation still reports true counts instead of an opaque assertion."""
     from pyspark.sql import Observation
 
-    from mbgspark.operators.dedup import minhash_near_dups
+    from mbgspark.operators.dedup import ResilientObservation, minhash_near_dups
 
     w = Window.partitionBy(F.md5(F.lower(F.trim(F.col(text_col))))).orderBy(
         id_col
@@ -701,4 +704,4 @@ def curate_neardup_observed(
         .crossJoin(F.broadcast(mrow))
         .drop("oversized_buckets", "oversized_rows")
     )
-    return survivors, obs
+    return survivors, ResilientObservation(obs, metrics[0])

@@ -201,6 +201,52 @@ def _oversized_metrics_row(spark, sized: DataFrame | None, max_bucket_size):
     )
 
 
+def observed_or_direct(obs, metrics_df: DataFrame) -> dict:
+    """Resolve an ``Observation`` that rode a possibly-folded lineage.
+
+    The metrics frames here are one-row global aggregates crossJoined into
+    the caller's output (the AQE-elimination-proof shape — see
+    ``_oversized_metrics_row``), but when the OUTPUT side itself is
+    runtime-empty, AQE's empty-relation propagation folds the crossJoin
+    and the observed node never executes. ``Observation.get`` would then
+    raise an opaque JVM assertion. Instead of classifying that exception
+    by its prose (ADVICE r5: a bare except also swallows py4j
+    connectivity failures and interrupted actions), this probes the JVM
+    ``Observation.getRowOrEmpty`` — non-blocking beyond its internal
+    ≤100 ms wait — AFTER the caller's action has completed: a real
+    metrics row (≥1 field — ``observe`` requires at least one aggregate)
+    decodes through the normal ``obs.get`` path; an absent row OR the
+    schema-less zero-field ``Row.empty`` Spark 4.1 notifies when the
+    observed node was eliminated means the metrics never arrived, so the
+    one-row aggregate is evaluated directly (TRUE counts, one extra run
+    of the metrics lineage). A real failure inside that direct
+    evaluation propagates — this never converts errors into zeros."""
+    jo = getattr(obs, "_jo", None)
+    if jo is not None:
+        jopt = jo.getRowOrEmpty()
+        if not jopt.isEmpty() and jopt.get().size() > 0:
+            return obs.get
+    return metrics_df.first().asDict()
+
+
+class ResilientObservation:
+    """Duck-types the ``Observation.get`` surface over
+    ``observed_or_direct``: callers holding this handle read ``.get``
+    exactly like a plain ``Observation``, but a fold-eliminated ride-along
+    (e.g. a corpus that curates to zero survivors) resolves to the direct
+    evaluation of the metrics aggregate instead of raising. Reading
+    ``.get`` before any action on the observed output is also defined: it
+    computes the metrics directly rather than blocking forever."""
+
+    def __init__(self, obs, metrics_df: DataFrame):
+        self._obs = obs
+        self._metrics_df = metrics_df
+
+    @property
+    def get(self) -> dict:
+        return observed_or_direct(self._obs, self._metrics_df)
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str,

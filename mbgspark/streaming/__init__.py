@@ -240,7 +240,11 @@ def start_neardup_gate_sink(
     on_metrics unset on replay-heavy deployments, or wire the persisted
     MinHash index so both the gate and the metrics read the index
     instead of re-shingling the store."""
-    from mbgspark.operators.dedup import minhash_near_dups, minhash_near_dups_incremental
+    from mbgspark.operators.dedup import (
+        minhash_near_dups,
+        minhash_near_dups_incremental,
+        observed_or_direct,
+    )
 
     def _gate(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import Observation
@@ -284,19 +288,15 @@ def start_neardup_gate_sink(
             )
         survivors.write.mode("append").parquet(store_path)
         if obs is not None:
-            try:
-                got = obs.get
-            except Exception:
-                # the ride-along can be folded away (AQE empty-relation
-                # propagation when the batch appends zero rows) and
-                # Observation.get then fails. Rather than classifying the
-                # exception by its prose — fragile across Spark versions,
-                # and every Scala assert says 'assertion failed' — resolve
-                # by EVALUATING the metrics aggregate directly, reporting
-                # the TRUE capped counts (a genuinely broken channel
-                # re-raises here instead of logging zeros). Cost caveat in
-                # the docstring: this re-runs the band-bucket lineage.
-                got = metrics[0].first().asDict()
+            # the ride-along can be folded away (AQE empty-relation
+            # propagation when the batch appends zero rows) and the
+            # metrics then never arrive. observed_or_direct probes the
+            # JVM getRowOrEmpty AFTER the append action — present row:
+            # normal decode; absent: evaluate the aggregate directly
+            # (TRUE capped counts; cost caveat in the docstring — this
+            # re-runs the band-bucket lineage). Real failures propagate
+            # instead of being converted into a recompute (ADVICE r5).
+            got = observed_or_direct(obs, metrics[0])
             on_metrics(
                 batch_id,
                 {
@@ -343,7 +343,11 @@ def start_neardup_gate_sink_indexed(
     ``__gate_batch < N``, so a half-written partition N is invisible to
     the replay's inputs); the replayed batch recomputes the identical
     survivor set from identical inputs — deterministic operators, same
-    checkpoint offsets — and overwrites partition N in place. THAT
+    checkpoint offsets — and overwrites partition N in place. The one
+    asymmetric window is the FIRST batch, where only a subset of the
+    three paths may exist after a crash; the gate therefore takes the
+    indexed branch only when every path that branch reads exists, and
+    writes the branch-trigger path (bands) last (ADVICE r5). THAT
     mechanism — partition-idempotent multi-sink writes, the third
     exactly-once strategy in this module beside the merge sink's keyed
     upsert and the sketch store's staged swap — is this variant's
@@ -377,6 +381,7 @@ def start_neardup_gate_sink_indexed(
         build_minhash_index,
         minhash_near_dups,
         minhash_near_dups_incremental,
+        observed_or_direct,
     )
 
     bands_path = index_path.rstrip("/") + "/bands"
@@ -398,7 +403,23 @@ def start_neardup_gate_sink_indexed(
         batch_df = batch_df.dropDuplicates([id_col])
         slim = batch_df.select(id_col, text_col)
         metrics: list[DataFrame] = [] if on_metrics else None
-        if _store_exists(spark, bands_path):
+        # ADVICE r5 (medium): the indexed branch reads bands + ONE other
+        # path (arrays in full-index mode, the store in hybrid mode). A
+        # crash during the FIRST batch between the store write and the
+        # later index writes (or between arrays and bands in full mode)
+        # can leave a subset of the three paths existing; guarding only
+        # bands_path would send the replay into the indexed branch and a
+        # hard path-does-not-exist read, permanently stalling the stream.
+        # Require EVERY path the branch reads to exist; otherwise fall
+        # back to the self-contained branch — equivalent for batch 0,
+        # since the indexed branch filters to __gate_batch < 0 = nothing
+        # anyway, and batch 0 is the only batch that can be missing a
+        # path (later batches write every path per batch, and partial
+        # partition N is invisible behind the < N filter).
+        indexed_ready = _store_exists(spark, bands_path) and _store_exists(
+            spark, arrays_path if index_arrays else store_path
+        )
+        if indexed_ready:
             c_bands = (
                 spark.read.parquet(bands_path)
                 .filter(F.col("__gate_batch") < batch_id)
@@ -457,21 +478,23 @@ def start_neardup_gate_sink_indexed(
                 "oversized_buckets", "oversized_rows"
             )
         # dynamic overwrite writes nothing for an empty batch — partition
-        # N simply never exists, which reads the same as empty
+        # N simply never exists, which reads the same as empty. Write
+        # order: store first, index paths after, bands LAST — bands is
+        # the branch trigger above, so a first-batch crash mid-sequence
+        # leaves either no bands (→ clean fallback branch on replay) or
+        # a complete path set.
         b_bands, b_arrays = build_minhash_index(
             survivors.select(id_col, text_col), id_col, text_col
         )
-        _write_part(b_bands, bands_path, batch_id)
+        _write_part(survivors, store_path, batch_id)
         if index_arrays:
             _write_part(b_arrays, arrays_path, batch_id)
-        _write_part(survivors, store_path, batch_id)
+        _write_part(b_bands, bands_path, batch_id)
         if obs is not None:
-            try:
-                got = obs.get
-            except Exception:
-                # folded ride-along (zero survivors): evaluate directly —
-                # cheap here, the lineage reads the index, not the corpus
-                got = metrics[0].first().asDict()
+            # folded ride-along (zero survivors): getRowOrEmpty probe →
+            # direct evaluation — cheap here, the metrics lineage reads
+            # the index, not the corpus; real failures propagate
+            got = observed_or_direct(obs, metrics[0])
             on_metrics(
                 batch_id,
                 {

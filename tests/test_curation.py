@@ -497,3 +497,31 @@ def test_curation_neardup_emits_oversized_metrics_without_extra_action(spark):
     )
     assert s2.count() == 20
     assert obs2.get["oversized_buckets"] == 0
+
+
+def test_curation_neardup_metrics_survive_zero_survivor_fold(spark):
+    """ADVICE r5: when the curation's output is runtime-empty, AQE's
+    empty-relation propagation folds the metrics crossJoin and the
+    Observation never fires — the returned handle must resolve to the
+    TRUE metrics by direct evaluation instead of raising an opaque JVM
+    assertion. Pinned on the empty corpus (the zero-survivor case) and
+    on reading metrics BEFORE any action (defined as direct evaluation,
+    not an indefinite block)."""
+    from mbgspark.operators.curation import curate_neardup_observed
+
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    survivors, obs = curate_neardup_observed(empty, "doc_id", "text")
+    assert survivors.count() == 0  # the action; ride-along folded
+    got = obs.get
+    assert got == {"oversized_buckets": 0, "oversized_rows": 0}
+
+    # metrics read with NO prior action: direct evaluation, true zeros
+    _, obs2 = curate_neardup_observed(
+        spark.createDataFrame(
+            [(i, f"distinct text {i} about {i*13}") for i in range(5)],
+            "doc_id bigint, text string",
+        ),
+        "doc_id",
+        "text",
+    )
+    assert obs2.get["oversized_buckets"] == 0

@@ -313,10 +313,25 @@ def test_retention_sweep_drops_only_old_partitions(spark, tmp_path):
     store = str(tmp_path / "store")
     write_partitioned(df, store, "event_date")
 
-    # dry_run is the DEFAULT (audit-first): listing deletes nothing
-    preview = retention_sweep(spark, store, "event_date", "2020-01-03")
+    # dry_run is the DEFAULT (audit-first): listing deletes nothing —
+    # and an OMITTED dry_run with matches warns loudly (ADVICE r5: the
+    # default flipped from destructive; pre-flip callers must not read
+    # the returned list as deletions performed)
+    import pytest
+
+    with pytest.warns(UserWarning, match="NOT deleted"):
+        preview = retention_sweep(spark, store, "event_date", "2020-01-03")
     assert preview == ["2020-01-01", "2020-01-02"]
     assert spark.read.parquet(store).count() == 15  # dry run deleted nothing
+
+    # explicit dry_run=True audits silently
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        assert retention_sweep(
+            spark, store, "event_date", "2020-01-03", dry_run=True
+        ) == ["2020-01-01", "2020-01-02"]
 
     dropped = retention_sweep(spark, store, "event_date", "2020-01-03", dry_run=False)
     assert dropped == ["2020-01-01", "2020-01-02"]

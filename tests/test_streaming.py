@@ -643,3 +643,58 @@ def test_indexed_gate_hybrid_mode_matches_and_skips_arrays_store(spark, tmp_path
     assert run() == [1, 11]
     assert os.path.isdir(f"{index}/bands")
     assert not os.path.exists(f"{index}/arrays")
+
+
+def test_indexed_gate_recovers_from_first_batch_partial_write(spark, tmp_path):
+    """ADVICE r5 (medium): a crash during the FIRST batch can leave a
+    subset of the gate's three output paths on disk (here: bands written,
+    store/arrays not — the pre-fix trigger ordering). The replay must NOT
+    take the indexed branch and die on a path-does-not-exist read; it
+    falls back to the self-contained branch (equivalent for batch 0) and
+    converges to the correct store in both hybrid and full-index modes."""
+    from pyspark.sql import functions as F
+
+    from mbgspark.operators.dedup import build_minhash_index
+    from mbgspark.streaming import start_neardup_gate_sink_indexed
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    near = "quick brown fox jumps over the lazy dog near the river bank"
+
+    for mode_arrays in (False, True):
+        tag = "full" if mode_arrays else "hybrid"
+        src = tmp_path / f"pb_src_{tag}"
+        store = str(tmp_path / f"pb_store_{tag}")
+        index = str(tmp_path / f"pb_index_{tag}")
+        ck = str(tmp_path / f"pb_ck_{tag}")
+
+        # simulate the crash remnant: batch 0's bands partition exists,
+        # nothing else does
+        remnant = spark.createDataFrame(
+            [(1, base), (3, "completely unrelated text about plan pruning")],
+            "doc_id long, text string",
+        )
+        b_bands, _ = build_minhash_index(remnant, "doc_id", "text")
+        (
+            b_bands.withColumn("__gate_batch", F.lit(0))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__gate_batch")
+            .parquet(f"{index}/bands")
+        )
+
+        _write_batch(src, [
+            {"doc_id": 1, "text": base},
+            {"doc_id": 2, "text": near},
+            {"doc_id": 3, "text": "completely unrelated text about plan pruning"},
+        ])
+        stream = spark.readStream.schema("doc_id long, text string").json(str(src))
+        q = start_neardup_gate_sink_indexed(
+            stream, store, index, ck, threshold=0.5, available_now=True,
+            index_arrays=mode_arrays,
+        )
+        q.awaitTermination(120)
+        got = sorted(r["doc_id"] for r in spark.read.parquet(store).collect())
+        assert got == [1, 3], f"mode index_arrays={mode_arrays}: {got}"
+        # the replayed batch 0 overwrote the remnant partition in place
+        bands = spark.read.parquet(f"{index}/bands")
+        assert bands.select("__gate_batch").distinct().collect()[0][0] == 0
