@@ -73,13 +73,22 @@ def run_one(spark, name: str, sf_dir: str) -> float:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    # Isolated mode (regression triage — NOTES_r6): name queries on the
+    # command line to warm + time ONLY those, removing suite-ordering and
+    # shared-session effects from the measurement. No args = full suite,
+    # the driver contract.
+    subset = [a for a in sys.argv[1:] if a in set(HEADLINE)]
+    unknown = [a for a in sys.argv[1:] if a not in set(HEADLINE)]
+    if unknown:
+        sys.stderr.write(f"bench: not in HEADLINE, ignoring {unknown}\n")
+    headline = subset or HEADLINE
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     # Warm-up at the smallest SF: compiles the whole-stage-codegen for every
     # headline plan (JIT cost is per-plan, not per-data; measuring it against
     # sf0.1 would just measure javac). Then time the real SF cold-cache.
     warm_dir = "/root/testdata/sf0.001"
-    for name in HEADLINE:
+    for name in headline:
         try:
             run_one(spark, name, warm_dir)
         except Exception:
@@ -88,7 +97,7 @@ def main() -> None:
     # best-of-2 at the real SF: first run pays AQE re-planning / JIT for
     # this data size, the min is the steady-state number a warm cluster sees
     times: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in headline:
         times[name] = round(min(run_one(spark, name, sf_dir) for _ in range(2)), 3)
     total = round(sum(times.values()), 3)
     print(
