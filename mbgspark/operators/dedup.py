@@ -603,6 +603,38 @@ def minhash_near_dups_incremental(
                 corpus, id_col, text_col, k, out="__shingles"
             )
 
+    pairs = incremental_candidate_pairs(
+        b_bands,
+        c_bands,
+        id_col,
+        max_bucket_size=max_bucket_size,
+        on_oversized=on_oversized,
+        metrics_out=metrics_out,
+        spark=batch.sparkSession,
+    )
+    arrays = b_arrays.unionByName(c_arrays)
+    return verify_candidate_pairs(arrays, pairs, id_col, threshold)
+
+
+def incremental_candidate_pairs(
+    b_bands: DataFrame,
+    c_bands: DataFrame,
+    id_col: str,
+    max_bucket_size: int | None = 1000,
+    on_oversized=None,
+    metrics_out: list | None = None,
+    spark=None,
+) -> DataFrame:
+    """Candidate-generation half of ``minhash_near_dups_incremental``:
+    batch band rows joined against (batch ∪ corpus) band rows under the
+    combined bucket-size guard — never corpus × corpus. Split out (r6) so
+    index-pruning callers (the streaming indexed gate) can run an action
+    on the candidates (collect the touched id-buckets) BEFORE deciding
+    which corpus shingle arrays to read for verification; the one-plan
+    path above composes it directly with ``verify_candidate_pairs``.
+    When the corpus band rows are a pruned read (only buckets the batch
+    probes), the guard's oversized counts cover the PROBED buckets — the
+    buckets where pair suppression can actually happen this batch."""
     band_rows = b_bands.withColumn("__side", F.lit("b")).unionByName(
         c_bands.withColumn("__side", F.lit("c"))
     )
@@ -615,7 +647,7 @@ def minhash_near_dups_incremental(
         )
         if metrics_out is not None:
             metrics_out.append(
-                _oversized_metrics_row(batch.sparkSession, sized, max_bucket_size)
+                _oversized_metrics_row(spark, sized, max_bucket_size)
             )
         oversized = sized.filter(F.col("__n") > max_bucket_size)
         if on_oversized is not None:
@@ -630,7 +662,7 @@ def minhash_near_dups_incremental(
             "left_anti",
         )
     elif metrics_out is not None:
-        metrics_out.append(_oversized_metrics_row(batch.sparkSession, None, None))
+        metrics_out.append(_oversized_metrics_row(spark, None, None))
 
     # ONE bucket join: batch rows against ALL rows, corpus-corpus pairs
     # excluded by the side predicate — never generated, never filtered out
@@ -641,7 +673,7 @@ def minhash_near_dups_incremental(
         "band_idx", "band_key", F.col(id_col).alias("id_b"),
         F.col("__side").alias("__side_b"),
     )
-    pairs = (
+    return (
         a.join(b, ["band_idx", "band_key"])
         .filter(
             (F.col("__side_b") == "c")
@@ -656,14 +688,19 @@ def minhash_near_dups_incremental(
         )
         .distinct()
     )
-    arrays = b_arrays.unionByName(c_arrays)
-    # Verify inline with PAIRS consumed exactly once: jaccard_verify_arrays
-    # joins the pair frame twice (probe + candidate-id semi-join), which
-    # duplicates the whole candidate subtree in the plan — tolerable when
-    # pairs is cheap, but here the pair tree holds the band join + bucket
-    # guard. The pair side is small by LSH construction, so AQE broadcasts
-    # it into both array joins and the (indexed or narrow-map) arrays are
-    # probed in place, never shuffled; match_source rides through.
+
+
+def verify_candidate_pairs(
+    arrays: DataFrame, pairs: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verification half of the incremental pipeline, with
+    PAIRS consumed exactly once: ``jaccard_verify_arrays`` joins the pair
+    frame twice (probe + candidate-id semi-join), which duplicates the
+    whole candidate subtree in the plan — tolerable when pairs is cheap,
+    but here the pair tree holds the band join + bucket guard. The pair
+    side is small by LSH construction, so AQE broadcasts it into both
+    array joins and the (indexed or narrow-map) arrays are probed in
+    place, never shuffled; match_source rides through."""
     sa = arrays.select(F.col(id_col).alias("id_a"), F.col("__shingles").alias("__sa"))
     sb = arrays.select(F.col(id_col).alias("id_b"), F.col("__shingles").alias("__sb"))
     inter = F.size(F.array_intersect("__sa", "__sb"))

@@ -16,7 +16,7 @@ to Structured Streaming primitives:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
@@ -323,18 +323,28 @@ def start_neardup_gate_sink_indexed(
     threshold: float = 0.6,
     available_now: bool = False,
     on_metrics=None,
-    index_arrays: bool = False,
+    index_arrays: bool = True,
+    num_buckets: int = 64,
 ) -> StreamingQuery:
     """The INDEX-MAINTAINING form of the near-dup ingest gate. Each
     batch:
 
     1. reads the persisted MinHash index — band rows + shingle arrays,
        the two ``build_minhash_index`` lineages — restricted by
-       PARTITION PRUNING to batches strictly before this one,
-    2. gates the batch through ``minhash_near_dups_incremental
-       (corpus_index=…)`` (the corpus TEXT is never touched),
+       PARTITION PRUNING on two axes: batches strictly before this one
+       (``__gate_batch < N``) AND the hash buckets this batch actually
+       probes (``__band_bucket`` = hash of the band key for band rows;
+       ``__id_bucket`` = hash of the doc id for shingle arrays, pruned
+       to the CANDIDATES' buckets — near-dup candidates are rare, so
+       the verify read touches a handful of bucket directories instead
+       of the whole arrays store),
+    2. generates candidates with ``incremental_candidate_pairs`` (batch
+       × index band rows, never corpus × corpus; the corpus TEXT is
+       never touched) and verifies them with ``verify_candidate_pairs``
+       against the pruned arrays,
     3. writes the survivors to the store AND their own index rows to the
-       index store, all three partitioned by ``__gate_batch`` = batch id
+       index store — the store partitioned by ``__gate_batch`` = batch
+       id, the index paths sub-partitioned by their bucket column — all
        with dynamic partition overwrite.
 
     Exactly-once without markers or swaps: every write is an IDEMPOTENT
@@ -353,48 +363,84 @@ def start_neardup_gate_sink_indexed(
     upsert and the sketch store's staged swap — is this variant's
     distinctive value.
 
-    MEASURED COST HONESTY (r5, 50,300-doc store, 100-doc batch, same
-    session, identical final stores): plain full-re-read gate 6.9 s;
-    ``index_arrays=True`` (full index) 9.8 s; ``index_arrays=False``
-    (the default HYBRID — candidates from persisted band rows, verify
-    shingles re-derived from store TEXT) 7.6 s. Neither indexed mode
-    beats the plain re-read at this scale: the full index loses on the
-    shingle-array parquet round-trip (~4× raw text on disk, scanned in
-    full by the verify join — the repo's standing "recompute beats
-    materializing shingle rows" lesson), and the hybrid's band-row
-    saving is eaten by reading the index + store separately. The arrays
-    index only pays off memory-resident (persist — how the r4
-    incremental measurements won) or with id-bucketed arrays pruning
-    the verify scan (not implemented). Prefer the plain gate for cost;
-    this form remains the integration point for a resident index and
-    the reference for the partition-idempotent write pattern.
+    MEASURED COST (see SCALE.md r6 row for the numbers of record): the
+    r5 un-bucketed form LOST to the plain re-read gate (9.8 s full /
+    7.6 s hybrid vs 6.9 s per batch at the 50k-doc stress) because its
+    verify join scanned the whole shingle-array store (~4× raw text on
+    disk) or re-scanned store text; bucket pruning removes exactly those
+    scans — per-batch cost is now the batch lineage + a band-row read of
+    the probed buckets + an arrays read of the CANDIDATE buckets only,
+    so it no longer grows with store text size at all, and the margin
+    over the plain gate widens as the store grows. Two driver-side
+    collects per batch are bucket LISTS (≤ ``num_buckets`` values each),
+    bounded metadata like the merge sink's touched-day list. Candidates
+    are persisted for the batch (probed by the bucket collect, the
+    verify join and all three writes) and unpersisted in a finally.
+
+    ``index_arrays=False`` is the bands-only HYBRID: candidates from the
+    pruned band index, verify shingles re-derived from store TEXT (full
+    store scan — the r5 measured-cheaper side when arrays were unpruned;
+    kept as the layout-compatibility mode for stores whose arrays index
+    wasn't materialized). ``num_buckets`` trades pruning granularity
+    against small-files overhead: each batch writes at most
+    min(rows, num_buckets) files per index path.
 
     Store readers see one extra ``__gate_batch`` partition column
     (ingestion metadata — drop it or use it as arrival lineage). The
-    index layout is ``{index_path}/bands`` + ``{index_path}/arrays``.
-    Replay idempotence additionally holds at the CONTENT level like the
-    plain gate's: re-delivered docs exact-match their indexed copies and
-    are rejected. ``on_metrics`` is the plain gate's per-batch bucket-cap
-    channel, and here its fallback evaluation is cheap by construction —
-    the metrics lineage reads the index, not the corpus text."""
+    index layout is ``{index_path}/bands`` (sub-partitioned by
+    ``__band_bucket``) + ``{index_path}/arrays`` (sub-partitioned by
+    ``__id_bucket``). Replay idempotence additionally holds at the
+    CONTENT level like the plain gate's: re-delivered docs exact-match
+    their indexed copies and are rejected. ``on_metrics`` is the plain
+    gate's per-batch bucket-cap channel; under pruning its oversized
+    counts cover the PROBED buckets — the only buckets where pair
+    suppression can happen this batch — and its fallback evaluation is
+    cheap by construction (the metrics lineage reads the index, not the
+    corpus text)."""
     from mbgspark.operators.dedup import (
+        _oversized_metrics_row,
         build_minhash_index,
+        incremental_candidate_pairs,
         minhash_near_dups,
-        minhash_near_dups_incremental,
         observed_or_direct,
+        verify_candidate_pairs,
+        with_shingle_array,
     )
 
     bands_path = index_path.rstrip("/") + "/bands"
     arrays_path = index_path.rstrip("/") + "/arrays"
 
-    def _write_part(df: DataFrame, path: str, batch_id: int) -> None:
-        out = df.withColumn("__gate_batch", F.lit(int(batch_id)))
-        (
-            out.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("__gate_batch")
-            .parquet(path)
-        )
+    def _band_bucket() -> Column:
+        return F.pmod(F.xxhash64("band_idx", "band_key"), F.lit(num_buckets))
+
+    def _id_bucket(col_name: str) -> Column:
+        return F.pmod(F.xxhash64(F.col(col_name)), F.lit(num_buckets))
+
+    def _write_part(
+        df: DataFrame, path: str, batch_id: int, bucket: Column | None = None
+    ) -> None:
+        # STATIC overwrite of this batch's own partition directory (the
+        # Hive-layout path readers discover as __gate_batch=N), not a
+        # dynamic-partition-overwrite of the whole store: the commit then
+        # never lists or stages the store's other partitions (measured
+        # ~2× cheaper per write at a 256-partition index), and a replay
+        # wipes the ENTIRE directory of a partial earlier attempt instead
+        # of only the sub-partitions the recomputed batch happens to
+        # touch. Bucketed paths cluster rows by bucket first so each
+        # bucket dir gets ~1 file per batch — without this every shuffle
+        # task holding rows for a bucket emits its own file, and the
+        # pruned reads this layout exists for drown in file-open overhead.
+        target = f"{path.rstrip('/')}/__gate_batch={int(batch_id)}"
+        if bucket is not None:
+            (
+                df.withColumn("__bucket", bucket)
+                .repartition(F.col("__bucket"))
+                .write.mode("overwrite")
+                .partitionBy("__bucket")
+                .parquet(target)
+            )
+        else:
+            df.write.mode("overwrite").parquet(target)
 
     def _gate(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import Observation
@@ -406,102 +452,200 @@ def start_neardup_gate_sink_indexed(
         # ADVICE r5 (medium): the indexed branch reads bands + ONE other
         # path (arrays in full-index mode, the store in hybrid mode). A
         # crash during the FIRST batch between the store write and the
-        # later index writes (or between arrays and bands in full mode)
-        # can leave a subset of the three paths existing; guarding only
-        # bands_path would send the replay into the indexed branch and a
-        # hard path-does-not-exist read, permanently stalling the stream.
-        # Require EVERY path the branch reads to exist; otherwise fall
-        # back to the self-contained branch — equivalent for batch 0,
-        # since the indexed branch filters to __gate_batch < 0 = nothing
-        # anyway, and batch 0 is the only batch that can be missing a
-        # path (later batches write every path per batch, and partial
-        # partition N is invisible behind the < N filter).
+        # later index writes can leave a subset of the three paths
+        # existing; guarding only bands_path would send the replay into
+        # the indexed branch and a hard path-does-not-exist read,
+        # permanently stalling the stream. Require EVERY path the branch
+        # reads to exist; otherwise fall back to the self-contained
+        # branch — equivalent for batch 0, since the indexed branch
+        # filters to __gate_batch < 0 = nothing anyway, and batch 0 is
+        # the only batch that can be missing a path (later batches write
+        # every path per batch, and partial partition N is invisible
+        # behind the < N filter).
         indexed_ready = _store_exists(spark, bands_path) and _store_exists(
             spark, arrays_path if index_arrays else store_path
         )
-        if indexed_ready:
-            c_bands = (
-                spark.read.parquet(bands_path)
-                .filter(F.col("__gate_batch") < batch_id)
-                .drop("__gate_batch")
-            )
-            if index_arrays:
-                c_arrays = (
-                    spark.read.parquet(arrays_path)
-                    .filter(F.col("__gate_batch") < batch_id)
-                    .drop("__gate_batch")
+        keep: list[DataFrame] = []
+        try:
+            if indexed_ready:
+                b_bands, b_arrays = build_minhash_index(slim, id_col, text_col)
+                # prune the band-row read to the buckets this batch probes
+                # (corpus rows in any other bucket can't equi-join a batch
+                # row — bucket list, not keys, bounded by num_buckets),
+                # then fetch the candidate PAIRS themselves to the driver
+                # through ONE broadcast-join action: the batch band rows
+                # broadcast against the pruned index scan, no shuffle, no
+                # distinct (duplicates across bands dedupe driver-side).
+                # Candidates are small by LSH construction; the
+                # limit(cap+1) guards the collect, and an overflow falls
+                # back to the fully distributed candidate path (which
+                # also applies the bucket-size cap — the lean path
+                # verifies EVERY candidate exactly instead of capping,
+                # strictly better recall on the batches small enough to
+                # take it).
+                probe_buckets = [
+                    r[0]
+                    for r in b_bands.select(_band_bucket().alias("__b"))
+                    .distinct()
+                    .collect()
+                ]
+                c_bands = (
+                    spark.read.parquet(bands_path)
+                    .filter(
+                        (F.col("__gate_batch") < batch_id)
+                        & F.col("__bucket").isin(probe_buckets)
+                    )
+                    .drop("__gate_batch", "__bucket")
                 )
-                corpus_text = slim.limit(0)  # unused with full index
+                cand_cap = 100_000
+                a_rows = b_bands.select(
+                    "band_idx", "band_key", F.col(id_col).alias("id_a")
+                )
+                all_rows = b_bands.select(
+                    "band_idx", "band_key", F.col(id_col).alias("id_b"),
+                    F.lit("b").alias("__side_b"),
+                ).unionByName(
+                    c_bands.select(
+                        "band_idx", "band_key", F.col(id_col).alias("id_b"),
+                        F.lit("c").alias("__side_b"),
+                    )
+                )
+                lean = (
+                    F.broadcast(a_rows)
+                    .join(all_rows, ["band_idx", "band_key"])
+                    .filter(
+                        (F.col("__side_b") == "c")
+                        | (
+                            (F.col("__side_b") == "b")
+                            & (F.col("id_a") < F.col("id_b"))
+                        )
+                    )
+                    .select(
+                        "id_a",
+                        "id_b",
+                        F.when(F.col("__side_b") == "c", F.lit("corpus"))
+                        .otherwise(F.lit("batch"))
+                        .alias("match_source"),
+                        _id_bucket("id_b").alias("__b"),
+                    )
+                )
+                got_rows = lean.limit(cand_cap + 1).collect()
+                if len(got_rows) <= cand_cap:
+                    seen = {(r[0], r[1], r[2]) for r in got_rows}
+                    cand = spark.createDataFrame(
+                        sorted(seen),
+                        lean.select("id_a", "id_b", "match_source").schema,
+                    )
+                    cand_buckets = sorted(
+                        {r[3] for r in got_rows if r[2] == "corpus"}
+                    )
+                    if metrics is not None:
+                        # the lean path caps nothing — every candidate is
+                        # verified exactly, so the drop metrics are TRUE
+                        # literal zeros
+                        metrics.append(_oversized_metrics_row(spark, None, None))
+                else:
+                    # overflow: the distributed path with the bucket-size
+                    # cap (and its real drop metrics)
+                    cand = incremental_candidate_pairs(
+                        b_bands, c_bands, id_col, metrics_out=metrics, spark=spark
+                    ).persist()
+                    keep.append(cand)
+                    cand_buckets = [
+                        r[0]
+                        for r in cand.filter(F.col("match_source") == "corpus")
+                        .select(_id_bucket("id_b").alias("__b"))
+                        .distinct()
+                        .collect()
+                    ]
+                if index_arrays:
+                    # verify needs corpus shingles ONLY for candidate ids:
+                    # prune the arrays read to the candidates' id-buckets
+                    if cand_buckets:
+                        c_arrays = (
+                            spark.read.parquet(arrays_path)
+                            .filter(
+                                (F.col("__gate_batch") < batch_id)
+                                & F.col("__bucket").isin(cand_buckets)
+                            )
+                            .drop("__gate_batch", "__bucket")
+                        )
+                    else:
+                        c_arrays = b_arrays.limit(0)
+                else:
+                    # hybrid: verify shingles re-derived from store TEXT
+                    c_arrays = with_shingle_array(
+                        spark.read.parquet(store_path)
+                        .filter(F.col("__gate_batch") < batch_id)
+                        .select(id_col, text_col),
+                        id_col,
+                        text_col,
+                        out="__shingles",
+                    )
+                pairs = verify_candidate_pairs(
+                    b_arrays.unionByName(c_arrays), cand, id_col, threshold
+                )
+                drop_ids = (
+                    pairs.filter(F.col("match_source") == "corpus")
+                    .select(F.col("id_a").alias(id_col))
+                    .unionByName(
+                        pairs.filter(F.col("match_source") == "batch")
+                        .select(F.col("id_b").alias(id_col))
+                    )
+                    .distinct()
+                )
             else:
-                # hybrid: bands from the index, verify shingles re-derived
-                # from the store TEXT (the measured-cheaper side)
-                c_arrays = None
-                corpus_text = (
-                    spark.read.parquet(store_path)
-                    .filter(F.col("__gate_batch") < batch_id)
-                    .select(id_col, text_col)
+                pairs = minhash_near_dups(
+                    slim, id_col, text_col, threshold=threshold,
+                    metrics_out=metrics,
                 )
-            pairs = minhash_near_dups_incremental(
-                slim,
-                corpus_text,
-                id_col,
-                text_col,
-                threshold=threshold,
-                metrics_out=metrics,
-                corpus_index=(c_bands, c_arrays),
-            )
-            drop_ids = (
-                pairs.filter(F.col("match_source") == "corpus")
-                .select(F.col("id_a").alias(id_col))
-                .unionByName(
-                    pairs.filter(F.col("match_source") == "batch")
-                    .select(F.col("id_b").alias(id_col))
+                drop_ids = pairs.select(F.col("id_b").alias(id_col)).distinct()
+            survivors = batch_df.join(drop_ids, id_col, "left_anti")
+            obs = None
+            if on_metrics:
+                obs = Observation(f"neardup_gate_idx_{batch_id}")
+                mrow = metrics[0].observe(
+                    obs,
+                    F.max("oversized_buckets").alias("oversized_buckets"),
+                    F.max("oversized_rows").alias("oversized_rows"),
                 )
-                .distinct()
+                survivors = survivors.crossJoin(F.broadcast(mrow)).drop(
+                    "oversized_buckets", "oversized_rows"
+                )
+            # micro-batch-sized: persist (post-observe, so the metrics
+            # ride the one materializing action) so the three partition
+            # writes don't each re-run the verify join and its pruned
+            # index reads
+            survivors = survivors.persist()
+            keep.append(survivors)
+            # dynamic overwrite writes nothing for an empty batch —
+            # partition N simply never exists, which reads the same as
+            # empty. Write order: store first, index paths after, bands
+            # LAST — bands is the branch trigger above, so a first-batch
+            # crash mid-sequence leaves either no bands (→ clean fallback
+            # branch on replay) or a complete path set.
+            s_bands, s_arrays = build_minhash_index(
+                survivors.select(id_col, text_col), id_col, text_col
             )
-        else:
-            pairs = minhash_near_dups(
-                slim, id_col, text_col, threshold=threshold,
-                metrics_out=metrics,
-            )
-            drop_ids = pairs.select(F.col("id_b").alias(id_col)).distinct()
-        survivors = batch_df.join(drop_ids, id_col, "left_anti")
-        obs = None
-        if on_metrics:
-            obs = Observation(f"neardup_gate_idx_{batch_id}")
-            mrow = metrics[0].observe(
-                obs,
-                F.max("oversized_buckets").alias("oversized_buckets"),
-                F.max("oversized_rows").alias("oversized_rows"),
-            )
-            survivors = survivors.crossJoin(F.broadcast(mrow)).drop(
-                "oversized_buckets", "oversized_rows"
-            )
-        # dynamic overwrite writes nothing for an empty batch — partition
-        # N simply never exists, which reads the same as empty. Write
-        # order: store first, index paths after, bands LAST — bands is
-        # the branch trigger above, so a first-batch crash mid-sequence
-        # leaves either no bands (→ clean fallback branch on replay) or
-        # a complete path set.
-        b_bands, b_arrays = build_minhash_index(
-            survivors.select(id_col, text_col), id_col, text_col
-        )
-        _write_part(survivors, store_path, batch_id)
-        if index_arrays:
-            _write_part(b_arrays, arrays_path, batch_id)
-        _write_part(b_bands, bands_path, batch_id)
-        if obs is not None:
-            # folded ride-along (zero survivors): getRowOrEmpty probe →
-            # direct evaluation — cheap here, the metrics lineage reads
-            # the index, not the corpus; real failures propagate
-            got = observed_or_direct(obs, metrics[0])
-            on_metrics(
-                batch_id,
-                {
-                    "oversized_buckets": got.get("oversized_buckets") or 0,
-                    "oversized_rows": got.get("oversized_rows") or 0,
-                },
-            )
+            _write_part(survivors, store_path, batch_id)
+            if index_arrays:
+                _write_part(s_arrays, arrays_path, batch_id, _id_bucket(id_col))
+            _write_part(s_bands, bands_path, batch_id, _band_bucket())
+            if obs is not None:
+                # folded ride-along (zero survivors): getRowOrEmpty probe →
+                # direct evaluation — cheap here, the metrics lineage reads
+                # the index, not the corpus; real failures propagate
+                got = observed_or_direct(obs, metrics[0])
+                on_metrics(
+                    batch_id,
+                    {
+                        "oversized_buckets": got.get("oversized_buckets") or 0,
+                        "oversized_rows": got.get("oversized_rows") or 0,
+                    },
+                )
+        finally:
+            for df_ in keep:
+                df_.unpersist()
 
     writer = stream.writeStream.foreachBatch(_gate).option(
         "checkpointLocation", checkpoint_path

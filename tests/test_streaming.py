@@ -629,7 +629,8 @@ def test_indexed_gate_hybrid_mode_matches_and_skips_arrays_store(spark, tmp_path
     def run():
         stream = spark.readStream.schema("doc_id long, text string").json(str(src))
         q = start_neardup_gate_sink_indexed(
-            stream, store, index, ck, threshold=0.5, available_now=True
+            stream, store, index, ck, threshold=0.5, available_now=True,
+            index_arrays=False,
         )
         q.awaitTermination(120)
         return sorted(r["doc_id"] for r in spark.read.parquet(store).collect())
@@ -676,9 +677,12 @@ def test_indexed_gate_recovers_from_first_batch_partial_write(spark, tmp_path):
         b_bands, _ = build_minhash_index(remnant, "doc_id", "text")
         (
             b_bands.withColumn("__gate_batch", F.lit(0))
+            .withColumn(
+                "__bucket", F.pmod(F.xxhash64("band_idx", "band_key"), F.lit(64))
+            )
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("__gate_batch")
+            .partitionBy("__gate_batch", "__bucket")
             .parquet(f"{index}/bands")
         )
 
