@@ -30,16 +30,47 @@ FEATURE_SCHEMA = (
 
 
 def decode_image(content: bytes, fake: bool = False) -> list[float]:
-    """Decode an image to features. Real codecs are unavailable in this
-    container → NotImplementedError; ``fake=True`` derives a deterministic
-    8-dim feature vector from the raw bytes (stable across runs/engines)."""
-    if not fake:
+    """Decode an image to an 8-dim feature vector.
+
+    ``fake=True`` — the ORACLE path: a deterministic vector derived only
+    from the raw bytes (md5 prefix), stable across runs/engines; this is
+    what the catalog queries and DuckDB oracles pin.
+
+    ``fake=False`` — the REAL path (r6): decodes through Pillow when it
+    is installed and emits the same 8-dim shape with image-derived
+    values — [width/4096, height/4096, mean R, mean G, mean B, min
+    luminance, max luminance, mean luminance], all in [0, 1] and
+    deterministic for a given image. Without Pillow it raises
+    NotImplementedError naming the fake path (this container ships no
+    codec libraries); the integration test is importorskip-gated."""
+    if fake:
+        digest = hashlib.md5(content).digest()
+        return [b / 255.0 for b in digest[:8]]
+    try:
+        from PIL import Image
+    except ImportError as exc:
         raise NotImplementedError(
             "image codecs are not installed in this environment; "
             "use fake=True for the deterministic stub"
-        )
-    digest = hashlib.md5(content).digest()
-    return [b / 255.0 for b in digest[:8]]
+        ) from exc
+    import io
+
+    with Image.open(io.BytesIO(content)) as im:
+        rgb = im.convert("RGB")
+        w, h = rgb.size
+        px = list(rgb.getdata())
+    n = len(px) or 1
+    lum = [(0.299 * p[0] + 0.587 * p[1] + 0.114 * p[2]) / 255.0 for p in px]
+    return [
+        min(w, 4096) / 4096.0,
+        min(h, 4096) / 4096.0,
+        sum(p[0] for p in px) / (255.0 * n),
+        sum(p[1] for p in px) / (255.0 * n),
+        sum(p[2] for p in px) / (255.0 * n),
+        min(lum, default=0.0),
+        max(lum, default=0.0),
+        sum(lum) / n,
+    ]
 
 
 def extract_features(df: DataFrame, fake_decode: bool = True) -> DataFrame:

@@ -359,3 +359,148 @@ def test_retention_sweep_rejects_mixed_width_partition_values(spark, tmp_path):
     write_partitioned(df, store, "event_date")
     with pytest.raises(ValueError, match="fixed-width"):
         retention_sweep(spark, store, "event_date", "2020-01-06")
+
+
+# ---------------------------------------------- Mongo migration contract ----
+
+
+def _oid(n: int) -> str:
+    """ObjectId-like 24-hex string, as the Spark Mongo connector surfaces
+    `_id` after the README's cast-to-string."""
+    return f"{n:024x}"
+
+
+def _mongo_day_fixture(spark, day_docs):
+    """Mongo-connector-shaped frame for one per-day collection
+    (`monthly_tweets_{YYYYMMDD}`, reference utils.py:567-592): nested
+    {content, metadata, metrics, sentiment_analysis, processing_status}
+    docs in TWEET_DOC_SCHEMA — the same shape resilient_scraper.py:916-934
+    stores and the connector infers."""
+    from mbgspark.schema import TWEET_DOC_SCHEMA
+
+    return spark.createDataFrame(day_docs, TWEET_DOC_SCHEMA)
+
+
+def test_mongo_migration_recipe_end_to_end(spark, tmp_path):
+    """VERDICT r5 item 2 / README 'Migrating live reference data out of
+    MongoDB': the documented per-collection chain — connector-shaped
+    nested docs → flatten → merge_by_key(partition-scoped) →
+    write_partitioned — lands a store equal to the hand-built expected
+    one, including the reference's upsert semantics for a tweet
+    re-scraped on a later day (latest scraped_at wins, key keeps its
+    partition)."""
+    import os
+
+    ts = dt.datetime
+    loc = ("dki jakarta", "jakarta pusat", "location_field", "Jakarta Pusat")
+
+    def doc(n, text, created, scraped, likes, sentiment=None):
+        return (
+            _oid(n),
+            (text, text.lower()),
+            ("Author", f"@a{n}", created, scraped, loc, f"https://x.com/{n}"),
+            (0, 0, likes),
+            sentiment,
+            (sentiment is not None, True),
+            loc,
+        )
+
+    day1 = [
+        doc(1, "MBG hari pertama", ts(2025, 1, 1, 8), ts(2025, 1, 1, 9), 5,
+            ("positive", 0.9)),
+        doc(2, "tweet kedua", ts(2025, 1, 1, 10), ts(2025, 1, 1, 11), 2),
+    ]
+    # day 2: one novel doc + doc 1 re-scraped (newer scraped_at, likes grew)
+    day2 = [
+        doc(3, "tweet ketiga", ts(2025, 1, 2, 8), ts(2025, 1, 2, 9), 1),
+        doc(1, "MBG hari pertama", ts(2025, 1, 1, 8), ts(2025, 1, 2, 12), 50,
+            ("positive", 0.95)),
+    ]
+
+    store = str(tmp_path / "tweets_store")
+    for day_iso, docs in (("2025-01-01", day1), ("2025-01-02", day2)):
+        raw = _mongo_day_fixture(spark, docs)
+        # the README's flatten select: nested doc -> TWEET_RAW_SCHEMA-ish
+        # flat row; a re-scraped tweet keeps its own created-date
+        # partition (the merge sink's touched-partitions contract)
+        flat = raw.select(
+            F.col("_id").cast("string").alias("_id"),
+            F.col("content.text").alias("text"),
+            F.col("metadata.created_at").alias("created_at"),
+            F.col("metadata.scraped_at").alias("scraped_at"),
+            F.col("metadata.author_handle").alias("author_handle"),
+            F.col("metrics.like_count").alias("like_count"),
+        ).withColumn("event_date", F.date_format("created_at", "yyyy-MM-dd"))
+        if os.path.isdir(store):
+            merged = merge_by_key(
+                spark.read.parquet(store), flat,
+                key="_id", order_col="scraped_at", partition_col="event_date",
+            )
+            write_partitioned(merged, store, "event_date")
+        else:
+            write_partitioned(flat, store, "event_date")
+
+    got = sorted(
+        (r["_id"], r["text"], r["like_count"], r["scraped_at"],
+         str(r["event_date"]))
+        for r in spark.read.parquet(store).collect()
+    )
+    want = sorted([
+        # doc 1: the day-2 re-scrape won (scraped_at 2025-01-02 12:00,
+        # likes 50), still in its created-date partition
+        (_oid(1), "MBG hari pertama", 50, ts(2025, 1, 2, 12), "2025-01-01"),
+        (_oid(2), "tweet kedua", 2, ts(2025, 1, 1, 11), "2025-01-01"),
+        (_oid(3), "tweet ketiga", 1, ts(2025, 1, 2, 9), "2025-01-02"),
+    ])
+    assert got == want
+
+    # replaying day 2 (the resumable-ingest crash case) converges: same rows
+    raw = _mongo_day_fixture(spark, day2)
+    flat = raw.select(
+        F.col("_id").cast("string").alias("_id"),
+        F.col("content.text").alias("text"),
+        F.col("metadata.created_at").alias("created_at"),
+        F.col("metadata.scraped_at").alias("scraped_at"),
+        F.col("metadata.author_handle").alias("author_handle"),
+        F.col("metrics.like_count").alias("like_count"),
+    ).withColumn("event_date", F.date_format("created_at", "yyyy-MM-dd"))
+    merged = merge_by_key(
+        spark.read.parquet(store), flat,
+        key="_id", order_col="scraped_at", partition_col="event_date",
+    )
+    write_partitioned(merged, store, "event_date")
+    again = sorted(
+        (r["_id"], r["text"], r["like_count"], r["scraped_at"],
+         str(r["event_date"]))
+        for r in spark.read.parquet(store).collect()
+    )
+    assert again == want
+
+
+def test_mongo_fixture_flattens_with_reference_defaults(spark):
+    """schema.flatten_tweets (P1) over the connector-shaped fixture:
+    missing enrichment (NULL sentiment_analysis struct) flattens to the
+    reference's get(..., '')/0.0/False defaults."""
+    from mbgspark.schema import flatten_tweets
+
+    ts = dt.datetime
+    docs = [
+        (
+            _oid(7),
+            ("raw text", None),
+            (None, "@h", ts(2025, 1, 1), ts(2025, 1, 1), None, None),
+            (None, None, 3),
+            None,
+            (None, None),
+            None,
+        )
+    ]
+    flat = flatten_tweets(_mongo_day_fixture(spark, docs)).collect()[0]
+    assert flat["_id"] == _oid(7)
+    assert flat["text"] == "raw text"
+    assert flat["clean_text"] == ""
+    assert flat["sentiment_label"] == ""
+    assert flat["sentiment_confidence"] == 0.0
+    assert flat["sentiment_analyzed"] is False
+    assert flat["reply_count"] == 0
+    assert flat["like_count"] == 3

@@ -61,3 +61,65 @@ def test_resize_media_exact_output_size(spark):
     assert len(out[1]["content"]) == 12 and len(out[2]["content"]) == 12
     assert out[2]["content"] == (b"hello" * 3)[:12]  # deterministic cycle
     assert (out[1]["width"], out[1]["height"]) == (4, 3)
+
+
+def test_real_decode_matches_fake_contract_when_pil_present(spark):
+    """VERDICT r5 item 6: the real Pillow decode path, importorskip-gated
+    — same 8-dim output shape and FEATURE_SCHEMA as the fake oracle
+    path, deterministic on a 2x2 RGB fixture. Skipped in this container
+    (no Pillow); the day the dependency appears this drives the real
+    decode end-to-end through mapInPandas."""
+    import io
+
+    import pytest
+
+    PIL = pytest.importorskip("PIL")
+    from PIL import Image
+
+    from mbgspark.operators.multimodal import decode_image, extract_features
+
+    # the 2x2 fixture: known pixels -> exactly computable features
+    im = Image.new("RGB", (2, 2))
+    im.putdata([(255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 255)])
+    buf = io.BytesIO()
+    im.save(buf, format="PNG")
+    png = buf.getvalue()
+
+    feats = decode_image(png, fake=False)
+    assert len(feats) == 8
+    assert feats[0] == feats[1] == 2 / 4096  # width, height
+    assert abs(feats[2] - 510 / (255.0 * 4)) < 1e-9  # mean R
+    assert abs(feats[3] - 510 / (255.0 * 4)) < 1e-9  # mean G
+    assert abs(feats[4] - 510 / (255.0 * 4)) < 1e-9  # mean B
+    assert abs(feats[5] - 0.114) < 1e-9  # min luminance (pure blue)
+    assert abs(feats[6] - 1.0) < 1e-9  # max luminance (white)
+    # deterministic: same bytes -> same vector
+    assert decode_image(png, fake=False) == feats
+
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(png), None, None, None)],
+        "media_id bigint, media_type string, content binary, "
+        "width int, height int, sample_rate int",
+    )
+    real = extract_features(df, fake_decode=False)
+    fake = extract_features(df, fake_decode=True)
+    # schema-identical paths; fake stays the oracle
+    assert real.schema == fake.schema
+    row = real.collect()[0]
+    assert row["feat"] == feats
+    assert row["n_bytes"] == len(png)
+
+
+def test_real_decode_raises_naming_fake_path_without_pil():
+    """Without Pillow the real path must fail fast with the message that
+    names the oracle alternative — not deep inside a Spark task."""
+    import importlib.util
+
+    import pytest
+
+    if importlib.util.find_spec("PIL") is not None:
+        pytest.skip("Pillow installed; the gated-raise contract is moot")
+    from mbgspark.operators.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError, match="fake=True"):
+        decode_image(b"\x89PNG not really", fake=False)

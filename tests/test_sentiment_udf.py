@@ -92,3 +92,58 @@ def test_model_branch_error_degradation(spark):
         ).collect()
     }
     assert got == {"1": ("neutral", 0.0), "2": ("neutral", 0.0)}
+
+
+def test_hf_factory_error_names_the_fallback_and_dispatch_matches():
+    """VERDICT r5 item 5: the factory's no-deps error must NAME the
+    deterministic strategy the caller should use, and the named fallback
+    must be exactly what with_sentiment_udf dispatches to by default
+    (classify=None)."""
+    with pytest.raises(NotImplementedError, match=r"make_lexicon_classify\(\)"):
+        hf_classify_factory()
+
+
+def test_default_dispatch_is_lexicon_strategy(spark):
+    from mbgspark.functions.sentiment import make_lexicon_classify
+
+    df = spark.createDataFrame(
+        [("1", "program bagus sekali"), ("2", "gagal buruk"), ("3", None)],
+        "id string, text string",
+    )
+    default = sorted(
+        map(tuple, with_sentiment_udf(df, "text").collect())
+    )
+    explicit = sorted(
+        map(
+            tuple,
+            with_sentiment_udf(
+                df, "text", classify=make_lexicon_classify()
+            ).collect(),
+        )
+    )
+    assert default == explicit
+
+
+def test_hf_integration_when_transformers_present(spark):
+    """Integration seam for the real HF path (reference utils.py:53-92):
+    skipped in this container (no transformers/torch); the day the
+    dependency appears, this drives hf_classify_factory end-to-end
+    through the Arrow UDF. The error-degradation contract means a
+    present-but-offline model still yields ('neutral', 0.0) rows, which
+    the assertions accept — the test pins the SEAM, not the weights."""
+    pytest.importorskip("transformers")
+    pytest.importorskip("torch")
+
+    clf = hf_classify_factory()
+    df = spark.createDataFrame(
+        [("1", "program makan bergizi gratis sangat bagus"), ("2", None)],
+        "id string, text string",
+    )
+    got = {
+        r["id"]: (r["label"], r["confidence_score"])
+        for r in with_sentiment_udf(df, "text", classify=clf).collect()
+    }
+    assert set(got) == {"1", "2"}
+    for label, score in got.values():
+        assert label in {"positive", "negative", "neutral"}
+        assert 0.0 <= score <= 1.0
