@@ -655,6 +655,93 @@ def start_neardup_gate_sink_indexed(
     return writer.start()
 
 
+def compact_gate_store(
+    spark: SparkSession, path: str, target_files: int = 1
+) -> int:
+    """Offline maintenance for the gate's batch-partitioned stores
+    (the survivors store and each index path of
+    ``start_neardup_gate_sink_indexed``): fold every ``__gate_batch=N``
+    partition into ONE base generation at ``__gate_batch=-1``, with one
+    file per bucket (bucketed index paths keep their ``__bucket``
+    sub-partitions; the flat store compacts to a single file set). The
+    gate only ever reads ``__gate_batch < N`` with N ≥ 0, so the ``-1``
+    base stays visible to every future batch — the read contract is
+    unchanged, and the long-running stream's file count resets from
+    O(batches × buckets) to O(buckets). Returns the number of batch
+    partitions folded.
+
+    Crash-safe by the sketch sink's staged-swap discipline: the compacted
+    generation is written to a ``.__compact_staging`` sibling first
+    (outside the store, so readers never see a mixed layout), then the
+    old batch directories are deleted and the staging directory renamed
+    to ``__gate_batch=-1``. Every crash point resolves on the next call:
+    a staging dir bearing ``_SUCCESS`` is adopted (finish the deletes +
+    rename — the data inside it is a complete superset snapshot of the
+    batch dirs it was built from); one without is discarded and rebuilt.
+    Run it while the stream is STOPPED — a concurrent batch would write
+    a partition the in-flight snapshot doesn't contain, and the swap
+    would drop it."""
+    staging = path.rstrip("/") + ".__compact_staging"
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+
+    def _p(s: str):
+        return jvm.org.apache.hadoop.fs.Path(s)
+
+    fs = _p(path).getFileSystem(conf)
+
+    def _batch_dirs() -> list[str]:
+        if not fs.exists(_p(path)):
+            return []
+        out = []
+        for st in fs.listStatus(_p(path)):
+            name = st.getPath().getName()
+            if st.isDirectory() and name.startswith("__gate_batch="):
+                out.append(name)
+        return out
+
+    def _swap(dirs: list[str]) -> None:
+        for d in dirs:
+            tgt = _p(f"{path.rstrip('/')}/{d}")
+            if fs.exists(tgt) and not fs.delete(tgt, True):
+                raise RuntimeError(f"compact_gate_store: failed to drop {tgt}")
+        if not fs.rename(_p(staging), _p(f"{path.rstrip('/')}/__gate_batch=-1")):
+            raise RuntimeError(
+                f"compact_gate_store: failed to promote {staging}"
+            )
+
+    # recovery: adopt a fully-committed staging generation left by a
+    # crashed earlier call (it snapshots every batch dir that existed
+    # then; dirs written AFTER it cannot exist — the stream is stopped)
+    if fs.exists(_p(staging + "/_SUCCESS")):
+        _swap(_batch_dirs())
+        return 0
+    if fs.exists(_p(staging)):
+        fs.delete(_p(staging), True)  # incomplete remnant
+
+    dirs = _batch_dirs()
+    if not dirs:
+        return 0
+    df = spark.read.parquet(path)
+    bucketed = "__bucket" in df.columns
+    if bucketed:
+        (
+            df.drop("__gate_batch")
+            .repartition(F.col("__bucket"))
+            .write.mode("overwrite")
+            .partitionBy("__bucket")
+            .parquet(staging)
+        )
+    else:
+        # flat survivors store: ``target_files`` caps the compacted file
+        # count (raise it for stores too large for one task's output)
+        df.drop("__gate_batch").coalesce(target_files).write.mode(
+            "overwrite"
+        ).parquet(staging)
+    _swap(dirs)
+    return len(dirs)
+
+
 def start_cardinality_sink(
     stream: DataFrame,
     store_path: str,

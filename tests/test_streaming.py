@@ -702,3 +702,82 @@ def test_indexed_gate_recovers_from_first_batch_partial_write(spark, tmp_path):
         # the replayed batch 0 overwrote the remnant partition in place
         bands = spark.read.parquet(f"{index}/bands")
         assert bands.select("__gate_batch").distinct().collect()[0][0] == 0
+
+
+def test_compact_gate_store_preserves_gate_semantics(spark, tmp_path):
+    """compact_gate_store folds every __gate_batch partition into the -1
+    base generation: file count drops, the gate keeps rejecting near-dups
+    of pre-compaction admissions (the < N read contract still sees the
+    base), and the final store matches the uncompacted twin run. Also
+    pins the staged-swap crash recovery: a committed staging dir left by
+    a crashed call is adopted, not rebuilt."""
+    import glob
+    import os
+
+    from mbgspark.streaming import (
+        compact_gate_store,
+        start_neardup_gate_sink_indexed,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    near = "quick brown fox jumps over the lazy dog near the river bank"
+    batches = [
+        [{"doc_id": 1, "text": base},
+         {"doc_id": 2, "text": "unrelated text about catalyst plan pruning"}],
+        [{"doc_id": 10, "text": "fresh novel content with new vocabulary"}],
+        # post-compaction batch: near-dup of a PRE-compaction admission
+        [{"doc_id": 20, "text": near},
+         {"doc_id": 21, "text": "another entirely different document body"}],
+    ]
+
+    def run(root, upto, compact_after=None):
+        store, index, ck = f"{root}/store", f"{root}/index", f"{root}/ck"
+        for i in range(upto):
+            _write_batch(tmp_path / f"{os.path.basename(root)}_src{i}", [])
+            src = tmp_path / f"{os.path.basename(root)}_src"
+            os.makedirs(src, exist_ok=True)
+            with open(src / f"b{i}.json", "w") as f:
+                for d in batches[i]:
+                    import json as _json
+
+                    f.write(_json.dumps(d) + "\n")
+            q = start_neardup_gate_sink_indexed(
+                spark.readStream.schema("doc_id long, text string").json(str(src)),
+                store, index, ck, threshold=0.5, available_now=True,
+            )
+            q.awaitTermination(120)
+            if compact_after is not None and i == compact_after:
+                for p in (store, f"{index}/bands", f"{index}/arrays"):
+                    assert compact_gate_store(spark, p) >= 1
+        return sorted(r["doc_id"] for r in spark.read.parquet(store).collect())
+
+    plain = run(str(tmp_path / "nc"), 3)
+    compacted = run(str(tmp_path / "cc"), 3, compact_after=1)
+    assert plain == compacted == [1, 2, 10, 21]  # 20 rejected vs base
+
+    # compaction actually shrank the file count
+    n_cc = len(glob.glob(f"{tmp_path}/cc/index/bands/**/*.parquet", recursive=True))
+    n_nc = len(glob.glob(f"{tmp_path}/nc/index/bands/**/*.parquet", recursive=True))
+    assert n_cc < n_nc
+
+    # crash recovery: a COMMITTED staging snapshot (what a crashed call
+    # leaves between its staging write and the swap) + surviving batch
+    # dirs -> adopted, not rebuilt
+    store = f"{tmp_path}/cc/store"
+    staging = store + ".__compact_staging"
+    rows_before = sorted(
+        r["doc_id"] for r in spark.read.parquet(store).collect()
+    )
+    (
+        spark.read.parquet(store)
+        .drop("__gate_batch")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(staging)
+    )
+    assert os.path.exists(f"{staging}/_SUCCESS")
+    assert compact_gate_store(spark, store) == 0  # adopted, not rebuilt
+    assert not os.path.exists(staging)
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(store).collect()
+    ) == rows_before

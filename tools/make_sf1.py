@@ -1,0 +1,105 @@
+"""Deterministic sf1 inflation of the driver's sf0.1 testdata (NOTES_r6:
+the driver ships sf{0.001,0.01,0.1}; round 6's scale evidence needs one
+decade more). 10 key-shifted copies of every fact table, written with
+pyarrow so physical parquet types are preserved untouched.
+
+Choices that keep the inflated data honest:
+- ONE GLOBAL per-copy key stride (1e8) applied to every key column —
+  cross-table joins (doc_id ↔ vec_id, o_custkey ↔ c_custkey, …) hold
+  within and across copies exactly as at sf0.1.
+- documents.text for copy k>0 maps every word w → w + "xk" (n_chars
+  recomputed): within-copy duplicate/near-dup structure replicates
+  exactly, but copies share NO shingles, so inflation adds no artificial
+  cross-copy near-dup clusters (which would explode pair-query outputs
+  quadratically instead of scaling them linearly).
+- embeddings.embedding for copy k>0 is np.roll(vec, k): same norm and
+  component distribution, near-zero cosine to the original — no
+  artificial cross-copy ANN/near-dup mass.
+- region/nation are dimensions: copied once, unshifted.
+- timestamps/dates/categories copy unchanged — per-day volumes scale
+  10×, the same shape real TPC-H SF growth has.
+
+Usage: python tools/make_sf1.py [out_dir]   (default /tmp/sf1)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+SRC = "/root/testdata/sf0.1"
+STRIDE = 100_000_000
+COPIES = 10
+
+KEY_COLS = {
+    "c_custkey", "s_suppkey", "p_partkey", "o_orderkey", "o_custkey",
+    "l_orderkey", "l_partkey", "l_suppkey", "event_id", "user_id",
+    "doc_id", "vec_id",
+}
+
+DIMS = {"region", "nation"}
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def suffix_words(texts: list[str | None], k: int) -> list[str | None]:
+    tag = f"x{k}"
+    return [
+        None if t is None else " ".join(w + tag for w in t.split())
+        for t in texts
+    ]
+
+
+def copy_table(tbl: pa.Table, name: str, k: int) -> pa.Table:
+    if k == 0:
+        return tbl
+    arrays = []
+    for i, field in enumerate(tbl.schema):
+        col = tbl.column(i)
+        if field.name in KEY_COLS:
+            col = pc.add(col, pa.scalar(k * STRIDE, type=field.type))
+        elif name == "documents" and field.name == "text":
+            col = pa.chunked_array(
+                [pa.array(suffix_words(col.to_pylist(), k), type=field.type)]
+            )
+        elif name == "embeddings" and field.name == "embedding":
+            rolled = [
+                None if v is None else np.roll(np.asarray(v), k).tolist()
+                for v in col.to_pylist()
+            ]
+            col = pa.chunked_array([pa.array(rolled, type=field.type)])
+        arrays.append(col)
+    out = pa.table(arrays, schema=tbl.schema)
+    if name == "documents" and "n_chars" in tbl.schema.names:
+        n = out.schema.get_field_index("n_chars")
+        lens = pc.cast(
+            pc.utf8_length(out.column("text")), tbl.schema.field("n_chars").type
+        )
+        out = out.set_column(n, tbl.schema.field("n_chars"), lens)
+    return out
+
+
+def main() -> None:
+    out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
+    os.makedirs(out_dir, exist_ok=True)
+    for name in TABLES:
+        tbl = pq.read_table(f"{SRC}/{name}.parquet")
+        if name in DIMS:
+            pq.write_table(tbl, f"{out_dir}/{name}.parquet")
+            print(f"{name}: {tbl.num_rows} rows (dim, copied)")
+            continue
+        parts = [copy_table(tbl, name, k) for k in range(COPIES)]
+        big = pa.concat_tables(parts)
+        pq.write_table(big, f"{out_dir}/{name}.parquet")
+        print(f"{name}: {tbl.num_rows} -> {big.num_rows} rows")
+
+
+if __name__ == "__main__":
+    main()
