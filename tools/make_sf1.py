@@ -4,9 +4,18 @@ decade more). 10 key-shifted copies of every fact table, written with
 pyarrow so physical parquet types are preserved untouched.
 
 Choices that keep the inflated data honest:
-- ONE GLOBAL per-copy key stride (1e8) applied to every key column —
-  cross-table joins (doc_id ↔ vec_id, o_custkey ↔ c_custkey, …) hold
-  within and across copies exactly as at sf0.1.
+- ONE per-copy key stride per join family: 1e8 for the TPC-H/events
+  keys, 1e4 for doc_id/vec_id — cross-table joins (doc_id ↔ vec_id,
+  o_custkey ↔ c_custkey, …) hold within and across copies exactly as at
+  sf0.1. The document stride must stay BELOW 1_000_000: several catalog
+  queries bound their working subset by construction (`doc_id < K`,
+  planted perturbed copies in the `doc_id + 1000000` id space), and a
+  1e8-strided copy would land inside the planted-id branch, turning a
+  ~300-doc bounded pair pipeline into a 45k-doc transitive closure that
+  the DuckDB oracle cannot survive (measured: 53 GB RSS, killed).
+  Copies at 1e4..9.5e4 stay outside every bound (all bounds are
+  `< K ≤ 300` or `>= 1e6`), so bounded queries stay bounded — which is
+  exactly their documented sf-independence.
 - documents.text for copy k>0 maps every word w → w + "xk" (n_chars
   recomputed): within-copy duplicate/near-dup structure replicates
   exactly, but copies share NO shingles, so inflation adds no artificial
@@ -34,13 +43,14 @@ import pyarrow.parquet as pq
 
 SRC = "/root/testdata/sf0.1"
 STRIDE = 100_000_000
+DOC_STRIDE = 10_000
 COPIES = 10
 
 KEY_COLS = {
     "c_custkey", "s_suppkey", "p_partkey", "o_orderkey", "o_custkey",
     "l_orderkey", "l_partkey", "l_suppkey", "event_id", "user_id",
-    "doc_id", "vec_id",
 }
+DOC_KEY_COLS = {"doc_id", "vec_id"}
 
 DIMS = {"region", "nation"}
 TABLES = [
@@ -65,6 +75,8 @@ def copy_table(tbl: pa.Table, name: str, k: int) -> pa.Table:
         col = tbl.column(i)
         if field.name in KEY_COLS:
             col = pc.add(col, pa.scalar(k * STRIDE, type=field.type))
+        elif field.name in DOC_KEY_COLS:
+            col = pc.add(col, pa.scalar(k * DOC_STRIDE, type=field.type))
         elif name == "documents" and field.name == "text":
             col = pa.chunked_array(
                 [pa.array(suffix_words(col.to_pylist(), k), type=field.type)]
