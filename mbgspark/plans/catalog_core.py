@@ -35,6 +35,30 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Exact money sums. A DOUBLE sum is order-dependent; once a group's sum
+# reaches ~1e9 the accumulated error (~1e-4..1e-3) is within reach of the
+# round(.., 2) half-cent boundary — observed as a one-cent flip vs the
+# DuckDB oracle at sf1 (region_nation_revenue, NATION_12: ..50.04 vs
+# ..50.05). Money columns in the testdata are cent-precise
+# (tests/test_determinism.py pins this), so the decimal cast is lossless, and
+# decimal sums are associative: any partitioning/AQE re-plan yields the
+# same cents on both engines at any scale. The result is cast back to
+# DOUBLE so the driver's typed-hash contract (money columns are double)
+# is unchanged.
+_MONEY = "decimal(12,2)"
+
+
+def _money(col):
+    """Lossless DECIMAL(12,2) view of a cent-precise money column."""
+    return F.col(col).cast(_MONEY)
+
+
+def _money_sum(col, alias, nd=2):
+    """round(sum(money), nd) computed exactly in decimal, output DOUBLE."""
+    return F.round(F.sum(_money(col)), nd).cast("double").alias(alias)
+
+
+# --------------------------------------------------------------------------
 # Q1 scan + project (S1-S3, P1)
 def q1(spark, sf_dir):
     return (
@@ -326,7 +350,7 @@ def q17(spark, sf_dir):
         o.groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("month"))
         .agg(
             F.count("*").alias("cnt"),
-            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            _money_sum("o_totalprice", "sum_price"),
         )
         .orderBy("month")
     )
@@ -334,7 +358,7 @@ def q17(spark, sf_dir):
 
 Q17_SQL = """
 SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month, count(*) AS cnt,
-       round(sum(o_totalprice), 2) AS sum_price
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_price
 FROM orders GROUP BY 1 ORDER BY 1
 """
 
@@ -364,14 +388,15 @@ def q18r(spark, sf_dir):
         .groupBy("r_name")
         .agg(
             F.count("*").alias("order_cnt"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            _money_sum("o_totalprice", "revenue"),
         )
         .orderBy("r_name")
     )
 
 
 Q18R_SQL = """
-SELECT r_name, count(*) AS order_cnt, round(sum(o_totalprice), 2) AS revenue
+SELECT r_name, count(*) AS order_cnt,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue
 FROM orders
 JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
@@ -564,7 +589,7 @@ def q27(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     return (
         e.groupBy(F.window("ts", "1 day").alias("w"))
-        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(F.count("*").alias("cnt"), _money_sum("value", "sum_value"))
         .select(F.col("w.start").alias("day_start"), "cnt", "sum_value")
         .orderBy("day_start")
     )
@@ -572,7 +597,7 @@ def q27(spark, sf_dir):
 
 Q27_SQL = """
 SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start, count(*) AS cnt,
-       round(sum(value), 2) AS sum_value
+       CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value
 FROM events GROUP BY 1 ORDER BY 1
 """
 

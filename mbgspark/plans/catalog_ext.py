@@ -34,7 +34,7 @@ from mbgspark.operators.textstats import (
     with_quality_score,
     with_token_counts,
 )
-from mbgspark.plans.catalog_core import _t
+from mbgspark.plans.catalog_core import _money_sum, _t
 
 # ------------------------------------------------------------------ dedup --
 
@@ -1601,7 +1601,7 @@ def salted_segment_revenue(spark, sf_dir):
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("order_cnt"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            _money_sum("o_totalprice", "revenue"),
         )
         .orderBy("c_mktsegment")
     )
@@ -1609,7 +1609,7 @@ def salted_segment_revenue(spark, sf_dir):
 
 SALTED_SEGMENT_SQL = """
 SELECT c_mktsegment, count(*) AS order_cnt,
-       round(sum(o_totalprice), 2) AS revenue
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
@@ -1724,7 +1724,7 @@ def sessionize_events(spark, sf_dir):
         e.groupBy("user_id", F.session_window("ts", "3 days").alias("w"))
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            _money_sum("value", "sum_value"),
         )
         .select(
             "user_id",
@@ -1752,7 +1752,7 @@ numbered AS (
   FROM flagged
 )
 SELECT user_id, min(ts) AS sess_start, count(*) AS n_events,
-       round(sum(value), 2) AS sum_value
+       CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value
 FROM numbered GROUP BY user_id, sess_id
 ORDER BY user_id, sess_start
 """
@@ -1834,14 +1834,14 @@ def range_join_value_tiers(spark, sf_dir):
         .groupBy("event_type", "tier")
         .agg(
             F.count("*").alias("cnt"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            _money_sum("value", "sum_value"),
         )
         .orderBy("event_type", "tier")
     )
 
 
 RANGE_JOIN_SQL = f"""
-SELECT event_type, tier, count(*) AS cnt, round(sum(value), 2) AS sum_value
+SELECT event_type, tier, count(*) AS cnt, CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value
 FROM events JOIN {VALUE_TIERS_SQL}
   ON value >= lo AND value <= hi
 GROUP BY event_type, tier ORDER BY event_type, tier
@@ -1858,7 +1858,7 @@ def rollup_status_priority(spark, sf_dir):
         o.rollup("o_orderstatus", "o_orderpriority")
         .agg(
             F.count("*").alias("cnt"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            _money_sum("o_totalprice", "revenue"),
         )
         .select(
             F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
@@ -1873,7 +1873,7 @@ def rollup_status_priority(spark, sf_dir):
 ROLLUP_SQL = """
 SELECT coalesce(o_orderstatus, '<all>') AS status,
        coalesce(o_orderpriority, '<all>') AS priority,
-       count(*) AS cnt, round(sum(o_totalprice), 2) AS revenue
+       count(*) AS cnt, CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue
 FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 ORDER BY status, priority
 """

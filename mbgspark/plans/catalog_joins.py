@@ -20,10 +20,21 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from mbgspark.plans.catalog_core import _t
+from mbgspark.plans.catalog_core import _MONEY, _money, _money_sum, _t
+
 
 def _revenue():
-    return F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    """Exact decimal line revenue: extendedprice * (1 - discount).
+
+    Computed in DECIMAL so group sums are associative and engine-identical
+    at any scale (see catalog_core._money_sum) — the double form flipped a
+    cent vs the oracle at sf1 once per-nation sums passed ~7e7."""
+    return _money("l_extendedprice") * (F.lit(1).cast(_MONEY) - _money("l_discount"))
+
+
+def _revenue_sum(alias="revenue", nd=2):
+    """round(sum(_revenue()), nd) exactly, output DOUBLE (driver contract)."""
+    return F.round(F.sum(_revenue()), nd).cast("double").alias(alias)
 
 
 # ------------------------------------------------------------ TPC-H Q3 ----
@@ -39,7 +50,7 @@ def shipping_priority_top10(spark, sf_dir):
         l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+        .agg(_revenue_sum())
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
         .limit(10)
@@ -48,7 +59,7 @@ def shipping_priority_top10(spark, sf_dir):
 
 SHIPPING_PRIORITY_SQL = """
 SELECT l_orderkey,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS revenue,
        o_orderdate, o_orderpriority
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
@@ -88,14 +99,14 @@ def region_nation_revenue(spark, sf_dir):
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
-        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+        .agg(_revenue_sum())
         .orderBy(F.desc("revenue"), "n_name")
     )
 
 
 REGION_NATION_SQL = """
 SELECT n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -362,16 +373,15 @@ def spend_quartiles(spark, sf_dir):
     bounded; at 100 TB swap the exact ntile for approxQuantile cutpoints
     + a broadcast range assignment (same output contract)."""
     o = _t(spark, sf_dir, "orders")
-    spend = o.groupBy("o_custkey").agg(
-        F.round(F.sum("o_totalprice"), 2).alias("spend")
-    )
+    spend = o.groupBy("o_custkey").agg(_money_sum("o_totalprice", "spend"))
     w = Window.orderBy(F.desc("spend"), "o_custkey")
     return (
         spend.select("o_custkey", "spend", F.ntile(4).over(w).alias("quartile"))
         .groupBy("quartile")
         .agg(
             F.count("*").alias("n_cust"),
-            F.round(F.sum("spend"), 2).alias("total_spend"),
+            # spend is an exact 2-dp double, so the re-cast is lossless
+            _money_sum("spend", "total_spend"),
             F.round(F.min("spend"), 2).alias("min_spend"),
         )
         .orderBy("quartile")
@@ -380,7 +390,8 @@ def spend_quartiles(spark, sf_dir):
 
 SPEND_QUARTILES_SQL = """
 WITH spend AS (
-  SELECT o_custkey, round(sum(o_totalprice), 2) AS spend
+  SELECT o_custkey,
+         CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS spend
   FROM orders GROUP BY o_custkey
 ),
 tiers AS (
@@ -389,7 +400,7 @@ tiers AS (
   FROM spend
 )
 SELECT quartile, count(*) AS n_cust,
-       round(sum(spend), 2) AS total_spend,
+       CAST(round(sum(CAST(spend AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_spend,
        round(min(spend), 2) AS min_spend
 FROM tiers GROUP BY quartile ORDER BY quartile
 """
@@ -406,7 +417,7 @@ def daily_gapfill(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
         F.count("*").alias("cnt"),
-        F.round(F.sum("o_totalprice"), 2).alias("rev"),
+        _money_sum("o_totalprice", "rev"),
     )
     spine = (
         o.agg(
@@ -438,7 +449,7 @@ spine AS (
 ),
 daily AS (
   SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS cnt,
-         round(sum(o_totalprice), 2) AS rev
+         CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS rev
   FROM orders GROUP BY 1
 )
 SELECT strftime(spine.day, '%Y-%m-%d') AS day,
@@ -498,7 +509,7 @@ def segment_revenue_share(spark, sf_dir):
     seg = (
         o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_mktsegment")
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+        .agg(_money_sum("o_totalprice", "rev"))
     )
     total = Window.partitionBy()
     return seg.select(
@@ -510,7 +521,8 @@ def segment_revenue_share(spark, sf_dir):
 
 SEGMENT_SHARE_SQL = """
 WITH seg AS (
-  SELECT c_mktsegment, round(sum(o_totalprice), 2) AS rev
+  SELECT c_mktsegment,
+         CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS rev
   FROM orders JOIN customer ON o_custkey = c_custkey
   GROUP BY c_mktsegment
 )
@@ -624,16 +636,18 @@ def forecast_revenue(spark, sf_dir):
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-                "revenue"
-            ),
+            F.round(F.sum(_money("l_extendedprice") * _money("l_discount")), 2)
+            .cast("double")
+            .alias("revenue"),
             F.count("*").alias("n_items"),
         )
     )
 
 
 FORECAST_REVENUE_SQL = """
-SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * CAST(l_discount AS DECIMAL(12,2))), 2) AS DOUBLE)
+         AS revenue,
        count(*) AS n_items
 FROM lineitem
 WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
@@ -659,7 +673,7 @@ def grouping_sets_status(spark, sf_dir):
                coalesce(o_orderstatus, 'ALL') AS status,
                coalesce(o_orderpriority, 'ALL') AS priority,
                count(*) AS cnt,
-               round(sum(o_totalprice), 2) AS total
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
         FROM orders
         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
                                 (o_orderstatus), ())
@@ -674,7 +688,7 @@ SELECT CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT)
        coalesce(o_orderstatus, 'ALL') AS status,
        coalesce(o_orderpriority, 'ALL') AS priority,
        count(*) AS cnt,
-       round(sum(o_totalprice), 2) AS total
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
 ORDER BY gid, status, priority
@@ -699,7 +713,7 @@ def returned_item_customers(spark, sf_dir):
         .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
-        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+        .agg(_revenue_sum())
         .select(
             "c_custkey",
             "c_name",
@@ -714,7 +728,7 @@ def returned_item_customers(spark, sf_dir):
 
 RETURNED_CUSTOMERS_SQL = """
 SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal, n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -738,13 +752,18 @@ def promo_revenue_share(spark, sf_dir):
         & (F.col("l_shipdate") < F.lit("1996-10-01"))
     )
     rev = _revenue()
+    zero = F.lit(0).cast(_MONEY)
+    # numerator and denominator are exact decimal sums; the division runs
+    # in double on IDENTICAL inputs both engines (decimal/decimal scale
+    # rules differ between Spark and DuckDB, double division does not)
     return (
         l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.round(
                 F.lit(100.0)
-                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
-                / F.sum(rev),
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero))
+                .cast("double")
+                / F.sum(rev).cast("double"),
                 4,
             ).alias("promo_pct"),
             F.count("*").alias("n_items"),
@@ -753,10 +772,13 @@ def promo_revenue_share(spark, sf_dir):
 
 
 PROMO_SHARE_SQL = """
-SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
-                              THEN l_extendedprice * (1 - l_discount)
-                              ELSE 0.0 END)
-             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct,
+SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                              THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                                   * (1 - CAST(l_discount AS DECIMAL(12,2)))
+                              ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+             / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE),
+             4) AS promo_pct,
        count(*) AS n_items
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= '1996-09-01' AND l_shipdate < '1996-10-01'
@@ -796,7 +818,7 @@ def volume_shipping(spark, sf_dir):
             "supp_nation", "cust_nation",
             F.year("l_shipdate").cast("bigint").alias("l_year"),
         )
-        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+        .agg(_revenue_sum())
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
@@ -804,7 +826,7 @@ def volume_shipping(spark, sf_dir):
 VOLUME_SHIPPING_SQL = """
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        CAST(year(l_shipdate) AS BIGINT) AS l_year,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -851,8 +873,12 @@ def market_share(spark, sf_dir):
         .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
         .agg(
             F.round(
-                F.sum(F.when(F.col("supp_nation") == "NATION_1", rev).otherwise(0.0))
-                / F.sum(rev),
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_1", rev).otherwise(
+                        F.lit(0).cast(_MONEY)
+                    )
+                ).cast("double")
+                / F.sum(rev).cast("double"),
                 4,
             ).alias("mkt_share")
         )
@@ -862,9 +888,13 @@ def market_share(spark, sf_dir):
 
 MARKET_SHARE_SQL = """
 SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
-       round(sum(CASE WHEN n1.n_name = 'NATION_1'
-                      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
-             / sum(l_extendedprice * (1 - l_discount)), 4) AS mkt_share
+       round(CAST(sum(CASE WHEN n1.n_name = 'NATION_1'
+                      THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                           * (1 - CAST(l_discount AS DECIMAL(12,2)))
+                      ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+             / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE),
+             4) AS mkt_share
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN part     ON l_partkey = p_partkey
@@ -895,7 +925,9 @@ def small_qty_revenue(spark, sf_dir):
         .join(F.broadcast(part_avg), F.col("l_partkey") == F.col("pk"))
         .filter(F.col("l_quantity") < 0.5 * F.col("aq"))
         .agg(
-            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.round(F.sum(_money("l_extendedprice")).cast("double") / 7.0, 2).alias(
+                "avg_yearly"
+            ),
             F.count(F.lit(1)).cast("bigint").alias("n_small"),
         )
     )
@@ -903,7 +935,8 @@ def small_qty_revenue(spark, sf_dir):
 
 SMALL_QTY_SQL = """
 WITH pa AS (SELECT l_partkey AS pk, avg(l_quantity) AS aq FROM lineitem GROUP BY 1)
-SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0, 2)
+         AS avg_yearly,
        CAST(count(*) AS BIGINT) AS n_small
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
@@ -976,14 +1009,14 @@ def disjunctive_part_revenue(spark, sf_dir):
         l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .filter(b1 | b2)
         .agg(
-            F.round(F.sum(_revenue()), 2).alias("revenue"),
+            _revenue_sum(),
             F.count(F.lit(1)).cast("bigint").alias("n_items"),
         )
     )
 
 
 DISJUNCTIVE_SQL = """
-SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS revenue,
        CAST(count(*) AS BIGINT) AS n_items
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15
@@ -1007,9 +1040,9 @@ def trailing_30d_revenue(spark, sf_dir):
             "o_orderkey",
             "o_orderdate",
             F.expr(
-                "round(sum(o_totalprice) OVER ("
+                "CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER ("
                 "PARTITION BY o_custkey ORDER BY o_orderdate "
-                "RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW), 2)"
+                "RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW), 2) AS DOUBLE)"
             ).alias("trailing_30d"),
         )
         .orderBy("o_custkey", "o_orderdate", "o_orderkey")
@@ -1018,9 +1051,9 @@ def trailing_30d_revenue(spark, sf_dir):
 
 TRAILING_30D_SQL = """
 SELECT o_custkey, o_orderkey, o_orderdate,
-       round(sum(o_totalprice) OVER (
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
          PARTITION BY o_custkey ORDER BY o_orderdate
-         RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW), 2)
+         RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
          AS trailing_30d
 FROM orders
 WHERE o_custkey < 20
@@ -1165,7 +1198,7 @@ def top_supplier(spark, sf_dir):
         & (F.col("l_shipdate") < F.lit("1996-04-01"))
     )
     rev = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.round(F.sum(_revenue()), 2).alias("total_revenue")
+        _revenue_sum("total_revenue")
     )
     mx = rev.agg(F.max("total_revenue").alias("__mx"))
     s = _t(spark, sf_dir, "supplier")
@@ -1181,7 +1214,7 @@ def top_supplier(spark, sf_dir):
 TOP_SUPPLIER_SQL = """
 WITH rev AS (
   SELECT l_suppkey AS supplier_no,
-         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+         CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
   GROUP BY l_suppkey
@@ -1222,7 +1255,7 @@ def dormant_rich_customers(spark, sf_dir):
         .groupBy(F.col("c_nationkey").cast("bigint").alias("cntry"))
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            _money_sum("c_acctbal", "totacctbal"),
         )
         .orderBy("cntry")
     )
@@ -1231,7 +1264,7 @@ def dormant_rich_customers(spark, sf_dir):
 DORMANT_RICH_SQL = """
 SELECT CAST(c_nationkey AS BIGINT) AS cntry,
        count(*) AS numcust,
-       round(sum(c_acctbal), 2) AS totacctbal
+       CAST(round(sum(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS totacctbal
 FROM customer
 WHERE c_nationkey < 10
   AND c_acctbal > (SELECT avg(c_acctbal) FROM customer
@@ -1355,7 +1388,7 @@ def scd2_asof_revenue(spark, sf_dir):
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            _money_sum("o_totalprice", "revenue"),
         )
         .orderBy("c_mktsegment")
     )
@@ -1373,7 +1406,7 @@ WITH versioned AS (
 )
 SELECT v.c_mktsegment,
        CAST(count(*) AS BIGINT) AS n_orders,
-       round(sum(o_totalprice), 2) AS revenue
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue
 FROM orders o
 JOIN versioned v ON o.o_custkey = v.c_custkey
 WHERE strftime(o.o_orderdate, '%Y-%m-%d') >= v.valid_from

@@ -829,14 +829,14 @@ RFM_SQL = """
 WITH anchor AS (SELECT max(ts) AS e FROM events),
 per_type AS (
   SELECT user_id, event_type, count(*) AS n, max(ts) AS last_ts,
-         sum(value) AS v
+         sum(CAST(value AS DECIMAL(12,2))) AS v
   FROM events GROUP BY user_id, event_type
 ),
 f AS (
   SELECT user_id,
          date_diff('day', CAST(max(last_ts) AS DATE),
                    CAST((SELECT e FROM anchor) AS DATE)) AS recency_days,
-         sum(n) AS frequency, round(sum(v), 2) AS monetary
+         sum(n) AS frequency, CAST(round(sum(v), 2) AS DOUBLE) AS monetary
   FROM per_type GROUP BY user_id
 ),
 seg AS (
@@ -1295,13 +1295,13 @@ def user_features(spark, sf_dir):
     anchor = e.agg(F.max("ts").alias("__end"))
     per_type = e.groupBy("user_id", "event_type").agg(
         F.count(F.lit(1)).alias("__n"), F.max("ts").alias("__last"),
-        F.sum("value").alias("__v"),
+        F.sum(F.col("value").cast("decimal(12,2)")).alias("__v"),
     )
     return (
         per_type.groupBy("user_id")
         .agg(
             F.sum("__n").cast("bigint").alias("frequency"),
-            F.round(F.sum("__v"), 2).alias("monetary"),
+            F.round(F.sum("__v"), 2).cast("double").alias("monetary"),
             F.count(F.lit(1)).cast("bigint").alias("n_event_types"),
             F.max("__last").alias("__last_ts"),
             F.expr(
@@ -1331,7 +1331,7 @@ USER_FEATURES_SQL = """
 WITH anchor AS (SELECT max(ts) AS e FROM events),
 per_type AS (
   SELECT user_id, event_type, count(*) AS n, max(ts) AS last_ts,
-         sum(value) AS v
+         sum(CAST(value AS DECIMAL(12,2))) AS v
   FROM events GROUP BY user_id, event_type
 )
 SELECT user_id,
@@ -1339,7 +1339,7 @@ SELECT user_id,
                       CAST((SELECT e FROM anchor) AS DATE)) AS BIGINT)
          AS recency_days,
        CAST(sum(n) AS BIGINT) AS frequency,
-       round(sum(v), 2) AS monetary,
+       CAST(round(sum(v), 2) AS DOUBLE) AS monetary,
        CAST(count(*) AS BIGINT) AS n_event_types,
        max_by(event_type, lpad(CAST(n AS VARCHAR), 10, '0') || '|' || event_type)
          AS modal_event_type

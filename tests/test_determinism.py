@@ -41,3 +41,37 @@ def test_result_invariant_under_shuffle_partitions(spark, name):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
     assert a == b, f"{name} result depends on shuffle partitioning"
+
+
+# ---------------------------------------------------------------------------
+# Exact-money precondition. catalog_core._money casts money doubles to
+# DECIMAL(12,2) so group sums are associative and engine-identical at any
+# scale (a double sum flipped a cent vs the oracle at sf1 —
+# region_nation_revenue). The cast is only lossless if every money column
+# really carries at most 2 fractional digits; pin that here so a future
+# data generator change fails loudly instead of silently re-introducing
+# order-dependent cents.
+MONEY_COLUMNS = [
+    ("lineitem", "l_extendedprice"),
+    ("lineitem", "l_discount"),
+    ("lineitem", "l_tax"),
+    ("orders", "o_totalprice"),
+    ("customer", "c_acctbal"),
+    ("supplier", "s_acctbal"),
+    ("events", "value"),
+]
+
+
+@pytest.mark.parametrize("table,col", MONEY_COLUMNS)
+def test_money_columns_are_cent_precise(spark, table, col):
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(f"{SF}/{table}.parquet")
+    if col not in df.columns:
+        pytest.skip(f"{table}.{col} not in this generator's schema")
+    # compare against the decimal round-trip, not value*100 arithmetic
+    # (at 1e7 magnitude value*100 has its own representation error)
+    bad = df.filter(
+        F.col(col).cast("decimal(12,2)").cast("double") != F.col(col)
+    ).count()
+    assert bad == 0, f"{table}.{col}: {bad} rows are not 2-dp exact"
