@@ -31,6 +31,19 @@ def similarity_topk(*args, **kwargs) -> DataFrame:
     return ivf_topk(*args, **kwargs)
 
 
+def _fanout(c: DataFrame) -> DataFrame:
+    """Spread a narrow stream side across the session's cores.
+
+    Broadcast-crossJoin scoring parallelism equals the STREAM side's
+    partition count, and a small parquet corpus arrives as one partition —
+    serializing the whole n*m score pass on a single task. The extra
+    exchange moves only the corpus rows (tiny next to the scored frame)."""
+    n = c.sparkSession.sparkContext.defaultParallelism
+    if (c.rdd.getNumPartitions() or 1) < n:
+        return c.repartition(n)
+    return c
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -38,11 +51,22 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact cosine top-k per query vector (excluding self-matches)."""
+    """Exact cosine top-k per query vector (excluding self-matches).
+
+    The corpus streams against the broadcast query side, so crossJoin
+    parallelism equals CORPUS partitions — and a small parquet corpus
+    arrives as ONE partition, serializing the whole n*m score pass on a
+    single task (observed at sf1: 20k x 20k on one core). Repartition the
+    corpus to the session's parallelism first: the extra exchange moves
+    only the corpus rows (tiny next to the scored frame) and buys full
+    fan-out. Results are unchanged — the final rank orders by
+    (cos_sim, match_id), independent of physical placement."""
     q = F.broadcast(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     )
-    c = corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("cv"))
+    c = _fanout(
+        corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("cv"))
+    )
     scored = (
         c.crossJoin(q)
         .filter(F.col("match_id") != F.col("query_id"))
@@ -410,10 +434,12 @@ def hard_negative_topk(
             F.col(label_col).alias("query_label"),
         )
     )
-    c = corpus.select(
-        F.col(id_col).alias("match_id"),
-        F.col(vec_col).alias("cv"),
-        F.col(label_col).alias("match_label"),
+    c = _fanout(
+        corpus.select(
+            F.col(id_col).alias("match_id"),
+            F.col(vec_col).alias("cv"),
+            F.col(label_col).alias("match_label"),
+        )
     )
     scored = (
         c.crossJoin(q)

@@ -1235,13 +1235,15 @@ def label_noise(spark, sf_dir):
 
 LABEL_NOISE_SQL = """
 WITH c AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings
+  -- norms precomputed once per vector, not once per PAIR: identical
+  -- floats (sqrt(dot(v,v)) is deterministic), 3x fewer dot products —
+  -- the difference between the n^2 oracle finishing and timing out at sf1
+  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm, label
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings)
 ),
 scored AS (
   SELECT q.vec_id AS query_id, m.vec_id AS match_id, m.label AS nl,
-         round(list_dot_product(q.v, m.v)
-               / (sqrt(list_dot_product(q.v, q.v))
-                  * sqrt(list_dot_product(m.v, m.v))), 4) AS cos_sim
+         round(list_dot_product(q.v, m.v) / (q.nrm * m.nrm), 4) AS cos_sim
   FROM c q CROSS JOIN c m WHERE q.vec_id <> m.vec_id
 ),
 nn AS (
