@@ -514,14 +514,16 @@ def embedding_contamination(
     all-clean rows — callers should treat "no benchmark" as "skip the
     check", not call this with zero bench rows.
     """
-    from mbgspark.operators.dedup import cosine_sim
+    from mbgspark.operators.dedup import cosine_sim, fanout_stream_side
 
     b = F.broadcast(
         bench.select(
             F.col(id_col).alias("__bench_id"), F.col(vec_col).alias("__bv")
         )
     )
-    c = corpus.select(F.col(id_col), F.col(vec_col).alias("__cv"))
+    c = fanout_stream_side(
+        corpus.select(F.col(id_col), F.col(vec_col).alias("__cv"))
+    )
     return (
         c.crossJoin(b)
         .select(

@@ -852,6 +852,23 @@ def simhash_near_dups(
 
 # -------------------------------------------------- embedding near-dup ----
 
+
+def fanout_stream_side(c: DataFrame) -> DataFrame:
+    """Spread a narrow broadcast-join stream side across the session's cores.
+
+    Broadcast-crossJoin scoring parallelism equals the STREAM side's
+    partition count, and a small parquet corpus arrives as one partition —
+    serializing the whole n*m score pass on a single task (observed at sf1:
+    contamination_embedding spent 148 s of a 202 s bench on one core). The
+    extra exchange moves only the corpus rows (tiny next to the scored
+    frame); a corpus already at session parallelism passes through
+    untouched, so the big-data path adds nothing."""
+    n = c.sparkSession.sparkContext.defaultParallelism
+    if (c.rdd.getNumPartitions() or 1) < n:
+        return c.repartition(n)
+    return c
+
+
 def cosine_sim(a: Column, b: Column) -> Column:
     """Cosine similarity of two array<float|double> columns with built-in
     higher-order functions (zip_with dot product + aggregate norms) — JVM-side,

@@ -31,17 +31,9 @@ def similarity_topk(*args, **kwargs) -> DataFrame:
     return ivf_topk(*args, **kwargs)
 
 
-def _fanout(c: DataFrame) -> DataFrame:
-    """Spread a narrow stream side across the session's cores.
-
-    Broadcast-crossJoin scoring parallelism equals the STREAM side's
-    partition count, and a small parquet corpus arrives as one partition —
-    serializing the whole n*m score pass on a single task. The extra
-    exchange moves only the corpus rows (tiny next to the scored frame)."""
-    n = c.sparkSession.sparkContext.defaultParallelism
-    if (c.rdd.getNumPartitions() or 1) < n:
-        return c.repartition(n)
-    return c
+# shared with curation's embedding decontamination — one definition of the
+# "small parquet corpus arrives as ONE partition" guard
+from mbgspark.operators.dedup import fanout_stream_side as _fanout
 
 
 def brute_force_topk(

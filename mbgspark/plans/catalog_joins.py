@@ -1240,8 +1240,15 @@ def dormant_rich_customers(spark, sf_dir):
     scan below the anti-join)."""
     CUT = "1999-01-01"
     c = _t(spark, sf_dir, "customer").filter(F.col("c_nationkey") < 10)
+    # the threshold is a KNIFE-EDGE membership test (c_acctbal > avg), so
+    # the average must be engine-identical: exact decimal sum cast to
+    # double, then one double division — a plain double avg() is
+    # order-dependent and the two engines could disagree on borderline
+    # rows at scale (same class as the _money_sum cent flip)
     avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
-        F.avg("c_acctbal").alias("__avg_bal")
+        (F.sum(_money("c_acctbal")).cast("double") / F.count(F.lit(1))).alias(
+            "__avg_bal"
+        )
     )
     o = (
         _t(spark, sf_dir, "orders")
@@ -1267,7 +1274,9 @@ SELECT CAST(c_nationkey AS BIGINT) AS cntry,
        CAST(round(sum(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS totacctbal
 FROM customer
 WHERE c_nationkey < 10
-  AND c_acctbal > (SELECT avg(c_acctbal) FROM customer
+  AND c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                          / count(*)
+                   FROM customer
                    WHERE c_acctbal > 0.0 AND c_nationkey < 10)
   AND NOT EXISTS (SELECT 1 FROM orders
                   WHERE o_custkey = c_custkey
