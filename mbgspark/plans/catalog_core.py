@@ -6,8 +6,11 @@ column-name keyed + value-hash):
 
 - every computed column aliased IDENTICALLY in Spark and SQL;
 - every output totally ordered (deterministic tie-breaks);
-- float aggregates rounded (4 dp ratios/avgs, 2 dp money sums) in BOTH
-  engines so fp summation order can't flip the hash;
+- money sums computed EXACTLY in DECIMAL(12,2) on both engines
+  (``_money_sum`` below — rounding a double sum is NOT enough once a
+  group's total passes ~1e9, see the comment at ``_MONEY``); other float
+  aggregates rounded (4 dp ratios/avgs) in BOTH engines so fp summation
+  order can't flip the hash;
 - int-typed computed columns cast to bigint (DuckDB length/count are BIGINT);
 - builders never assume session config: UTC + legacy-cast semantics are
   pinned per-call (the driver owns the SparkSession).
