@@ -31,77 +31,21 @@ _ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
 }
 
 # The driver's correctness gate checks the FIRST 50 queries() entries
-# (observed in rounds 1-5: exactly the first 50 insertion-order keys got
+# (observed in rounds 1-6: exactly the first 50 insertion-order keys got
 # CORRECTNESS rows). Order therefore encodes verification priority.
-# Round-6 packing (VERDICT r5 item 1 — rotation invariant): slots 1-16
-# are the last never-driver-verified entries (after this round, every
-# catalog entry has at least one driver row); slots 17-50 are the 34
-# stalest previously-verified entries, all from the r3-row cohort
-# (their rows are now 3 rounds old): the flagship canary
-# etl_lifecycle, the full core suite q1-q28 + q18r, and four heavy
-# r3-block operators (curate_corpus, dedup_embedding, ann_cosine_topk,
-# locate_two_pass). The 14 r3-cohort entries that don't fit
-# (label_centroids, fingerprints, salted_segment_revenue,
-# rollup_status_priority, asof_click_view, range_join_value_tiers,
-# pivot_event_types, reprocess_idempotent, stratified_sample_counts,
-# domain_mixture, url_stats, line_filter_stats, quality_surprise,
-# tfidf_terms) go FIRST in the r7 window, then the r4-row cohort.
-# Catalog stays frozen at 164.
+# Round-7 packing (staleness rotation, VERDICT r6 item 2): slots 1-14 are
+# the last entries whose latest driver row is r3 (the only 3-round-old
+# cohort); slots 15-50 are the 36 stalest r4-row entries (catalog
+# insertion order within the cohort). After this round no entry's latest
+# row is older than r4; the 14 r4-cohort entries that don't fit
+# (pricing_summary, forecast_revenue, grouping_sets_status,
+# returned_item_customers, promo_revenue_share, locate_full_dim,
+# contamination_check, repetition_stats, pii_redaction, sequence_packing,
+# top_bigrams, corpus_shuffle_shards, mixture_resample,
+# contamination_embedding) go FIRST in the r8 window, then the r5-row
+# cohort. Catalog stays frozen at 164.
 _PRIORITY = [
-    # -- r6 window slots 1-16: final never-driver-verified backlog --
-    "jl_projection",
-    "item_cooccurrence_events",
-    "dup_cluster_histogram",
-    "quantile_sketch_check",
-    "scd2_customer_dim",
-    "scd2_asof_revenue",
-    "dq_checks_orders",
-    "funnel_latency",
-    "event_transitions",
-    "embedding_drift",
-    "augment_dropout",
-    "label_noise",
-    "dedup_strategy_venn",
-    "top_session_paths",
-    "rolling_distinct_users",
-    "rfm_segments",
-    # -- slots 17-50: stalest verified cohort (latest row r3) --
-    "etl_lifecycle",
-    "q1",
-    "q2",
-    "q3",
-    "q4",
-    "q5",
-    "q6",
-    "q7",
-    "q8",
-    "q9",
-    "q10",
-    "q11",
-    "q12",
-    "q13",
-    "q14",
-    "q15",
-    "q16",
-    "q17",
-    "q18",
-    "q18r",
-    "q19",
-    "q20",
-    "q21",
-    "q22",
-    "q23",
-    "q24",
-    "q25",
-    "q26",
-    "q27",
-    "q28",
-    "curate_corpus",
-    "dedup_embedding",
-    "ann_cosine_topk",
-    "locate_two_pass",
-    # -- past the 50-window: r7 head — the 14 remaining r3-row entries
-    # (staleness order), then r4-row cohort, then the r5 window --
+    # -- r7 window slots 1-14: last r3-row cohort --
     "label_centroids",
     "fingerprints",
     "salted_segment_revenue",
@@ -116,6 +60,59 @@ _PRIORITY = [
     "line_filter_stats",
     "quality_surprise",
     "tfidf_terms",
+    # -- slots 15-50: stalest 36 of the r4-row cohort --
+    "chunk_windows",
+    "kmeans_clusters",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dup_spans",
+    "dedup_simhash_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_semantic_keep_best",
+    "dup_components",
+    "dedup_embedding_blocked",
+    "dedup_embedding_multiprobe",
+    "ann_ivf_topk",
+    "ann_ivf_kmeans_topk",
+    "langid_confusion",
+    "quality_scores",
+    "token_counts",
+    "multimodal_features",
+    "sentiment_pandas_udf",
+    "trend_moving_avg",
+    "percentile_by_status",
+    "grouped_string_agg",
+    "sessionize_events",
+    "json_props_extract",
+    "shipping_priority_top10",
+    "region_nation_revenue",
+    "cube_flag_status",
+    "dod_order_delta",
+    "customer_period_sets",
+    "big_spenders_vs_avg",
+    "exists_shipped_priority",
+    "cust_order_histogram",
+    "spend_quartiles",
+    "daily_gapfill",
+    "top3_orders_per_segment",
+    "segment_revenue_share",
+    # -- past the 50-window: r8 head — the 14 remaining r4-row entries
+    # (staleness order), then the r5-row cohort, then the r6 window --
+    "pricing_summary",
+    "forecast_revenue",
+    "grouping_sets_status",
+    "returned_item_customers",
+    "promo_revenue_share",
+    "locate_full_dim",
+    "contamination_check",
+    "repetition_stats",
+    "pii_redaction",
+    "sequence_packing",
+    "top_bigrams",
+    "corpus_shuffle_shards",
+    "mixture_resample",
+    "contamination_embedding",
 ]
 
 CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {

@@ -34,6 +34,62 @@ def _store_exists(spark: SparkSession, path: str) -> bool:
     return bool(fs.exists(hadoop_path))
 
 
+def _fs_for(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), p, jvm
+
+
+def _read_small_file(spark: SparkSession, path: str) -> str | None:
+    """Read a small sidecar file (meta/manifest JSON) through the Hadoop
+    FS API so the gate's metadata travels with the store on any
+    filesystem (local, HDFS, object store), not just the driver's."""
+    fs, p, jvm = _fs_for(spark, path)
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        return str(jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8"))
+    finally:
+        stream.close()
+
+
+def _write_small_file(spark: SparkSession, path: str, data: str) -> None:
+    fs, p, _ = _fs_for(spark, path)
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(data.encode("utf-8")))
+    finally:
+        out.close()
+
+
+#: Sidecar filename at the index root recording the gate's on-disk layout
+#: contract: ``{"layout": "bucketed-v1"|"unbucketed-v0",
+#: "num_buckets": int|null, "index_arrays": bool}``. ``num_buckets`` is a
+#: MODULUS baked into every ``__bucket`` directory name — restarting with
+#: a different value would probe the wrong buckets and silently miss
+#: near-dups, so it is persisted on first write and validated on every
+#: restart instead of trusted as a parameter (ADVICE r6).
+GATE_META_FILE = "_gate_meta.json"
+
+
+def read_gate_meta(spark: SparkSession, index_path: str) -> dict | None:
+    import json
+
+    raw = _read_small_file(
+        spark, index_path.rstrip("/") + "/" + GATE_META_FILE
+    )
+    return None if raw is None else json.loads(raw)
+
+
+def write_gate_meta(spark: SparkSession, index_path: str, meta: dict) -> None:
+    import json
+
+    _write_small_file(
+        spark, index_path.rstrip("/") + "/" + GATE_META_FILE, json.dumps(meta)
+    )
+
+
 def read_tweet_stream(spark: SparkSession, path: str, max_files_per_trigger: int | None = None) -> DataFrame:
     """X5 ingest source: JSON micro-batch files of flat scrape records.
     maxFilesPerTrigger is the pacing analog of the reference's per-page cap
@@ -325,6 +381,7 @@ def start_neardup_gate_sink_indexed(
     on_metrics=None,
     index_arrays: bool = True,
     num_buckets: int = 64,
+    compact_every: int | None = None,
 ) -> StreamingQuery:
     """The INDEX-MAINTAINING form of the near-dup ingest gate. Each
     batch:
@@ -396,7 +453,33 @@ def start_neardup_gate_sink_indexed(
     counts cover the PROBED buckets — the only buckets where pair
     suppression can happen this batch — and its fallback evaluation is
     cheap by construction (the metrics lineage reads the index, not the
-    corpus text)."""
+    corpus text).
+
+    LAYOUT CONTRACT (ADVICE r6, both mediums): the bucketed layout and
+    its modulus are load-bearing on-disk state, so the gate persists
+    ``{index_path}/_gate_meta.json`` = ``{"layout", "num_buckets",
+    "index_arrays"}`` on first contact and validates every restart
+    against it — a restart with a different ``num_buckets`` or
+    ``index_arrays`` fails fast instead of silently probing the wrong
+    buckets / silently admitting near-dups of the pre-upgrade corpus.
+    A meta-less store with existing band rows is a LEGACY index:
+    un-bucketed legacy (pre-bucketing layout) is adopted in place —
+    reads fall back to unpruned (correct, just not bucket-pruned),
+    writes continue un-bucketed, and the adopted layout is recorded in
+    a new meta file so the degradation is visible and permanent rather
+    than re-detected; bucketed legacy (bucket dirs present, modulus
+    unrecorded) fails fast with the migration instruction, because no
+    parameter value can be trusted to match the unknown modulus.
+
+    ``compact_every=N`` turns on in-line store maintenance: after a
+    batch's writes, when the store holds ≥ N live batch partitions the
+    gate folds store+index into the ``__gate_batch=-1`` base generation
+    via ``compact_gate_store`` — safe mid-stream because foreachBatch is
+    the store's only writer and compaction runs strictly between this
+    batch's writes and the next batch's reads; a crash mid-compaction is
+    healed by the manifest-scoped recovery on the next batch (or the
+    next manual call). This bounds the long-running stream's file count
+    at O(compact_every × buckets) instead of O(batches × buckets)."""
     from mbgspark.operators.dedup import (
         _oversized_metrics_row,
         build_minhash_index,
@@ -415,6 +498,102 @@ def start_neardup_gate_sink_indexed(
 
     def _id_bucket(col_name: str) -> Column:
         return F.pmod(F.xxhash64(F.col(col_name)), F.lit(num_buckets))
+
+    # Resolved once per query (the on-disk layout cannot change under a
+    # running gate — the gate is the only writer); holds "bucketed-v1"
+    # or "unbucketed-v0" after the first batch's meta resolution.
+    _layout: dict[str, str] = {}
+
+    def _legacy_has_buckets(spark: SparkSession) -> bool:
+        fs, p, _ = _fs_for(spark, bands_path)
+        for st in fs.listStatus(p):
+            name = st.getPath().getName()
+            if st.isDirectory() and name.startswith("__gate_batch="):
+                for child in fs.listStatus(st.getPath()):
+                    child_name = child.getPath().getName()
+                    if child.isDirectory() and child_name.startswith("__bucket="):
+                        return True
+                return False
+        return False
+
+    def _resolve_layout(spark: SparkSession) -> str:
+        if "v" in _layout:
+            return _layout["v"]
+        meta = read_gate_meta(spark, index_path)
+        if meta is not None:
+            if meta.get("index_arrays") != index_arrays:
+                raise ValueError(
+                    f"near-dup gate index at {index_path} was written with "
+                    f"index_arrays={meta.get('index_arrays')} but this gate "
+                    f"was started with index_arrays={index_arrays}; a "
+                    "mismatch silently breaks corpus dedup (missing array "
+                    "rows / a stale arrays path). Restart with the recorded "
+                    "value, or rebuild the index from the store."
+                )
+            if meta.get("layout") == "bucketed-v1" and meta.get(
+                "num_buckets"
+            ) != num_buckets:
+                raise ValueError(
+                    f"near-dup gate index at {index_path} was bucketed with "
+                    f"num_buckets={meta.get('num_buckets')} but this gate "
+                    f"was started with num_buckets={num_buckets}; the "
+                    "modulus is baked into the __bucket directory names, so "
+                    "pruned reads would probe the wrong buckets and miss "
+                    "near-dups. Restart with the recorded value."
+                )
+            _layout["v"] = meta["layout"]
+        elif not _store_exists(spark, bands_path):
+            # fresh store: record the layout contract BEFORE any data
+            # write, so every later crash window leaves meta present and
+            # meta-less-with-bands can only mean a legacy (pre-meta) store
+            write_gate_meta(
+                spark,
+                index_path,
+                {
+                    "layout": "bucketed-v1",
+                    "num_buckets": num_buckets,
+                    "index_arrays": index_arrays,
+                },
+            )
+            _layout["v"] = "bucketed-v1"
+        elif _legacy_has_buckets(spark):
+            raise RuntimeError(
+                f"near-dup gate index at {index_path} has bucketed "
+                "__bucket= directories but no _gate_meta.json recording "
+                "the bucket count; pruned reads under a guessed modulus "
+                "would silently miss near-dups. If the original "
+                "num_buckets is known, write "
+                f"{index_path.rstrip('/')}/_gate_meta.json = "
+                '{"layout": "bucketed-v1", "num_buckets": <original>, '
+                f'"index_arrays": {str(index_arrays).lower()}}} and '
+                "restart; otherwise rebuild the index from the store."
+            )
+        else:
+            # un-bucketed legacy index (pre-bucketing layout): adopt it —
+            # unpruned reads are correct (just slower), and recording the
+            # adoption keeps the store permanently consistent instead of
+            # mixing bucketed and un-bucketed batch partitions
+            if index_arrays and not _store_exists(spark, arrays_path):
+                raise RuntimeError(
+                    f"near-dup gate index at {index_path} is a legacy "
+                    "bands-only (hybrid) index with no shingle-arrays "
+                    "path; starting with index_arrays=True would silently "
+                    "drop every pre-existing corpus candidate in the "
+                    "verify join. Restart with index_arrays=False, or "
+                    "rebuild the index from the store with "
+                    "build_minhash_index."
+                )
+            write_gate_meta(
+                spark,
+                index_path,
+                {
+                    "layout": "unbucketed-v0",
+                    "num_buckets": None,
+                    "index_arrays": index_arrays,
+                },
+            )
+            _layout["v"] = "unbucketed-v0"
+        return _layout["v"]
 
     def _write_part(
         df: DataFrame, path: str, batch_id: int, bucket: Column | None = None
@@ -462,6 +641,8 @@ def start_neardup_gate_sink_indexed(
         # the only batch that can be missing a path (later batches write
         # every path per batch, and partial partition N is invisible
         # behind the < N filter).
+        layout = _resolve_layout(spark)
+        bucketed = layout == "bucketed-v1"
         indexed_ready = _store_exists(spark, bands_path) and _store_exists(
             spark, arrays_path if index_arrays else store_path
         )
@@ -483,20 +664,29 @@ def start_neardup_gate_sink_indexed(
                 # verifies EVERY candidate exactly instead of capping,
                 # strictly better recall on the batches small enough to
                 # take it).
-                probe_buckets = [
-                    r[0]
-                    for r in b_bands.select(_band_bucket().alias("__b"))
-                    .distinct()
-                    .collect()
-                ]
-                c_bands = (
-                    spark.read.parquet(bands_path)
-                    .filter(
-                        (F.col("__gate_batch") < batch_id)
-                        & F.col("__bucket").isin(probe_buckets)
+                if bucketed:
+                    probe_buckets = [
+                        r[0]
+                        for r in b_bands.select(_band_bucket().alias("__b"))
+                        .distinct()
+                        .collect()
+                    ]
+                    c_bands = (
+                        spark.read.parquet(bands_path)
+                        .filter(
+                            (F.col("__gate_batch") < batch_id)
+                            & F.col("__bucket").isin(probe_buckets)
+                        )
+                        .drop("__gate_batch", "__bucket")
                     )
-                    .drop("__gate_batch", "__bucket")
-                )
+                else:
+                    # adopted legacy layout: no bucket dirs to prune — the
+                    # batch filter is the only pruning axis
+                    c_bands = (
+                        spark.read.parquet(bands_path)
+                        .filter(F.col("__gate_batch") < batch_id)
+                        .drop("__gate_batch")
+                    )
                 cand_cap = 100_000
                 a_rows = b_bands.select(
                     "band_idx", "band_key", F.col(id_col).alias("id_a")
@@ -536,6 +726,8 @@ def start_neardup_gate_sink_indexed(
                         sorted(seen),
                         lean.select("id_a", "id_b", "match_source").schema,
                     )
+                    # corpus-side id-buckets, free from the collected rows;
+                    # [] ⇒ no corpus candidates at all this batch
                     cand_buckets = sorted(
                         {r[3] for r in got_rows if r[2] == "corpus"}
                     )
@@ -551,17 +743,26 @@ def start_neardup_gate_sink_indexed(
                         b_bands, c_bands, id_col, metrics_out=metrics, spark=spark
                     ).persist()
                     keep.append(cand)
-                    cand_buckets = [
-                        r[0]
-                        for r in cand.filter(F.col("match_source") == "corpus")
-                        .select(_id_bucket("id_b").alias("__b"))
-                        .distinct()
-                        .collect()
-                    ]
+                    if index_arrays and bucketed:
+                        cand_buckets = [
+                            r[0]
+                            for r in cand.filter(F.col("match_source") == "corpus")
+                            .select(_id_bucket("id_b").alias("__b"))
+                            .distinct()
+                            .collect()
+                        ]
+                    else:
+                        # the bucket list is only consumed by the bucketed
+                        # arrays pruning below — skip the extra distributed
+                        # action entirely in hybrid / legacy modes
+                        # (ADVICE r6 low #2); None ⇒ unknown, read unpruned
+                        cand_buckets = None
                 if index_arrays:
                     # verify needs corpus shingles ONLY for candidate ids:
                     # prune the arrays read to the candidates' id-buckets
-                    if cand_buckets:
+                    if cand_buckets == []:
+                        c_arrays = b_arrays.limit(0)
+                    elif bucketed and cand_buckets is not None:
                         c_arrays = (
                             spark.read.parquet(arrays_path)
                             .filter(
@@ -571,7 +772,11 @@ def start_neardup_gate_sink_indexed(
                             .drop("__gate_batch", "__bucket")
                         )
                     else:
-                        c_arrays = b_arrays.limit(0)
+                        c_arrays = (
+                            spark.read.parquet(arrays_path)
+                            .filter(F.col("__gate_batch") < batch_id)
+                            .drop("__gate_batch")
+                        )
                 else:
                     # hybrid: verify shingles re-derived from store TEXT
                     c_arrays = with_shingle_array(
@@ -629,8 +834,18 @@ def start_neardup_gate_sink_indexed(
             )
             _write_part(survivors, store_path, batch_id)
             if index_arrays:
-                _write_part(s_arrays, arrays_path, batch_id, _id_bucket(id_col))
-            _write_part(s_bands, bands_path, batch_id, _band_bucket())
+                _write_part(
+                    s_arrays,
+                    arrays_path,
+                    batch_id,
+                    _id_bucket(id_col) if bucketed else None,
+                )
+            _write_part(
+                s_bands,
+                bands_path,
+                batch_id,
+                _band_bucket() if bucketed else None,
+            )
             if obs is not None:
                 # folded ride-along (zero survivors): getRowOrEmpty probe →
                 # direct evaluation — cheap here, the metrics lineage reads
@@ -643,6 +858,30 @@ def start_neardup_gate_sink_indexed(
                         "oversized_rows": got.get("oversized_rows") or 0,
                     },
                 )
+            if compact_every:
+                # in-line maintenance: fold live batch partitions into the
+                # -1 base once enough accumulate. Runs strictly between
+                # this batch's writes and the next batch's reads — the
+                # gate is the only writer, so the no-concurrent-batch
+                # precondition of compact_gate_store holds; a replay of
+                # THIS batch after a post-compaction crash converges
+                # (its docs exact-match their folded copies in the base
+                # and partition N overwrites to empty). Crash
+                # mid-compaction heals via the staged snapshot's manifest
+                # on the next trigger.
+                fs, store_p, _ = _fs_for(spark, store_path)
+                live = [
+                    st.getPath().getName()
+                    for st in fs.listStatus(store_p)
+                    if st.isDirectory()
+                    and st.getPath().getName().startswith("__gate_batch=")
+                    and st.getPath().getName() != "__gate_batch=-1"
+                ]
+                if len(live) >= compact_every:
+                    compact_gate_store(spark, store_path)
+                    if index_arrays:
+                        compact_gate_store(spark, arrays_path)
+                    compact_gate_store(spark, bands_path)
         finally:
             for df_ in keep:
                 df_.unpersist()
@@ -672,16 +911,24 @@ def compact_gate_store(
 
     Crash-safe by the sketch sink's staged-swap discipline: the compacted
     generation is written to a ``.__compact_staging`` sibling first
-    (outside the store, so readers never see a mixed layout), then the
-    old batch directories are deleted and the staging directory renamed
-    to ``__gate_batch=-1``. Every crash point resolves on the next call:
-    a staging dir bearing ``_SUCCESS`` is adopted (finish the deletes +
-    rename — the data inside it is a complete superset snapshot of the
-    batch dirs it was built from); one without is discarded and rebuilt.
-    Run it while the stream is STOPPED — a concurrent batch would write
-    a partition the in-flight snapshot doesn't contain, and the swap
-    would drop it."""
+    (outside the store, so readers never see a mixed layout), together
+    with a MANIFEST of exactly the batch directories it snapshots, then
+    those directories are deleted and the staging directory renamed to
+    ``__gate_batch=-1``. Every crash point resolves on the next call: a
+    staging dir bearing both ``_SUCCESS`` and the manifest is adopted —
+    the deletes are SCOPED TO THE MANIFEST (ADVICE r6: batches written
+    between a crashed compaction and the retry — e.g. by a restarted
+    stream — are NOT covered by the snapshot and must survive; they stay
+    in place as live partitions beside the promoted base, which is
+    exactly the store's normal mixed state). A staging dir missing
+    either marker is an incomplete remnant: discarded and rebuilt.
+    Safe to run whenever no batch is concurrently WRITING — i.e. with
+    the stream stopped, or from inside the gate's own foreachBatch
+    (``compact_every``), which is the only writer."""
+    import json
+
     staging = path.rstrip("/") + ".__compact_staging"
+    manifest_path = staging + "/_COMPACT_MANIFEST.json"
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
 
@@ -705,16 +952,23 @@ def compact_gate_store(
             tgt = _p(f"{path.rstrip('/')}/{d}")
             if fs.exists(tgt) and not fs.delete(tgt, True):
                 raise RuntimeError(f"compact_gate_store: failed to drop {tgt}")
+        # the manifest must not be promoted into the live partition —
+        # parquet readers ignore _-prefixed files, but leaving it there
+        # would let a LATER adoption misread a stale snapshot scope
+        if fs.exists(_p(manifest_path)):
+            fs.delete(_p(manifest_path), False)
         if not fs.rename(_p(staging), _p(f"{path.rstrip('/')}/__gate_batch=-1")):
             raise RuntimeError(
                 f"compact_gate_store: failed to promote {staging}"
             )
 
     # recovery: adopt a fully-committed staging generation left by a
-    # crashed earlier call (it snapshots every batch dir that existed
-    # then; dirs written AFTER it cannot exist — the stream is stopped)
-    if fs.exists(_p(staging + "/_SUCCESS")):
-        _swap(_batch_dirs())
+    # crashed earlier call, deleting ONLY the batch dirs its manifest
+    # records — any dir not in the manifest was written after the
+    # snapshot and keeps its data by staying live
+    if fs.exists(_p(staging + "/_SUCCESS")) and fs.exists(_p(manifest_path)):
+        raw = _read_small_file(spark, manifest_path)
+        _swap(json.loads(raw)["dirs"])
         return 0
     if fs.exists(_p(staging)):
         fs.delete(_p(staging), True)  # incomplete remnant
@@ -738,6 +992,9 @@ def compact_gate_store(
         df.drop("__gate_batch").coalesce(target_files).write.mode(
             "overwrite"
         ).parquet(staging)
+    # commit marker pair: _SUCCESS (parquet committer) + the manifest —
+    # written AFTER the data, so a crash in between reads as incomplete
+    _write_small_file(spark, manifest_path, json.dumps({"dirs": dirs}))
     _swap(dirs)
     return len(dirs)
 

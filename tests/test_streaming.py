@@ -656,7 +656,10 @@ def test_indexed_gate_recovers_from_first_batch_partial_write(spark, tmp_path):
     from pyspark.sql import functions as F
 
     from mbgspark.operators.dedup import build_minhash_index
-    from mbgspark.streaming import start_neardup_gate_sink_indexed
+    from mbgspark.streaming import (
+        start_neardup_gate_sink_indexed,
+        write_gate_meta,
+    )
 
     base = "the quick brown fox jumps over the lazy dog near the river bank"
     near = "quick brown fox jumps over the lazy dog near the river bank"
@@ -669,7 +672,15 @@ def test_indexed_gate_recovers_from_first_batch_partial_write(spark, tmp_path):
         ck = str(tmp_path / f"pb_ck_{tag}")
 
         # simulate the crash remnant: batch 0's bands partition exists,
-        # nothing else does
+        # nothing else does. The meta sidecar is ALWAYS present in this
+        # window (r7: the gate records it at first contact, before any
+        # data write), so the remnant includes it.
+        write_gate_meta(
+            spark,
+            index,
+            {"layout": "bucketed-v1", "num_buckets": 64,
+             "index_arrays": mode_arrays},
+        )
         remnant = spark.createDataFrame(
             [(1, base), (3, "completely unrelated text about plan pruning")],
             "doc_id long, text string",
@@ -761,13 +772,20 @@ def test_compact_gate_store_preserves_gate_semantics(spark, tmp_path):
     assert n_cc < n_nc
 
     # crash recovery: a COMMITTED staging snapshot (what a crashed call
-    # leaves between its staging write and the swap) + surviving batch
-    # dirs -> adopted, not rebuilt
+    # leaves between its manifest write and the swap) is adopted, not
+    # rebuilt — and the adoption's deletes are scoped to the manifest
+    # (ADVICE r6): a batch dir written AFTER the snapshot (a restarted
+    # stream between the crash and the retry) must survive with its data.
+    import json as _json
+
     store = f"{tmp_path}/cc/store"
     staging = store + ".__compact_staging"
     rows_before = sorted(
         r["doc_id"] for r in spark.read.parquet(store).collect()
     )
+    dirs_before = [
+        d for d in os.listdir(store) if d.startswith("__gate_batch=")
+    ]
     (
         spark.read.parquet(store)
         .drop("__gate_batch")
@@ -776,8 +794,241 @@ def test_compact_gate_store_preserves_gate_semantics(spark, tmp_path):
         .parquet(staging)
     )
     assert os.path.exists(f"{staging}/_SUCCESS")
+    with open(f"{staging}/_COMPACT_MANIFEST.json", "w") as f:
+        _json.dump({"dirs": dirs_before}, f)
+    # post-crash, pre-retry: the restarted stream admitted one more batch
+    spark.createDataFrame(
+        [(99, "a wholly new post crash document body")],
+        "doc_id long, text string",
+    ).write.mode("overwrite").parquet(f"{store}/__gate_batch=7")
     assert compact_gate_store(spark, store) == 0  # adopted, not rebuilt
+    back = sorted(r["doc_id"] for r in spark.read.parquet(store).collect())
+    assert back == sorted(rows_before + [99])  # post-snapshot batch survived
+    # a second call now folds the surviving batch dir into the base
+    assert compact_gate_store(spark, store) >= 1
+
+
+def test_compact_incomplete_staging_discarded_and_rebuilt(spark, tmp_path):
+    """A staging dir missing the manifest (crash between the parquet
+    write and the manifest write) is an incomplete remnant: discarded and
+    the compaction rebuilt from the live batch dirs — never adopted with
+    an unknown snapshot scope."""
+    import os
+
+    from mbgspark.streaming import compact_gate_store
+
+    store = str(tmp_path / "inc_store")
+    spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "doc_id long, text string"
+    ).write.parquet(f"{store}/__gate_batch=0")
+    staging = store + ".__compact_staging"
+    # committed parquet (has _SUCCESS) but NO manifest
+    spark.createDataFrame(
+        [(50, "stale snapshot row")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(staging)
+    assert os.path.exists(f"{staging}/_SUCCESS")
+    assert compact_gate_store(spark, store) == 1  # rebuilt, not adopted
+    got = sorted(r["doc_id"] for r in spark.read.parquet(store).collect())
+    assert got == [1, 2]  # the stale snapshot's row never surfaced
     assert not os.path.exists(staging)
-    assert sorted(
-        r["doc_id"] for r in spark.read.parquet(store).collect()
-    ) == rows_before
+
+
+def test_indexed_gate_meta_validates_restart_params(spark, tmp_path):
+    """ADVICE r6 (medium): num_buckets and index_arrays are baked into
+    the on-disk index layout, so the gate persists them in
+    _gate_meta.json on first contact and a restart with different values
+    fails fast instead of silently probing the wrong buckets or
+    silently admitting near-dups."""
+    import json as _json
+
+    import pytest
+    from pyspark.errors import StreamingQueryException
+
+    from mbgspark.streaming import start_neardup_gate_sink_indexed
+
+    src = tmp_path / "mv_src"
+    store = str(tmp_path / "mv_store")
+    index = str(tmp_path / "mv_index")
+
+    def run(ck_tag, **kw):
+        stream = spark.readStream.schema("doc_id long, text string").json(str(src))
+        q = start_neardup_gate_sink_indexed(
+            stream, store, index, str(tmp_path / ck_tag), threshold=0.5,
+            available_now=True, **kw,
+        )
+        q.awaitTermination(120)
+
+    _write_batch(src, [{"doc_id": 1, "text": "the quick brown fox jumps over"}])
+    run("mv_ck0", num_buckets=64, index_arrays=True)
+    with open(f"{index}/_gate_meta.json") as f:
+        meta = _json.load(f)
+    assert meta == {
+        "layout": "bucketed-v1", "num_buckets": 64, "index_arrays": True,
+    }
+
+    _write_batch(src, [{"doc_id": 2, "text": "entirely new second document"}])
+    with pytest.raises(StreamingQueryException, match="num_buckets=64"):
+        run("mv_ck1", num_buckets=32, index_arrays=True)
+    with pytest.raises(StreamingQueryException, match="index_arrays=True"):
+        run("mv_ck2", num_buckets=64, index_arrays=False)
+    # matching params keep working
+    run("mv_ck3", num_buckets=64, index_arrays=True)
+    got = sorted(r["doc_id"] for r in spark.read.parquet(store).collect())
+    assert got == [1, 2]
+
+
+def test_indexed_gate_adopts_unbucketed_legacy_index(spark, tmp_path):
+    """ADVICE r6 (medium): a pre-bucketing index store (no __bucket=
+    dirs, no meta) must not stall the stream with an unresolved-column
+    read. The gate detects the legacy layout, adopts it (unpruned reads,
+    un-bucketed writes — correct, just not pruned), records the adoption
+    in a new meta file, and keeps rejecting near-dups of the legacy
+    corpus."""
+    import json as _json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mbgspark.operators.dedup import build_minhash_index
+    from mbgspark.streaming import start_neardup_gate_sink_indexed
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    near = "quick brown fox jumps over the lazy dog near the river bank"
+
+    src = tmp_path / "lg_src"
+    store = str(tmp_path / "lg_store")
+    index = str(tmp_path / "lg_index")
+
+    # legacy store: flat batch partitions, NO __bucket sub-dirs, no meta
+    legacy = spark.createDataFrame(
+        [(1, base), (2, "some unrelated legacy corpus document")],
+        "doc_id long, text string",
+    )
+    legacy.withColumn("__gate_batch", F.lit(-1)).write.partitionBy(
+        "__gate_batch"
+    ).parquet(store)
+    bands, arrays = build_minhash_index(legacy, "doc_id", "text")
+    bands.withColumn("__gate_batch", F.lit(-1)).write.partitionBy(
+        "__gate_batch"
+    ).parquet(f"{index}/bands")
+    arrays.withColumn("__gate_batch", F.lit(-1)).write.partitionBy(
+        "__gate_batch"
+    ).parquet(f"{index}/arrays")
+
+    _write_batch(src, [
+        {"doc_id": 10, "text": near},  # near-dup of LEGACY corpus doc
+        {"doc_id": 11, "text": "fresh novel content with new vocabulary"},
+    ])
+    q = start_neardup_gate_sink_indexed(
+        spark.readStream.schema("doc_id long, text string").json(str(src)),
+        store, index, str(tmp_path / "lg_ck"), threshold=0.5,
+        available_now=True, index_arrays=True,
+    )
+    q.awaitTermination(120)
+    got = sorted(r["doc_id"] for r in spark.read.parquet(store).collect())
+    assert got == [1, 2, 11]  # 10 rejected against the legacy corpus
+    with open(f"{index}/_gate_meta.json") as f:
+        assert _json.load(f)["layout"] == "unbucketed-v0"
+    # writes stayed layout-consistent: no __bucket dirs appeared
+    assert not any(
+        "__bucket=" in d
+        for root_, dirs_, _ in os.walk(f"{index}/bands")
+        for d in dirs_
+    )
+
+
+def test_indexed_gate_legacy_error_paths(spark, tmp_path):
+    """The two un-adoptable legacy shapes fail fast with migration
+    instructions instead of silently breaking dedup: (a) bands-only
+    legacy + index_arrays=True (pre-upgrade corpus candidates would
+    silently drop out of the verify join); (b) bucketed dirs with no
+    recorded modulus (pruning under a guessed num_buckets silently
+    misses near-dups)."""
+    import pytest
+    from pyspark.errors import StreamingQueryException
+    from pyspark.sql import functions as F
+
+    from mbgspark.operators.dedup import build_minhash_index
+    from mbgspark.streaming import start_neardup_gate_sink_indexed
+
+    legacy = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    bands, _ = build_minhash_index(legacy, "doc_id", "text")
+
+    def run(store, index, ck, **kw):
+        src = tmp_path / f"{ck}_src"
+        _write_batch(src, [{"doc_id": 5, "text": "whatever new document"}])
+        q = start_neardup_gate_sink_indexed(
+            spark.readStream.schema("doc_id long, text string").json(str(src)),
+            str(tmp_path / store), str(tmp_path / index),
+            str(tmp_path / ck), available_now=True, **kw,
+        )
+        q.awaitTermination(120)
+
+    # (a) legacy bands-only, no arrays, started with index_arrays=True
+    bands.withColumn("__gate_batch", F.lit(-1)).write.partitionBy(
+        "__gate_batch"
+    ).parquet(str(tmp_path / "la_index" / "bands"))
+    with pytest.raises(StreamingQueryException, match="index_arrays=False"):
+        run("la_store", "la_index", "la_ck", index_arrays=True)
+
+    # (b) bucketed layout, no meta recording the modulus
+    (
+        bands.withColumn("__gate_batch", F.lit(-1))
+        .withColumn(
+            "__bucket", F.pmod(F.xxhash64("band_idx", "band_key"), F.lit(64))
+        )
+        .write.partitionBy("__gate_batch", "__bucket")
+        .parquet(str(tmp_path / "lb_index" / "bands"))
+    )
+    with pytest.raises(StreamingQueryException, match="_gate_meta.json"):
+        run("lb_store", "lb_index", "lb_ck", index_arrays=False)
+
+
+def test_indexed_gate_auto_compaction(spark, tmp_path):
+    """VERDICT r6 item 3: compact_every triggers compact_gate_store from
+    inside the gate once enough live batch partitions accumulate — final
+    store contents identical to the no-compaction twin, file state folded
+    into the __gate_batch=-1 base."""
+    import os
+
+    from mbgspark.streaming import start_neardup_gate_sink_indexed
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    near = "quick brown fox jumps over the lazy dog near the river bank"
+    batches = [
+        [{"doc_id": 1, "text": base}],
+        [{"doc_id": 10, "text": "fresh novel content with new vocabulary"}],
+        # post-compaction batch: near-dup of a folded admission
+        [{"doc_id": 20, "text": near},
+         {"doc_id": 21, "text": "another entirely different document body"}],
+    ]
+
+    def run(tag, compact_every):
+        store = str(tmp_path / f"{tag}_store")
+        src = tmp_path / f"{tag}_src"
+        for i, rows in enumerate(batches):
+            os.makedirs(src, exist_ok=True)
+            import json as _json
+
+            with open(src / f"b{i}.json", "w") as f:
+                for d in rows:
+                    f.write(_json.dumps(d) + "\n")
+            q = start_neardup_gate_sink_indexed(
+                spark.readStream.schema("doc_id long, text string").json(str(src)),
+                store, str(tmp_path / f"{tag}_index"),
+                str(tmp_path / f"{tag}_ck"), threshold=0.5,
+                available_now=True, compact_every=compact_every,
+            )
+            q.awaitTermination(120)
+        return store, sorted(
+            r["doc_id"] for r in spark.read.parquet(store).collect()
+        )
+
+    _, plain = run("ac_off", None)
+    store_on, compacted = run("ac_on", 2)
+    assert plain == compacted == [1, 10, 21]  # 20 rejected vs folded base
+    # the fold actually happened: a -1 base exists in the store
+    assert os.path.isdir(f"{store_on}/__gate_batch=-1")

@@ -33,6 +33,7 @@ from mbgspark.session import get_spark
 from mbgspark.streaming import (
     start_neardup_gate_sink,
     start_neardup_gate_sink_indexed,
+    write_gate_meta,
 )
 
 BASE = "/tmp/gate_bench"
@@ -108,6 +109,17 @@ def seed_mode(spark, texts: list[str], mode: str, root: str) -> None:
             .partitionBy("__gate_batch", "__bucket")
             .parquet(f"{root}/index/arrays")
         )
+    # the gate validates the seeded layout against the index meta sidecar
+    # (r7: a bucketed store without meta is treated as un-migratable legacy)
+    write_gate_meta(
+        spark,
+        f"{root}/index",
+        {
+            "layout": "bucketed-v1",
+            "num_buckets": NUM_BUCKETS,
+            "index_arrays": mode == "pruned",
+        },
+    )
 
 
 def run_mode(spark, texts: list[str], mode: str, n: int) -> dict:
