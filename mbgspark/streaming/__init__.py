@@ -244,6 +244,41 @@ def start_merge_sink(
     return writer.start()
 
 
+def start_etl_lifecycle_sink(
+    spark: SparkSession,
+    source_path: str,
+    store_path: str,
+    checkpoint_path: str,
+    dim: DataFrame | list | None = None,
+    available_now: bool = False,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """§3.1 end-to-end as ONE streaming surface — the streaming twin of
+    the reference's resilient per-day loop (resilient_etl.py:176-431):
+    ``read_tweet_stream`` → clean → lexicon label → event_date → locate →
+    idempotent keyed merge sink. The transform lineage is ``run_etl``
+    ITSELF — batch and streaming lifecycles share one code path, so the
+    batch output is the streaming oracle (parity-pinned in
+    test_streaming), and every strategy decision inside it (compiled
+    location map, no-UDF cleaning, lexicon labeling) applies unchanged.
+    The only stream-specific step is pre-collecting the broadcast-sized
+    locations dim: ``detect_locations`` collects a batch dim lazily, but
+    a streaming plan must not embed a collect — the dim rows are resolved
+    here, once, before the stream starts. Exactly-once is the merge
+    sink's: keyed keep-latest upsert per micro-batch, so re-delivered
+    tweets update in place and crash replays converge."""
+    from mbgspark.pipeline import locations_dim, run_etl
+
+    if dim is None:
+        dim = locations_dim(spark)
+    dim_rows = dim.collect() if isinstance(dim, DataFrame) else dim
+    stream = read_tweet_stream(spark, source_path, max_files_per_trigger)
+    transformed = run_etl(stream, dim_rows)
+    return start_merge_sink(
+        transformed, store_path, checkpoint_path, available_now=available_now
+    )
+
+
 def start_neardup_gate_sink(
     stream: DataFrame,
     store_path: str,

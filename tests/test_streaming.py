@@ -1032,3 +1032,81 @@ def test_indexed_gate_auto_compaction(spark, tmp_path):
     assert plain == compacted == [1, 10, 21]  # 20 rejected vs folded base
     # the fold actually happened: a -1 base exists in the store
     assert os.path.isdir(f"{store_on}/__gate_batch=-1")
+
+
+def test_streaming_etl_lifecycle_matches_batch_twin(spark, tmp_path):
+    """VERDICT r6 item 5: the one-call streaming lifecycle surface
+    (read_tweet_stream → run_etl → merge sink) parity-pinned against the
+    BATCH lifecycle on the same fixture — same rows, same columns, same
+    locate/label decisions, with the stream's re-delivered tweet resolved
+    by keep-latest exactly like the batch merge would."""
+    from mbgspark.operators.dedup import keep_latest_per_key
+    from mbgspark.pipeline import run_etl
+    from mbgspark.schema import DEFAULT_LOCATIONS, TWEET_RAW_SCHEMA
+    from mbgspark.streaming import start_etl_lifecycle_sink
+
+    t1 = {
+        "_id": "1", "text": "pelayanan di bandung sangat bagus dan sehat",
+        "created_at": "2025-01-01T10:00:00Z",
+        "scraped_at": "2025-01-01T11:00:00Z", "tweet_url": "u1",
+        "author_handle": "h1", "author_name": "alice", "location": None,
+        "reply_count": 1, "retweet_count": 0, "like_count": 1,
+    }
+    t2 = {
+        "_id": "2", "text": "program gagal total di jakarta selatan, buruk",
+        "created_at": "2025-01-02T09:00:00Z",
+        "scraped_at": "2025-01-02T09:30:00Z", "tweet_url": "u2",
+        "author_handle": "h2", "author_name": "bob", "location": None,
+        "reply_count": 0, "retweet_count": 2, "like_count": 0,
+    }
+    t3 = {
+        "_id": "3", "text": "no location mentioned at all here",
+        "created_at": "2025-01-02T12:00:00Z",
+        "scraped_at": "2025-01-02T12:30:00Z", "tweet_url": "u3",
+        "author_handle": "h3", "author_name": "carol", "location": None,
+        "reply_count": 0, "retweet_count": 0, "like_count": 3,
+    }
+    t1b = {**t1, "like_count": 9, "scraped_at": "2025-01-01T12:00:00Z"}
+
+    src = tmp_path / "lc_src"
+    store = str(tmp_path / "lc_store")
+    ck = str(tmp_path / "lc_ck")
+
+    _write_batch(src, [t1, t2])
+    q = start_etl_lifecycle_sink(
+        spark, str(src), store, ck, available_now=True
+    )
+    q.awaitTermination(120)
+    # second delivery on the same checkpoint: novel tweet + re-delivery
+    _write_batch(src, [t3, t1b])
+    q = start_etl_lifecycle_sink(
+        spark, str(src), store, ck, available_now=True
+    )
+    q.awaitTermination(120)
+
+    # batch twin on the SAME fixture files = the oracle
+    batch_raw = spark.read.schema(TWEET_RAW_SCHEMA).json(
+        str(src), multiLine=False
+    )
+    twin = keep_latest_per_key(
+        run_etl(batch_raw, spark.createDataFrame(
+            DEFAULT_LOCATIONS,
+            "province string, city string, dict_order int, term string",
+        )),
+        key="_id", order_col="scraped_at",
+    )
+
+    got_df = spark.read.parquet(store)
+    cols = sorted(twin.columns)
+    assert sorted(got_df.columns) == cols
+    norm = lambda df: sorted(
+        map(tuple, df.select(*[F.col(c).cast("string") for c in cols]).collect())
+    )
+    got, want = norm(got_df), norm(twin)
+    assert got == want
+    # the lifecycle actually enriched: locate + label happened
+    by_id = {r[cols.index("_id")]: r for r in got}
+    assert by_id["1"][cols.index("city")] == "bandung"
+    assert by_id["2"][cols.index("city")] == "jakarta selatan"
+    assert by_id["3"][cols.index("city")] is None
+    assert by_id["1"][cols.index("like_count")] == "9"  # keep-latest won
