@@ -514,21 +514,36 @@ def embedding_contamination(
     all-clean rows — callers should treat "no benchmark" as "skip the
     check", not call this with zero bench rows.
     """
-    from mbgspark.operators.dedup import cosine_sim, fanout_stream_side
+    from mbgspark.operators.dedup import (
+        cosine_sim_prenorm,
+        fanout_stream_side,
+        vec_norm,
+    )
 
+    # self-norms hoisted per ROW on each side (vec_norm) — the pair loop
+    # then folds only the dot product: 1 interpreted array fold per pair
+    # instead of 3, bit-identical doubles (sf1 measured: 7.4 s → SCALE.md)
     b = F.broadcast(
         bench.select(
-            F.col(id_col).alias("__bench_id"), F.col(vec_col).alias("__bv")
+            F.col(id_col).alias("__bench_id"),
+            F.col(vec_col).alias("__bv"),
+            vec_norm(F.col(vec_col)).alias("__bn"),
         )
     )
     c = fanout_stream_side(
-        corpus.select(F.col(id_col), F.col(vec_col).alias("__cv"))
+        corpus.select(
+            F.col(id_col),
+            F.col(vec_col).alias("__cv"),
+            vec_norm(F.col(vec_col)).alias("__cn"),
+        )
     )
     return (
         c.crossJoin(b)
         .select(
             F.col(id_col),
-            cosine_sim(F.col("__cv"), F.col("__bv")).alias("__sim"),
+            cosine_sim_prenorm(
+                F.col("__cv"), F.col("__bv"), F.col("__cn"), F.col("__bn")
+            ).alias("__sim"),
         )
         .groupBy(id_col)
         .agg(F.round(F.max("__sim"), 4).alias("max_bench_sim"))

@@ -869,22 +869,52 @@ def fanout_stream_side(c: DataFrame) -> DataFrame:
     return c
 
 
-def cosine_sim(a: Column, b: Column) -> Column:
-    """Cosine similarity of two array<float|double> columns with built-in
-    higher-order functions (zip_with dot product + aggregate norms) — JVM-side,
-    no Python round trip."""
-    dot = F.aggregate(
+def vec_norm(v: Column) -> Column:
+    """``sqrt(sum(v_i^2))`` — the self-norm factor of ``cosine_sim``,
+    exposed so pair-scoring joins can compute it ONCE per vector (a
+    row-local column on each join side) instead of once per PAIR.
+    Bit-identical to the norms inside ``cosine_sim``: the same aggregate
+    expression over the same array yields the same double whether it is
+    evaluated per pair or materialized per row, so ``round(.., 4)``
+    knife-edges cannot move (the r6 exact-decimal lesson applied to
+    float reordering: don't reorder — hoist)."""
+    return F.sqrt(
+        F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+
+
+def dot_product(a: Column, b: Column) -> Column:
+    """Element-wise dot product of two array<float|double> columns
+    (zip_with + aggregate, sequential left-fold sum — the summation order
+    every oracle's list_dot_product agrees with)."""
+    return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    na = F.sqrt(
-        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
-    )
-    nb = F.sqrt(
-        F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
-    )
-    return dot / (na * nb)
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<float|double> columns with built-in
+    higher-order functions (zip_with dot product + aggregate norms) — JVM-side,
+    no Python round trip.
+
+    Spark's higher-order array functions run INTERPRETED (outside
+    whole-stage codegen), so the three 64-element folds here are the
+    per-pair unit cost of every scorer. On an n×m pair stream use
+    ``cosine_sim_prenorm`` with ``vec_norm`` columns hoisted onto each
+    side — 1 fold per pair instead of 3, identical doubles (measured at
+    sf1: contamination_embedding, SCALE.md r7 row)."""
+    return dot_product(a, b) / (vec_norm(a) * vec_norm(b))
+
+
+def cosine_sim_prenorm(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """``cosine_sim`` with both self-norms precomputed (``vec_norm``
+    hoisted to a per-row column on each join side before the pair join).
+    Same expression tree per pair — ``dot/(na*nb)`` — so results are
+    bit-identical to ``cosine_sim``; only the redundant per-pair norm
+    folds disappear."""
+    return dot_product(a, b) / (na * nb)
 
 
 def _sign_bucket(v: Column, dims: list[int]) -> Column:
@@ -1049,12 +1079,28 @@ def embedding_near_dups_multiprobe(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    va = emb.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        vec_norm(F.col(vec_col)).alias("__na"),
+    )
+    vb = emb.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        vec_norm(F.col(vec_col)).alias("__nb"),
+    )
     return (
         pairs.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn("cos_sim", F.round(cosine_sim(F.col("va"), F.col("vb")), 4))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                cosine_sim_prenorm(
+                    F.col("va"), F.col("vb"), F.col("__na"), F.col("__nb")
+                ),
+                4,
+            ),
+        )
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
@@ -1079,8 +1125,16 @@ def embedding_near_dups(
     ``embedding_near_dups_multiprobe``, which unions candidates from
     several independent dim-subset tables and is the production-recall
     path)."""
-    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    a = emb.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        vec_norm(F.col(vec_col)).alias("__na"),
+    )
+    b = emb.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        vec_norm(F.col(vec_col)).alias("__nb"),
+    )
     if block_bits:
         def bucket(v: Column) -> Column:
             # sign of v[i] for the first block_bits dims — a crude but
@@ -1095,7 +1149,15 @@ def embedding_near_dups(
         joined = a.crossJoin(b)
     return (
         joined.filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos_sim", F.round(cosine_sim(F.col("va"), F.col("vb")), 4))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                cosine_sim_prenorm(
+                    F.col("va"), F.col("vb"), F.col("__na"), F.col("__nb")
+                ),
+                4,
+            ),
+        )
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from mbgspark.operators.dedup import cosine_sim
+from mbgspark.operators.dedup import cosine_sim, cosine_sim_prenorm, vec_norm
 
 
 def similarity_topk(*args, **kwargs) -> DataFrame:
@@ -54,15 +54,31 @@ def brute_force_topk(
     fan-out. Results are unchanged — the final rank orders by
     (cos_sim, match_id), independent of physical placement."""
     q = F.broadcast(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            vec_norm(F.col(vec_col)).alias("__qn"),
+        )
     )
     c = _fanout(
-        corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("cv"))
+        corpus.select(
+            F.col(id_col).alias("match_id"),
+            F.col(vec_col).alias("cv"),
+            vec_norm(F.col(vec_col)).alias("__cn"),
+        )
     )
     scored = (
         c.crossJoin(q)
         .filter(F.col("match_id") != F.col("query_id"))
-        .withColumn("cos_sim", F.round(cosine_sim(F.col("qv"), F.col("cv")), 4))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                cosine_sim_prenorm(
+                    F.col("qv"), F.col("cv"), F.col("__qn"), F.col("__cn")
+                ),
+                4,
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("match_id")
@@ -124,9 +140,21 @@ def build_ivf_index(
     cents = _centroid_table(corpus, n_cells, id_col, vec_col, centroids)
     w_assign = Window.partitionBy("match_id").orderBy(F.desc("a_sim"), F.asc("cell_id"))
     out = (
-        corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("cv"))
-        .crossJoin(cents)
-        .withColumn("a_sim", F.round(cosine_sim(F.col("cv"), F.col("cent")), 6))
+        corpus.select(
+            F.col(id_col).alias("match_id"),
+            F.col(vec_col).alias("cv"),
+            vec_norm(F.col(vec_col)).alias("__cvn"),
+        )
+        .crossJoin(cents.withColumn("__ctn", vec_norm(F.col("cent"))))
+        .withColumn(
+            "a_sim",
+            F.round(
+                cosine_sim_prenorm(
+                    F.col("cv"), F.col("cent"), F.col("__cvn"), F.col("__ctn")
+                ),
+                6,
+            ),
+        )
         .withColumn("__rn", F.row_number().over(w_assign))
         .filter(F.col("__rn") == 1)
         .select("match_id", "cv", "cell_id")
@@ -241,17 +269,41 @@ def ivf_topk(
     # query → nprobe nearest cells
     w_probe = Window.partitionBy("query_id").orderBy(F.desc("p_sim"), F.asc("cell_id"))
     probes = (
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-        .crossJoin(cents)
-        .withColumn("p_sim", F.round(cosine_sim(F.col("qv"), F.col("cent")), 6))
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            vec_norm(F.col(vec_col)).alias("__qn"),
+        )
+        .crossJoin(cents.withColumn("__ctn", vec_norm(F.col("cent"))))
+        .withColumn(
+            "p_sim",
+            F.round(
+                cosine_sim_prenorm(
+                    F.col("qv"), F.col("cent"), F.col("__qn"), F.col("__ctn")
+                ),
+                6,
+            ),
+        )
         .withColumn("__rn", F.row_number().over(w_probe))
         .filter(F.col("__rn") <= nprobe)
-        .select("query_id", "qv", "cell_id")
+        .select("query_id", "qv", "__qn", "cell_id")
     )
     scored = (
-        assigned.join(probes, "cell_id")
+        # the index may be a persisted frame without norms: attach cv's
+        # norm row-locally (candidates per query ≈ n·nprobe/cells — still
+        # far fewer folds than re-deriving both norms per pair)
+        assigned.withColumn("__cvn", vec_norm(F.col("cv")))
+        .join(probes, "cell_id")
         .filter(F.col("match_id") != F.col("query_id"))
-        .withColumn("cos_sim", F.round(cosine_sim(F.col("qv"), F.col("cv")), 4))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                cosine_sim_prenorm(
+                    F.col("qv"), F.col("cv"), F.col("__qn"), F.col("__cvn")
+                ),
+                4,
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("match_id"))
     return (
@@ -423,6 +475,7 @@ def hard_negative_topk(
         queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("qv"),
+            vec_norm(F.col(vec_col)).alias("__qn"),
             F.col(label_col).alias("query_label"),
         )
     )
@@ -430,6 +483,7 @@ def hard_negative_topk(
         corpus.select(
             F.col(id_col).alias("match_id"),
             F.col(vec_col).alias("cv"),
+            vec_norm(F.col(vec_col)).alias("__cn"),
             F.col(label_col).alias("match_label"),
         )
     )
@@ -439,7 +493,15 @@ def hard_negative_topk(
             (F.col("match_id") != F.col("query_id"))
             & (F.col("match_label") != F.col("query_label"))
         )
-        .withColumn("cos_sim", F.round(cosine_sim(F.col("qv"), F.col("cv")), 4))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                cosine_sim_prenorm(
+                    F.col("qv"), F.col("cv"), F.col("__qn"), F.col("__cn")
+                ),
+                4,
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("match_id"))
     return (

@@ -1,5 +1,8 @@
 """Streaming near-dup gate cost comparison: plain re-read vs indexed
-(bands-only hybrid) vs indexed (bucket-pruned arrays, the default).
+(bands-only hybrid) vs indexed (bucket-pruned arrays, the default) vs
+pruned with in-line compaction (compact_every=2 — the fold fires after
+batch 1, so batch 2's time is the post-compaction cost and the final
+store counts must equal the plain pruned mode's).
 
 Methodology (r5 protocol, r6 pruned form added): seed a store of N docs
 (~40 random words each from a 40k-word vocab), then time THREE consecutive
@@ -100,7 +103,7 @@ def seed_mode(spark, texts: list[str], mode: str, root: str) -> None:
         .partitionBy("__gate_batch", "__bucket")
         .parquet(f"{root}/index/bands")
     )
-    if mode == "pruned":
+    if mode.startswith("pruned"):
         (
             arrays.withColumn("__gate_batch", F.lit(-1))
             .withColumn("__bucket", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(NUM_BUCKETS)))
@@ -117,7 +120,7 @@ def seed_mode(spark, texts: list[str], mode: str, root: str) -> None:
         {
             "layout": "bucketed-v1",
             "num_buckets": NUM_BUCKETS,
-            "index_arrays": mode == "pruned",
+            "index_arrays": mode.startswith("pruned"),
         },
     )
 
@@ -143,7 +146,11 @@ def run_mode(spark, texts: list[str], mode: str, n: int) -> dict:
             q = start_neardup_gate_sink_indexed(
                 stream, f"{root}/store", f"{root}/index", f"{root}/ck",
                 threshold=0.5, available_now=True,
-                index_arrays=(mode == "pruned"), num_buckets=NUM_BUCKETS,
+                index_arrays=mode.startswith("pruned"), num_buckets=NUM_BUCKETS,
+                # the compact mode folds mid-stream after 2 live batch
+                # partitions accumulate — batch 2's time is then the
+                # post-compaction cost of record (VERDICT r6 item 3)
+                compact_every=2 if mode == "pruned_compact" else None,
             )
         q.awaitTermination(600)
         times.append(round(time.time() - t0, 2))
@@ -157,7 +164,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     for n in sizes:
         texts = make_texts(n)
-        for mode in ("plain", "hybrid", "pruned"):
+        for mode in ("plain", "hybrid", "pruned", "pruned_compact"):
             print(json.dumps(run_mode(spark, texts, mode, n)), flush=True)
 
 
