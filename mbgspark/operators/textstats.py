@@ -411,20 +411,26 @@ def bigram_surprise(
     Plan: the per-row token array feeds a row-local zip_with over its
     two adjacent slices to pair consecutive tokens (greatest(n-1,0)
     keeps <2-token docs at an empty pair array — a sequence(1, n-1)
-    formulation would count DOWN through [1,0] on 1-token docs), then
-    ONE explode feeds the
-    (id,w1,w2) TF aggregate; the corpus bigram count and the
-    w1-as-context count are two window sums layered over that SAME
-    aggregated (|doc-bigram-vocab|-sized) set — the second window's
-    partitionBy(w1) is a strict prefix of the first's (w1,w2), so only
-    the small aggregated frame reshuffles, never the raw occurrences
-    (same single-consumption design as unigram_surprise; a per-consumer
-    re-explode cannot ReuseExchange). V (distinct token types) rides a
-    1-row broadcast off a narrow second scan. The per-PAIR surprise is
-    quantized to integer micro-nats (floor(x*1e6 + 0.5)) BEFORE the
-    tf-weighted per-doc sum; the mean is half-up integer division — the
-    whole output surface is exact-integer, so engine libm drift cannot
-    reach the driver hash.
+    formulation would count DOWN through [1,0] on 1-token docs). The
+    corpus bigram model lives on a |corpus-bigram-vocab|-sized frame:
+    one explode → groupBy(w1,w2) whose map-side partial collapses the
+    occurrence stream inside the scan, then the w1-as-context count is
+    a window over that SAME tiny frame (not over occurrences). Scoring
+    is a second explode pass joined against the model frame — AQE
+    broadcasts it when the vocabulary is small and falls back to a
+    shuffle join (with AQE skew mitigation, which windows never get)
+    when it is not — followed by a partial-aggregated per-doc rollup,
+    so NOTHING shuffles at occurrence scale in the common case. An
+    earlier formulation windowed corpus counts over the per-doc
+    (id,w1,w2) TF frame to stay single-pass; measured at sf1 that
+    shuffled 2.6 M rows to derive 9.3 k corpus stats (SCALE.md r7) —
+    the second narrow explode pass is cheaper than the occurrence-scale
+    shuffle at every SF measured, and the gap widens with corpus size.
+    V (distinct token types) rides a 1-row broadcast off a narrow
+    second scan. The per-PAIR surprise is quantized to integer
+    micro-nats (floor(x*1e6 + 0.5)) BEFORE the per-doc occurrence sum;
+    the mean is half-up integer division — the whole output surface is
+    exact-integer, so engine libm drift cannot reach the driver hash.
 
     Emits (id, n_bigrams, mean_bigram_surprise_micronats); docs with
     fewer than two tokens have no bigrams and are absent by definition.
@@ -442,15 +448,12 @@ def bigram_surprise(
         .select(F.col(id_col), F.explode(pairs).alias("__bg"))
         .select(F.col(id_col), F.col("__bg.w1"), F.col("__bg.w2"))
     )
-    tf = occ.groupBy(id_col, "w1", "w2").agg(F.count("*").alias("__tf"))
     vocab = df.select(
         F.explode(F.filter(_tokens(F.col(text_col)), lambda x: x != "")).alias("__t")
     ).agg(F.countDistinct("__t").cast("bigint").alias("__V"))
-    w_pair = Window.partitionBy("w1", "w2")
-    w_ctx = Window.partitionBy("w1")
+    bg = occ.groupBy("w1", "w2").agg(F.count("*").alias("__bc"))
     sup = (
-        tf.withColumn("__bc", F.sum("__tf").over(w_pair))
-        .withColumn("__ctx", F.sum("__tf").over(w_ctx))
+        bg.withColumn("__ctx", F.sum("__bc").over(Window.partitionBy("w1")))
         .crossJoin(F.broadcast(vocab))
         .withColumn(
             "__sup",
@@ -460,12 +463,14 @@ def bigram_surprise(
                 + F.lit(0.5)
             ).cast("bigint"),
         )
+        .select("w1", "w2", "__sup")
     )
     return (
-        sup.groupBy(id_col)
+        occ.join(sup, ["w1", "w2"])
+        .groupBy(id_col)
         .agg(
-            F.sum("__tf").cast("bigint").alias("n_bigrams"),
-            F.sum(F.col("__tf") * F.col("__sup")).alias("__sum_micro"),
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.sum("__sup").alias("__sum_micro"),
         )
         .select(
             id_col,
