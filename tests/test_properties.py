@@ -268,3 +268,70 @@ def test_auto_multiprobe_spark_matches_rule_mirror(spark):
     for kwargs in ({"block_bits": 16}, {"tables": 8}, {"block_bits": 8, "tables": 8}):
         bits, tables = auto_multiprobe_params(d64, **kwargs)
         assert tables * bits <= 64, (kwargs, bits, tables)
+
+
+@given(
+    vecs=st.lists(
+        st.tuples(
+            st.lists(
+                st.floats(
+                    min_value=-1e3,
+                    max_value=1e3,
+                    allow_nan=False,
+                    allow_infinity=False,
+                    width=32,
+                ),
+                min_size=4,
+                max_size=4,
+            ),
+            st.lists(
+                st.floats(
+                    min_value=-1e3,
+                    max_value=1e3,
+                    allow_nan=False,
+                    allow_infinity=False,
+                    width=32,
+                ),
+                min_size=4,
+                max_size=4,
+            ),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@SETTINGS
+def test_cosine_prenorm_bit_identical(spark, vecs):
+    """The r7 norm-hoist contract: cosine_sim_prenorm with vec_norm columns
+    is BIT-identical to cosine_sim on any float32 input — the hoist moves
+    the norm folds out of the pair loop without reordering a single IEEE
+    operation, so round(.., 4) knife-edges cannot flip between the two
+    forms (the property every pair scorer now relies on). Compared as
+    exact doubles, not rounded. Zero-norm vectors are excluded: both
+    forms divide by the norm product identically (ANSI div-by-zero /
+    NaN under ansi=false), so they add nothing to the hoist property."""
+    import math
+
+    from hypothesis import assume
+
+    from mbgspark.operators.dedup import cosine_sim, cosine_sim_prenorm, vec_norm
+
+    for a, b in vecs:
+        assume(math.sqrt(sum(x * x for x in a)) > 1e-6)
+        assume(math.sqrt(sum(x * x for x in b)) > 1e-6)
+    df = spark.createDataFrame(
+        vecs, "a array<float>, b array<float>"
+    )
+    out = df.select(
+        cosine_sim(F.col("a"), F.col("b")).alias("direct"),
+        cosine_sim_prenorm(
+            F.col("a"),
+            F.col("b"),
+            vec_norm(F.col("a")),
+            vec_norm(F.col("b")),
+        ).alias("hoisted"),
+    ).collect()
+    for r in out:
+        # exact equality on doubles (both NaN for zero vectors is fine:
+        # NaN != NaN, so compare via repr which canonicalizes nan)
+        assert repr(r["direct"]) == repr(r["hoisted"]), r
