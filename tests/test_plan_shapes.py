@@ -384,13 +384,16 @@ def test_waiting_suppliers_correlates_via_hash_joins(spark):
     assert "EqualTo(o_orderstatus,F)" in plan
 
 
-def test_lm_bigram_single_pair_explode(spark):
-    """The bigram LM runs exactly two Generates (pair occurrences + the
-    1-row vocab count) — a third would mean a plan consumer re-exploding
-    the corpus — and the vocab total joins as a broadcast, never a
-    shuffle."""
+def test_lm_bigram_two_pass_explode(spark):
+    """The restructured bigram LM (SCALE.md r7) runs exactly three
+    Generates: the pair-occurrence explode appears TWICE (once feeding the
+    vocab-sized model aggregate, once feeding the scoring join — two
+    narrow passes beat windowing corpus stats over the occurrence-scale TF
+    frame), plus the 1-row vocab count. A fourth would mean a plan
+    consumer re-exploding the corpus; the vocab total must ride a
+    broadcast, never a cartesian."""
     plan = plan_of(spark, "lm_bigram_score")
-    assert plan.count("Generate") == 2, plan.count("Generate")
+    assert plan.count("Generate") == 3, plan.count("Generate")
     assert plan.count("CartesianProduct") == 0
 
 
