@@ -43,14 +43,23 @@ def _dedup_edges(e: DataFrame) -> DataFrame:
 def _large_star(e: DataFrame) -> DataFrame:
     """(v, m) for every v ∈ Γ(u) with v > u, m = min(Γ(u) ∪ {u}).
     Connectivity-preserving (Kiveris et al. Lemma 1); strictly reduces
-    large-neighbor edges toward the component minimum."""
+    large-neighbor edges toward the component minimum.
+
+    The output is NOT deduplicated: its only consumer is ``_small_star``,
+    whose first step reorients and ``distinct``s anyway — a trailing
+    distinct here would be a whole extra shuffle per round at every scale
+    carrying no semantic weight (duplicate (v, m) rows don't change
+    small-star's per-node minima, and map-side partial aggregation in
+    small-star's distinct absorbs the duplicate volume before the wire).
+    Self-loops can't occur by construction: m ≤ u < v for every emitted
+    (v, m)."""
     sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     mins = (
         sym.groupBy("src")
         .agg(F.min("dst").alias("__mn"))
         .select("src", F.least("src", "__mn").alias("__m"))
     )
-    return _dedup_edges(
+    return (
         sym.join(mins, "src")
         .filter(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("__m").alias("dst"))
