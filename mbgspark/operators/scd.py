@@ -80,24 +80,45 @@ def scd2_apply(
             F.struct(*[F.col(f"__new_{a}").alias(a) for a in attrs])
         )
     )
-    # surviving current rows: untouched keys + unchanged-attr keys
-    keep_cur = joined.filter(F.col(from_col).isNotNull() & ~changed).select(
-        key, *attrs, from_col, to_col
+    # Every joined row yields 1-2 output rows, decided ROW-LOCALLY:
+    # unchanged keys keep their current row; changed keys with a current
+    # row emit its closed version AND the opened one; brand-new keys emit
+    # only the opened row. Emitting them as a conditional struct array +
+    # explode keeps the (dim ⋈ updates) subtree a SINGLE plan consumer —
+    # the earlier union-of-three-filtered-projections shape re-ran the
+    # whole dimension scan + full-outer join once per branch (3x the scan
+    # and shuffle at every scale; visible as three repeated join subtrees
+    # in the executed plan at sf1).
+    from_t = dim.schema[from_col].dataType
+    to_t = dim.schema[to_col].dataType
+
+    def _version(attr_cols, from_expr, to_expr):
+        return F.struct(
+            F.col(key).alias(key),
+            *[c.alias(a) for a, c in zip(attrs, attr_cols)],
+            from_expr.cast(from_t).alias(from_col),
+            to_expr.cast(to_t).alias(to_col),
+        )
+
+    keep_or_close = F.when(
+        F.col(from_col).isNotNull(),
+        _version(
+            [F.col(a) for a in attrs],
+            F.col(from_col),
+            F.when(changed, F.col("__eff")).otherwise(F.col(to_col)),
+        ),
     )
-    # closed versions of changed keys that HAD a current row
-    closed = joined.filter(changed & F.col(from_col).isNotNull()).select(
-        key,
-        *attrs,
-        from_col,
-        F.col("__eff").alias(to_col),
+    opened = F.when(
+        changed,
+        _version(
+            [F.col(f"__new_{a}") for a in attrs],
+            F.col("__eff"),
+            F.lit(None),
+        ),
     )
-    # new current versions (changed keys and brand-new keys)
-    opened = joined.filter(changed).select(
-        key,
-        *[F.col(f"__new_{a}").alias(a) for a in attrs],
-        F.col("__eff").alias(from_col),
-        F.lit(None).cast(dim.schema[to_col].dataType).alias(to_col),
-    )
-    return hist.select(key, *attrs, from_col, to_col).unionByName(
-        keep_cur
-    ).unionByName(closed).unionByName(opened)
+    out = joined.select(
+        F.explode(
+            F.filter(F.array(keep_or_close, opened), lambda x: x.isNotNull())
+        ).alias("__v")
+    ).select(f"__v.{key}", *[f"__v.{a}" for a in attrs], f"__v.{from_col}", f"__v.{to_col}")
+    return hist.select(key, *attrs, from_col, to_col).unionByName(out)

@@ -1383,16 +1383,23 @@ def scd2_asof_revenue(spark, sf_dir):
         F.lit("2000-06-01").alias("eff"),
     )
     versioned = scd2_apply(dim, upd, "c_custkey", ["c_mktsegment"], "eff")
+    # validity bounds compared as DATEs: casting the ~|dim| version bounds
+    # (to_date on the dim side) costs |versions| conversions, while the
+    # earlier date_format(o_orderdate) cost a string ALLOCATION per fact
+    # row; ts→date cast is integer arithmetic. Equivalent to the oracle's
+    # yyyy-MM-dd string compare: both reduce to day granularity, and the
+    # boundary cases (order ts ≥ midnight of valid_from, < midnight of
+    # valid_to) decide identically.
     o = _t(spark, sf_dir, "orders").select(
-        "o_custkey", "o_totalprice", F.date_format("o_orderdate", "yyyy-MM-dd").alias("od")
+        "o_custkey", "o_totalprice", F.col("o_orderdate").cast("date").alias("od")
     )
     return (
         # the versioned dim is the BIG side here (full customer + extra
         # versions) — broadcast is AQE's call, not a hint (review r4)
         o.join(versioned, F.col("o_custkey") == F.col("c_custkey"))
         .filter(
-            (F.col("od") >= F.col("valid_from"))
-            & (F.col("valid_to").isNull() | (F.col("od") < F.col("valid_to")))
+            (F.col("od") >= F.to_date("valid_from"))
+            & (F.col("valid_to").isNull() | (F.col("od") < F.to_date("valid_to")))
         )
         .groupBy("c_mktsegment")
         .agg(
