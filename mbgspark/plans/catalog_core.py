@@ -63,17 +63,28 @@ def _money_sum(col, alias, nd=2):
 
 # --------------------------------------------------------------------------
 # Q1 scan + project (S1-S3, P1)
+# NOTE on corpus-sized outputs and ORDER BY: queries whose output is one
+# row per input row (q1, q22, q24, gopher_quality, ...) carry NO global
+# sort, in Spark or oracle. Two reasons, both measured (SCALE.md r7):
+# a total order over a corpus-sized result is an anti-pattern at 100 TB
+# (single range-partitioned write wave for presentation nobody consumes),
+# and Spark's global-sort range sampler RE-EXECUTES a scan-fed child to
+# pick boundaries — for expression-heavy row-local projections that
+# doubles the whole query (gopher at sf1: 4.1 s sorted vs 1.9 s unsorted).
+# The driver's value-hash is order-insensitive (18 unordered catalog
+# queries green across r1-r6), as is tools/parity.py. Queries whose
+# ORDER is semantic (q14/q17 date order = SURVEY O1, top-k rows) keep it
+# — their sort children are post-shuffle aggregates, which AQE
+# materializes before sampling, so they never re-execute anyway.
 def q1(spark, sf_dir):
-    return (
-        _t(spark, sf_dir, "orders")
-        .select("o_orderkey", "o_custkey", "o_totalprice")
-        .orderBy("o_orderkey")
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
     )
 
 
 Q1_SQL = """
 SELECT o_orderkey, o_custkey, o_totalprice
-FROM orders ORDER BY o_orderkey
+FROM orders
 """
 
 # Q2 half-open date window (F1, T7) — resilient_etl.py:306-311
@@ -470,9 +481,8 @@ def q22(spark, sf_dir):
         F.lit(" @user http://example.com/"),
         F.col("doc_id").cast("string"),
     )
-    return d.select(
-        "doc_id", clean_for_analysis(raw).alias("clean_text")
-    ).orderBy("doc_id")
+    # no global sort: corpus-sized row-local output (see q1 note)
+    return d.select("doc_id", clean_for_analysis(raw).alias("clean_text"))
 
 
 Q22_SQL = r"""
@@ -485,7 +495,7 @@ SELECT doc_id,
              '@\w+', '[MENTION]', 'g'),
            '#\w+', '[HASHTAG]', 'g'),
          '\s+', ' ', 'g'))) AS clean_text
-FROM documents ORDER BY doc_id
+FROM documents
 """
 
 
@@ -516,7 +526,7 @@ def q24(spark, sf_dir):
         F.date_add(od, 7).alias("next_week"),
         F.datediff(od, F.trunc(od, "month")).cast("bigint").alias("days_into_month"),
         F.date_format("o_orderdate", "yyyyMMdd").alias("ymd"),
-    ).orderBy("o_orderkey")
+    )  # no global sort: corpus-sized row-local output (see q1 note)
 
 
 Q24_SQL = """
@@ -528,7 +538,7 @@ SELECT o_orderkey,
        datediff('day', CAST(date_trunc('month', o_orderdate) AS DATE),
                 CAST(o_orderdate AS DATE)) AS days_into_month,
        strftime(o_orderdate, '%Y%m%d') AS ymd
-FROM orders ORDER BY o_orderkey
+FROM orders
 """
 
 

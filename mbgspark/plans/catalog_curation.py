@@ -165,7 +165,6 @@ def pii_redaction(spark, sf_dir):
             "n_phones",
             F.md5("redacted_text").alias("redacted_md5"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -194,7 +193,6 @@ SELECT doc_id,
                'https?://\\S+', '<URL>', 'g'),
              '\\+?\\d[\\d -]{7,}\\d', '<PHONE>', 'g')) AS redacted_md5
 FROM aug
-ORDER BY doc_id
 """
 
 
@@ -219,7 +217,7 @@ def url_stats(spark, sf_dir):
     raw = d.select("doc_id", F.concat("text", inject).alias("text"))
     return with_url_stats(raw, "text").select(
         "doc_id", "n_urls", "n_domains", "domain_list"
-    ).orderBy("doc_id")
+    )
 
 
 URL_STATS_SQL = r"""
@@ -244,7 +242,7 @@ d AS (
 SELECT doc_id, n_urls, CAST(len(doms) AS BIGINT) AS n_domains,
        -- DuckDB array_to_string([]) is NULL; Spark concat_ws([]) is ''
        coalesce(array_to_string(doms, ','), '') AS domain_list
-FROM d ORDER BY doc_id
+FROM d
 """
 
 
@@ -275,7 +273,7 @@ def line_filter_stats(spark, sf_dir):
     raw = d.select("doc_id", F.concat("text", inject).alias("text"))
     return with_line_filter(raw, "text").select(
         "doc_id", "n_lines", "n_kept_lines", "line_filtered_text"
-    ).orderBy("doc_id")
+    )
 
 
 LINE_FILTER_SQL = r"""
@@ -300,7 +298,7 @@ k AS (
 SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines,
        CAST(len(kept) AS BIGINT) AS n_kept_lines,
        coalesce(array_to_string(kept, e'\n'), '') AS line_filtered_text
-FROM k ORDER BY doc_id
+FROM k
 """.replace("raw0", "documents")
 
 
@@ -589,7 +587,7 @@ def nfc_roundtrip(spark, sf_dir):
         (F.col("nfc_text") == F.concat(F.col("orig"), F.lit(precomposed)))
         .cast("bigint")
         .alias("matches_expected"),
-    ).orderBy("doc_id")
+    )
 
 
 NFC_SQL = """
@@ -602,7 +600,7 @@ SELECT doc_id, md5(nfc_normalize(raw)) AS nfc_md5,
        CAST(nfc_normalize(raw)
             = text || ' caf' || chr(233) || ' c' || chr(246) || 'rdinate'
             AS BIGINT) AS matches_expected
-FROM aug ORDER BY doc_id
+FROM aug
 """
 
 
@@ -664,7 +662,7 @@ def markup_strip_roundtrip(spark, sf_dir):
         (stripped == F.concat(base, F.lit(" Q&A")))
         .cast("bigint")
         .alias("matches_expected"),
-    ).orderBy("doc_id")
+    )
 
 
 MARKUP_STRIP_SQL = r"""
@@ -692,7 +690,7 @@ s AS (
 )
 SELECT doc_id, md5(stripped) AS stripped_md5,
        CAST(stripped = base || ' Q&A' AS BIGINT) AS matches_expected
-FROM s ORDER BY doc_id
+FROM s
 """
 
 
@@ -750,7 +748,6 @@ def augment_dropout(spark, sf_dir):
     return (
         augment_word_dropout(_t(spark, sf_dir, "documents"), "doc_id", "text")
         .select("doc_id", F.md5("augmented_text").alias("aug_md5"), "n_dropped")
-        .orderBy("doc_id")
     )
 
 
@@ -773,7 +770,7 @@ k AS (
 )
 SELECT doc_id, md5(array_to_string(kept, ' ')) AS aug_md5,
        CAST(n - len(kept) AS BIGINT) AS n_dropped
-FROM k ORDER BY doc_id
+FROM k
 """
 
 

@@ -1155,9 +1155,7 @@ def jl_projection(spark, sf_dir):
     from mbgspark.operators.similarity import jl_project
 
     e = _t(spark, sf_dir, "embeddings")
-    return jl_project(e, "embedding", 64, 16, "jl", "vec_id").orderBy(
-        "vec_id", "dim"
-    )
+    return jl_project(e, "embedding", 64, 16, "jl", "vec_id")
 
 
 def _jl_sql() -> str:
@@ -1176,7 +1174,7 @@ def _jl_sql() -> str:
     return (
         "SELECT vec_id, CAST(dim AS BIGINT) AS dim, value_e6 FROM (\n"
         + branches
-        + "\n) ORDER BY vec_id, dim"
+        + "\n)"
     )
 
 
@@ -1474,7 +1472,7 @@ def quality_scores(spark, sf_dir):
         "punct_ratio",
         "stopword_ratio",
         "quality_score",
-    ).orderBy("doc_id")
+    )
 
 
 QUALITY_SQL = """
@@ -1500,7 +1498,7 @@ SELECT doc_id,
        round(least(1.0, (least(n_tokens, 100) / 100.0) * 0.5
                    + (CASE WHEN n_tokens > 0 THEN stop_hits / CAST(n_tokens AS DOUBLE) ELSE 0.0 END) * 0.5), 4)
          AS quality_score
-FROM m ORDER BY doc_id
+FROM m
 """
 
 
@@ -1508,14 +1506,14 @@ def token_counts(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return with_token_counts(d, "text").select(
         "doc_id", "ws_tokens", "bpe_tokens"
-    ).orderBy("doc_id")
+    )
 
 
 TOKEN_COUNT_SQL = """
 SELECT doc_id,
        CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS ws_tokens,
        CAST(len(regexp_extract_all(lower(trim(text)), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS bpe_tokens
-FROM documents ORDER BY doc_id
+FROM documents
 """
 
 
@@ -1523,7 +1521,7 @@ def fingerprints(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return with_fingerprint(d, "text").select(
         "doc_id", "fingerprint", "shape_fingerprint"
-    ).orderBy("doc_id")
+    )
 
 
 FINGERPRINT_SQL = """
@@ -1534,7 +1532,7 @@ WITH n AS (
 SELECT doc_id, md5(norm) AS fingerprint,
        md5(array_to_string(list_sort(list_distinct(string_split(norm, ' '))), ' '))
          AS shape_fingerprint
-FROM n ORDER BY doc_id
+FROM n
 """
 
 
@@ -1945,7 +1943,6 @@ def multimodal_features(spark, sf_dir):
     return (
         extract_features(media, fake_decode=True)
         .select("media_id", "media_type", "n_bytes", "content_hash")
-        .orderBy("media_id")
     )
 
 
@@ -1953,7 +1950,7 @@ MULTIMODAL_SQL = """
 SELECT doc_id AS media_id, 'text/plain' AS media_type,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
        md5(text) AS content_hash
-FROM documents ORDER BY media_id
+FROM documents
 """
 
 def multimodal_frame_index(spark, sf_dir):
@@ -1968,7 +1965,6 @@ def multimodal_frame_index(spark, sf_dir):
     return (
         frame_sample(media, every_n=3)
         .select("media_id", F.col("frame_idx").cast("bigint").alias("frame_idx"))
-        .orderBy("media_id", "frame_idx")
     )
 
 
@@ -1977,7 +1973,6 @@ SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_idx
 FROM documents,
      LATERAL unnest(generate_series(
        0, CAST(octet_length(encode(text)) AS INT) // 1024, 3)) AS g(f)
-ORDER BY media_id, frame_idx
 """
 
 
@@ -2102,9 +2097,7 @@ def chunk_windows(spark, sf_dir):
     the context-window prep stage of a pretraining pipeline, as pure
     sequence/explode/slice column work (no UDF, no shuffle)."""
     d = _t(spark, sf_dir, "documents")
-    return chunk_documents(d, "doc_id", "text", 20, 15).orderBy(
-        "doc_id", "chunk_idx"
-    )
+    return chunk_documents(d, "doc_id", "text", 20, 15)
 
 
 CHUNK_WINDOWS_SQL = """
@@ -2126,7 +2119,6 @@ SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
          AS chunk_text,
        CAST(least(20, n - chunk_idx * 15) AS BIGINT) AS chunk_len
 FROM c
-ORDER BY doc_id, chunk_idx
 """
 
 

@@ -287,7 +287,7 @@ SELECT doc_id,
        -- array_to_string([]) is NULL in DuckDB; Spark's concat_ws gives ''
        coalesce(array_to_string(reasons, ';'), '') AS drop_reasons,
        CAST(CASE WHEN len(reasons) = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
-FROM f ORDER BY doc_id
+FROM f
 """
 
 

@@ -468,10 +468,11 @@ def test_event_transitions_window_is_user_partitioned(spark):
 
 
 def test_augment_dropout_is_single_narrow_projection(spark):
-    """Word dropout is row-local: exactly one exchange (the output
-    sort), zero joins."""
+    """Word dropout is row-local: zero exchanges (the former
+    presentational sort re-executed the projection in its range
+    sampler — SCALE.md r7), zero joins."""
     plan = plan_of(spark, "augment_dropout")
-    assert plan.count("Exchange") == 1, plan.count("Exchange")
+    assert plan.count("Exchange") == 0, plan.count("Exchange")
     assert "Join" not in plan
 
 

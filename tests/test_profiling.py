@@ -218,12 +218,14 @@ def test_gopher_quality_reasons(spark):
 
 def test_gopher_quality_is_row_local(spark):
     # every rule is a codegen'd column expression: no Python eval, no
-    # aggregate; the ONLY exchange is the final orderBy's range partitioner
+    # aggregate, and ZERO exchanges — the gate is a pure scan-speed
+    # projection (the former presentational orderBy re-executed the whole
+    # projection in the range sampler; SCALE.md r7)
     df = spark.read.parquet(f"{SF}/documents.parquet")
     plan = _plan(gopher_quality_filter(df, "doc_id", "text"))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Aggregate" not in plan
-    assert plan.count("Exchange") == 1 and "rangepartitioning" in plan
+    assert plan.count("Exchange") == 0
 
 
 # -------------------------------------------------------- snapshot diff ----
