@@ -446,9 +446,15 @@ def test_top_supplier_max_is_broadcast(spark):
 
 def test_scd2_apply_is_hash_joins_only(spark):
     """SCD2 maintenance: the fate of every row comes from hash joins —
-    no nested loop, no cartesian anywhere in the versioned union."""
+    no nested loop, no cartesian anywhere in the versioned union — and
+    the (current ⋈ updates) decision join appears EXACTLY once: versions
+    emit via a row-local struct-array explode, not the former
+    union-of-three-projections that re-ran the dimension join per branch
+    (SCALE.md r7)."""
     plan = plan_of(spark, "scd2_customer_dim")
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+    assert plan.count("FullOuter") == 1, plan.count("FullOuter")
+    assert plan.count("Generate explode") == 1
 
 
 def test_dq_scalar_rules_fuse_into_one_aggregate(spark):
