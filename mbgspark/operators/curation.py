@@ -31,6 +31,13 @@ from mbgspark.operators.dedup import with_word_shingles
 
 # ------------------------------------------------------- contamination ----
 
+# fold-vs-vectorized crossover for broadcast-bench pair scoring, in PAIRS
+# (|corpus| × |bench|): below it the JVM fold's zero-Python plan wins on
+# fixed overhead; above it the numpy matmul's ~1000× cheaper per-pair cost
+# dominates. Basis measured r7 (embedding_contamination, 64-dim vectors,
+# local[32]) — see SCALE.md.
+_VECTORIZED_PAIR_CROSSOVER = 2_000_000
+
 
 def contamination_flags(
     corpus: DataFrame,
@@ -496,6 +503,7 @@ def embedding_contamination(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    strategy: str = "fold",
 ) -> DataFrame:
     """Embedding-space benchmark decontamination: for every corpus vector,
     the max cosine similarity against the (broadcast) benchmark set, plus a
@@ -504,21 +512,54 @@ def embedding_contamination(
     embedding similarity catches them.
 
     Plan shape for 100 TB: the benchmark side is eval-suite-sized (10^3-10^4
-    vectors) and is broadcast; the corpus is scanned ONCE, each row scored
-    against the replicated bench rows (cosine via zip_with/aggregate —
-    JVM-side codegen, no Python), then max-reduced per corpus id. The
-    groupBy's map-side partial collapses the |bench| scores per id inside
-    the scan partition, so the shuffle carries ONE narrow row per corpus
-    vector. The corpus is never self-joined and never collected. An
-    EMPTY benchmark yields an empty result (inner cross join), not
-    all-clean rows — callers should treat "no benchmark" as "skip the
-    check", not call this with zero bench rows.
+    vectors); the corpus is scanned ONCE, scored against the replicated
+    bench set, then max-reduced per corpus id. The corpus is never
+    self-joined and never collected. An EMPTY benchmark yields an empty
+    result (inner-cross-join semantics in BOTH strategies), not all-clean
+    rows — callers should treat "no benchmark" as "skip the check", not
+    call this with zero bench rows.
+
+    Two physical strategies, same logical result (pair-scoring sums can
+    differ in the last ulp; both surfaces round to 4 decimals, and the
+    equivalence is property-pinned in tests):
+
+    - ``"fold"``: broadcast nested-loop crossJoin, cosine via
+      zip_with/aggregate (JVM interpreted higher-order fold), map-side
+      partial max so the shuffle carries one narrow row per corpus vector.
+      Zero Python in the plan; the bench frame itself is broadcast by
+      Spark's own machinery.
+    - ``"vectorized"``: the bench matrix (bounded by the SAME eval-suite
+      size contract that justifies broadcasting it) is collected once and
+      shipped in the mapInPandas closure; each Arrow batch of corpus rows
+      scores as ONE numpy matmul (B×d @ d×N) and emits its own row-local
+      max — no pair rows ever exist, no shuffle at all. Interpreted HOFs
+      don't codegen, so at 10^2+ bench vectors per corpus row the C-loop
+      matmul wins by an order of magnitude (sf1 measured: SCALE.md r7).
+    - ``"auto"``: pick by measured crossover. The Python stage carries a
+      ~1.3 s session-fixed floor (bench-collect job + Arrow round trip)
+      that the fold path doesn't pay, while the fold pays ~0.5 µs per
+      PAIR that the matmul doesn't; equal at ~2e6 pairs on the r7
+      container (fold: 78k pairs 0.46 s / 7.8M pairs 4.5 s; vectorized
+      flat ~1.3 s at both — SCALE.md). Costs one ``corpus.count()`` job
+      at plan-build time — a single-column scan that is noise next to
+      either scoring pass, and at real scale the answer is always
+      "vectorized" anyway.
     """
     from mbgspark.operators.dedup import (
         cosine_sim_prenorm,
         fanout_stream_side,
         vec_norm,
     )
+
+    if strategy == "auto":
+        pairs = corpus.count() * bench.count()
+        strategy = "vectorized" if pairs >= _VECTORIZED_PAIR_CROSSOVER else "fold"
+    if strategy == "vectorized":
+        return _embedding_contamination_vectorized(
+            corpus, bench, id_col, vec_col, threshold
+        )
+    if strategy != "fold":
+        raise ValueError(f"unknown embedding_contamination strategy: {strategy!r}")
 
     # self-norms hoisted per ROW on each side (vec_norm) — the pair loop
     # then folds only the dot product: 1 interpreted array fold per pair
@@ -547,6 +588,88 @@ def embedding_contamination(
         )
         .groupBy(id_col)
         .agg(F.round(F.max("__sim"), 4).alias("max_bench_sim"))
+        .select(
+            id_col,
+            "max_bench_sim",
+            (F.col("max_bench_sim") >= threshold).cast("bigint").alias(
+                "is_contaminated"
+            ),
+        )
+        .orderBy(id_col)
+    )
+
+
+def _embedding_contamination_vectorized(
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+) -> DataFrame:
+    """``embedding_contamination(strategy="vectorized")`` body: one numpy
+    matmul per Arrow batch against the closure-shipped bench matrix.
+
+    Semantics mirrored from the fold path exactly:
+    - null BENCH vectors contribute no pairs (fold: null sim, max skips
+      nulls) — dropped from the matrix here;
+    - a null CORPUS vector has every pair-sim null (fold: max over all-null
+      → null row) — emitted with a null ``max_bench_sim`` here;
+    - zero-norm vectors score 0/0 = NaN in both strategies, but the Arrow
+      transfer maps pandas NaN to SQL null, so this path emits null where
+      the fold emits NaN — both read "no meaningful similarity", and no
+      finite-norm input can hit it;
+    - rounding stays ON THE PLAN SIDE (``F.round`` HALF_UP — numpy rounds
+      half-even, a real knife-edge difference), so only the raw fp sums
+      differ between strategies (last-ulp, order of summation).
+    """
+    import numpy as np
+    import pandas as pd
+
+    # Bounded collect: the bench side is eval-suite-sized by the operator's
+    # contract — the same bound that makes F.broadcast(bench) legal in the
+    # fold path makes this explicit driver materialization legal here.
+    bench_rows = [
+        r[0]
+        for r in bench.select(vec_col).where(F.col(vec_col).isNotNull()).collect()
+    ]
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, max_bench_sim double"
+    base = corpus.select(id_col, vec_col)
+    if not bench_rows:
+        return base.limit(0).select(
+            id_col,
+            F.lit(None).cast("double").alias("max_bench_sim"),
+            F.lit(None).cast("bigint").alias("is_contaminated"),
+        )
+    bmat = np.asarray(bench_rows, dtype=np.float64)  # (N, d)
+    bnorm = np.sqrt((bmat * bmat).sum(axis=1))  # (N,)
+
+    def _score(batches):
+        for pdf in batches:
+            vecs = pdf[vec_col]
+            mask = vecs.notna().to_numpy()
+            sims = np.full(len(pdf), np.nan)
+            if mask.any():
+                cmat = np.asarray(list(vecs[mask]), dtype=np.float64)  # (B, d)
+                cnorm = np.sqrt((cmat * cmat).sum(axis=1))  # (B,)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    pair = (cmat @ bmat.T) / np.outer(cnorm, bnorm)
+                sims[mask] = pair.max(axis=1)
+            out = pd.DataFrame({id_col: pdf[id_col], "max_bench_sim": sims})
+            # null corpus vector → null result row (NaN would survive the
+            # Arrow transfer as a double NaN, which is NOT null in Spark)
+            out.loc[~mask, "max_bench_sim"] = None
+            yield out
+
+    from mbgspark.operators.dedup import fanout_stream_side
+
+    return (
+        fanout_stream_side(base)
+        .mapInPandas(_score, out_schema)
+        .select(
+            id_col,
+            F.round("max_bench_sim", 4).alias("max_bench_sim"),
+        )
         .select(
             id_col,
             "max_bench_sim",

@@ -230,7 +230,9 @@ def contamination_embedding(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     corpus = e.filter(F.col("vec_id") % 50 != 0)
     bench = e.filter(F.col("vec_id") % 50 == 0)
-    return embedding_contamination(corpus, bench, "vec_id", "embedding", threshold=0.30)
+    return embedding_contamination(
+        corpus, bench, "vec_id", "embedding", threshold=0.30, strategy="auto"
+    )
 
 
 CONTAMINATION_EMBEDDING_SQL = """

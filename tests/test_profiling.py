@@ -187,6 +187,72 @@ def test_embedding_contamination_flags_planted_copy(spark):
     assert out[1001]["max_bench_sim"] == 1.0
 
 
+def test_embedding_contamination_vectorized_matches_fold(spark):
+    """The numpy-matmul strategy is a physical rewrite only: every
+    (max_bench_sim, is_contaminated) pair equals the fold path's after the
+    shared round-4 surface (raw sums may differ in the last ulp)."""
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    corpus = e.filter(F.col("vec_id") % 50 != 0)
+    bench = e.filter(F.col("vec_id") % 50 == 0)
+    fold = {
+        r["vec_id"]: (r["max_bench_sim"], r["is_contaminated"])
+        for r in embedding_contamination(
+            corpus, bench, "vec_id", "embedding", 0.30, strategy="fold"
+        ).collect()
+    }
+    vec = {
+        r["vec_id"]: (r["max_bench_sim"], r["is_contaminated"])
+        for r in embedding_contamination(
+            corpus, bench, "vec_id", "embedding", 0.30, strategy="vectorized"
+        ).collect()
+    }
+    assert fold == vec
+
+
+def test_embedding_contamination_vectorized_plan_has_no_pairs(spark):
+    """The vectorized plan is pair-free: no join of any kind, one
+    Python (Arrow) stage, null corpus vectors pass through as null rows,
+    and an empty bench yields an empty frame (inner-cross-join contract)."""
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    corpus = e.filter(F.col("vec_id") % 50 != 0).withColumn(
+        "embedding",
+        F.when(F.col("vec_id") == 1, F.lit(None)).otherwise(F.col("embedding")),
+    )
+    bench = e.filter(F.col("vec_id") % 50 == 0)
+    df = embedding_contamination(
+        corpus, bench, "vec_id", "embedding", 0.30, strategy="vectorized"
+    )
+    plan = _plan(df)
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert "MapInPandas" in plan
+    rows = {r["vec_id"]: r for r in df.collect()}
+    assert rows[1]["max_bench_sim"] is None
+    assert rows[1]["is_contaminated"] is None
+    empty = embedding_contamination(
+        corpus, bench.limit(0), "vec_id", "embedding", 0.30, strategy="vectorized"
+    )
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == [
+        "vec_id", "max_bench_sim", "is_contaminated",
+    ]
+
+
+def test_embedding_contamination_auto_crossover(spark):
+    """auto picks fold below the measured pair crossover (this corpus) and
+    would pick vectorized above it — pinned via the module constant so a
+    future re-measurement updates one number, not this test."""
+    from mbgspark.operators import curation
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    corpus = e.filter(F.col("vec_id") % 50 != 0)
+    bench = e.filter(F.col("vec_id") % 50 == 0)
+    assert corpus.count() * bench.count() < curation._VECTORIZED_PAIR_CROSSOVER
+    df = embedding_contamination(
+        corpus, bench, "vec_id", "embedding", 0.30, strategy="auto"
+    )
+    assert "MapInPandas" not in _plan(df)  # fold side of the crossover
+
+
 # ------------------------------------------------- gopher quality gate ----
 
 
