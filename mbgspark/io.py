@@ -90,6 +90,51 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TESTDATA_TABLES}
 
 
+# below this input size the fanout exchange's fixed cost exceeds the
+# single-core pass it parallelizes (measured r7: gopher at a 0.6 MB corpus
+# 0.23 s unfanned vs 0.61 s fanned; at 6 MB 1.9 s unfanned vs 0.35 s fanned)
+_FANOUT_MIN_BYTES = 4 * 1024 * 1024
+
+
+def fanout_scan(df: DataFrame) -> DataFrame:
+    """Spread a narrow scan across the session's cores IF it arrives in
+    fewer splits than the session has parallelism AND is big enough that
+    the exchange pays for itself — otherwise pass through untouched.
+
+    Scan parallelism is bounded by parquet ROW GROUPS, not by
+    ``files.maxPartitionBytes``: a single-row-group file is one task no
+    matter the split size, so a CPU-heavy pass (regex tokenize, shingle,
+    explode, HOF folds) over a small-corpus file serializes on one core
+    (measured: every documents.parquet the driver ships is one row group;
+    bigram scoring at sf1 spent its whole runtime single-task). The guard
+    repartitions only below session parallelism, so on a real multi-row-
+    group corpus — the only kind that exists at 100 TB — the condition is
+    false and the plan is untouched; locally the exchange moves just the
+    pre-tokenize rows (MBs). The size floor reads Catalyst's plan
+    statistics (parquet footer bytes — no job); if the probe fails on some
+    future plan shape, the guard assumes "big" and fans out, which is the
+    direction that can only cost a small exchange. Apply INSIDE operators
+    whose per-row work dominates their scan, on the narrowest projection
+    available.
+    """
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions() or 1) >= n:
+        return df
+    try:
+        # leaf-relation bytes, not the plan root's: Project stats scale by
+        # SCHEMA default widths (every string = 20 bytes), so a projected
+        # text column under-reports ~30× and the gate would never open
+        size = 0
+        it = df._jdf.queryExecution().optimizedPlan().collectLeaves().iterator()
+        while it.hasNext():
+            size += int(str(it.next().stats().sizeInBytes()))
+    except Exception:
+        size = _FANOUT_MIN_BYTES  # probe failed: assume big, fan out
+    if size < _FANOUT_MIN_BYTES:
+        return df
+    return df.repartition(n)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Expose the catalog to ``spark.sql`` under the canonical names."""
     for name, df in load_all(spark, sf_dir).items():

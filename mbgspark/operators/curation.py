@@ -113,7 +113,13 @@ def with_repetition_stats(
     per array element — O(tokens²) regex evaluations per doc. Generate
     never collapses into its child projection, so the lineage below keeps
     the split evaluated once per row.
+
+    Input rides ``io.fanout_scan`` (row-group-bounded scan parallelism —
+    see bigram_surprise; pass-through at real scale).
     """
+    from mbgspark.io import fanout_scan
+
+    df = fanout_scan(df.select(id_col, text_col))
     toks = df.select(
         F.col(id_col),
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("__toks"),

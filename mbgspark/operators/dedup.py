@@ -862,7 +862,13 @@ def fanout_stream_side(c: DataFrame) -> DataFrame:
     contamination_embedding spent 148 s of a 202 s bench on one core). The
     extra exchange moves only the corpus rows (tiny next to the scored
     frame); a corpus already at session parallelism passes through
-    untouched, so the big-data path adds nothing."""
+    untouched, so the big-data path adds nothing.
+
+    Deliberately NOT ``io.fanout_scan``: that guard gates on input BYTES
+    because scan-side per-row work is proportional to row size, but a
+    broadcast-join stream side does |broadcast| units of work per row —
+    a 3 MB vector file can carry 4×10⁸ cosines (the r6 sf1 incident), so
+    here small bytes never justify staying on one core."""
     n = c.sparkSession.sparkContext.defaultParallelism
     if (c.rdd.getNumPartitions() or 1) < n:
         return c.repartition(n)

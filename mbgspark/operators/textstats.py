@@ -189,9 +189,16 @@ def unigram_surprise(
     cannot reach the driver hash (same device as the kmeans oracle). The
     per-doc mean is half-up integer division of that sum.
 
-    Emits (id, n_tokens, mean_surprise_micronats)."""
+    Emits (id, n_tokens, mean_surprise_micronats).
+
+    Both corpus passes sit behind ``io.fanout_scan`` (row-group-bounded
+    scan parallelism — see bigram_surprise; pass-through at real scale).
+    """
     from pyspark.sql import Window
 
+    from mbgspark.io import fanout_scan
+
+    df = fanout_scan(df.select(id_col, text_col))
     toks = df.select(
         F.col(id_col),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("__tok"),
@@ -261,9 +268,15 @@ def tfidf_top_terms(
     no third derivation of the explode, no eager driver count. The
     per-doc top-k is array_sort + slice over each doc's own
     (score, token) list — row-local, no corpus-wide window, no global
-    sort. Emits (id, rank, term, score_micro) rows, rank 1-based."""
+    sort. Emits (id, rank, term, score_micro) rows, rank 1-based.
+
+    Input rides ``io.fanout_scan`` (row-group-bounded scan parallelism —
+    see bigram_surprise; pass-through at real scale)."""
     from pyspark.sql import Window
 
+    from mbgspark.io import fanout_scan
+
+    df = fanout_scan(df.select(id_col, text_col))
     toks = df.select(
         F.col(id_col),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("__tok"),
@@ -340,7 +353,15 @@ def gopher_quality_filter(
     Ratios use exact e4 fixed-point so the oracle can't fp-drift. Alpha
     detection uses translate-against-[a-z] length comparison — equivalent
     to `token contains [a-z]` but without a per-token regex engine call.
+
+    The one exception to "zero shuffles" is ``io.fanout_scan`` at the
+    input: row-group-bounded scan parallelism serializes the tokenize on
+    single-row-group corpus files (sf1 measured: whole query one task);
+    the guard is a pass-through on any real multi-row-group corpus.
     """
+    from mbgspark.io import fanout_scan
+
+    df = fanout_scan(df.select(id_col, text_col))
     t = F.trim(F.col(text_col))
     pre = df.select(
         F.col(id_col),
@@ -438,9 +459,18 @@ def bigram_surprise(
 
     Emits (id, n_bigrams, mean_bigram_surprise_micronats); docs with
     fewer than two tokens have no bigrams and are absent by definition.
+
+    All three corpus passes sit behind ``io.fanout_scan``: scan parallelism
+    is bounded by row groups, and a single-row-group corpus file would
+    serialize every tokenize/explode pass on one core (sf1 measured: the
+    whole 5.2 s runtime was single-task). At real scale the guard is a
+    pass-through.
     """
     from pyspark.sql import Window
 
+    from mbgspark.io import fanout_scan
+
+    df = fanout_scan(df.select(id_col, text_col))
     toks = F.filter(_tokens(F.col(text_col)), lambda x: x != "")
     pairs = F.expr(
         "zip_with(slice(__toks, 1, greatest(size(__toks) - 1, 0)), "
@@ -543,7 +573,13 @@ def bm25_search(
     Per-(doc,term) scores are quantized to integer micro-units before the
     per-doc sum (the repo-standard device), so ranking and the output
     surface are hash-stable across engines. Emits the top-k
-    (id, n_query_terms_hit, score_micro), ties broken by id."""
+    (id, n_query_terms_hit, score_micro), ties broken by id.
+
+    Input rides ``io.fanout_scan`` (row-group-bounded scan parallelism —
+    see bigram_surprise; pass-through at real scale)."""
+    from mbgspark.io import fanout_scan
+
+    df = fanout_scan(df.select(id_col, text_col))
     terms = [t.lower() for t in query_terms]
     toks = df.select(
         F.col(id_col),
