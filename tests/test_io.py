@@ -504,3 +504,34 @@ def test_mongo_fixture_flattens_with_reference_defaults(spark):
     assert flat["sentiment_analyzed"] is False
     assert flat["reply_count"] == 0
     assert flat["like_count"] == 3
+
+
+# ------------------------------------------------------------ fanout_scan ----
+
+
+def test_fanout_scan_gate(spark, monkeypatch):
+    """The scan-fanout guard fires only when BOTH conditions hold: fewer
+    partitions than session parallelism AND leaf bytes over the floor.
+    Small inputs pass through untouched (the exchange would cost more than
+    the single-core pass it parallelizes); big single-row-group inputs are
+    spread to session parallelism; an input already at parallelism is
+    untouched regardless of size (the 100 TB path adds nothing)."""
+    import mbgspark.io as io
+
+    small = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    assert small.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism
+    assert io.fanout_scan(small) is small  # under the byte floor
+
+    monkeypatch.setattr(io, "_FANOUT_MIN_BYTES", 1)
+    fanned = io.fanout_scan(small)
+    assert fanned is not small
+    assert (
+        fanned.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    )
+    # values survive the exchange untouched
+    assert fanned.count() == small.count()
+
+    wide = small.repartition(spark.sparkContext.defaultParallelism)
+    assert io.fanout_scan(wide) is wide  # already at parallelism
