@@ -117,6 +117,8 @@ def fanout_scan(df: DataFrame) -> DataFrame:
     whose per-row work dominates their scan, on the narrowest projection
     available.
     """
+    if df.isStreaming:  # no static partitioning to probe; sources size
+        return df  # their own microbatches (maxFilesPerTrigger etc.)
     n = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions() or 1) >= n:
         return df

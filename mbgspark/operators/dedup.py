@@ -81,14 +81,20 @@ def with_word_shingles(
     The token array is materialized in its OWN projection before the
     higher-order transform: inlining the split into the lambda makes Spark
     re-evaluate the regex split per array element (O(words²) per doc) —
-    measured 13× slower at sf0.1."""
+    measured 13× slower at sf0.1.
+
+    Input rides ``io.fanout_scan`` (row-group-bounded scan parallelism —
+    see bigram_surprise; pass-through at real scale and on the small
+    microbatches the streaming gates feed through here)."""
+    from mbgspark.io import fanout_scan
+
     toks = F.col("__toks")
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     shingles = F.transform(
         idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(k)])
     )
-    pre = df.select(
+    pre = fanout_scan(df.select(id_col, *carry, text_col)).select(
         F.col(id_col),
         *[F.col(c) for c in carry],
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("__toks"),
@@ -398,14 +404,16 @@ def with_shingle_array(
     preferred when per-doc shingle sets fit in a row (true for any sane doc:
     ~1 shingle per word). Tokens are split in their own projection — see
     with_word_shingles for why inlining the split into the lambda is 13×
-    slower."""
+    slower. Input rides ``io.fanout_scan`` (see with_word_shingles)."""
+    from mbgspark.io import fanout_scan
+
     toks = F.col("__toks")
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     sh = F.transform(
         idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(k)])
     )
-    pre = df.select(
+    pre = fanout_scan(df.select(id_col, text_col)).select(
         F.col(id_col),
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("__toks"),
     )
@@ -762,7 +770,11 @@ def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     Physical shape: explode(token) → explode(32 bit positions) → two hash
     aggregations — linear in corpus size, no cross join, shuffles on
-    (id, bit) then (id)."""
+    (id, bit) then (id). Input rides ``io.fanout_scan`` (see
+    with_word_shingles)."""
+    from mbgspark.io import fanout_scan
+
+    df = fanout_scan(df.select(id_col, text_col))
     toks = df.select(
         F.col(id_col),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
