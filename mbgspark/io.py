@@ -122,19 +122,29 @@ def fanout_scan(df: DataFrame) -> DataFrame:
     n = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions() or 1) >= n:
         return df
+    if _leaf_bytes(df) < _FANOUT_MIN_BYTES:
+        return df
+    return df.repartition(n)
+
+
+def _leaf_bytes(df: DataFrame) -> int:
+    """Sum of the plan's LEAF-relation sizeInBytes (for parquet: file
+    bytes, straight from the footer index — no job). Leaf stats, not the
+    plan root's: Project stats scale by SCHEMA default widths (every
+    string = 20 bytes), so a projected text column under-reports ~30×.
+    Touches JVM internals (collectLeaves via py4j) — pinned by a loud
+    test against the physical file size so a PySpark upgrade that breaks
+    the probe fails the suite instead of silently degrading the fanout
+    gate to always-fan-out (the failure direction: a wrong small-input
+    plan costs one tiny exchange, never a wrong answer)."""
     try:
-        # leaf-relation bytes, not the plan root's: Project stats scale by
-        # SCHEMA default widths (every string = 20 bytes), so a projected
-        # text column under-reports ~30× and the gate would never open
         size = 0
         it = df._jdf.queryExecution().optimizedPlan().collectLeaves().iterator()
         while it.hasNext():
             size += int(str(it.next().stats().sizeInBytes()))
+        return size
     except Exception:
-        size = _FANOUT_MIN_BYTES  # probe failed: assume big, fan out
-    if size < _FANOUT_MIN_BYTES:
-        return df
-    return df.repartition(n)
+        return _FANOUT_MIN_BYTES  # probe failed: assume big, fan out
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

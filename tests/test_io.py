@@ -535,3 +535,21 @@ def test_fanout_scan_gate(spark, monkeypatch):
 
     wide = small.repartition(spark.sparkContext.defaultParallelism)
     assert io.fanout_scan(wide) is wide  # already at parallelism
+
+
+def test_fanout_leaf_bytes_probe_is_live(spark):
+    """_leaf_bytes must return the REAL parquet footer size, not the
+    assume-big fallback: if a PySpark upgrade breaks the py4j probe, this
+    fails loudly instead of the gate silently fanning out every small
+    input (see _leaf_bytes docstring)."""
+    import os
+
+    import mbgspark.io as io
+
+    path = "/root/testdata/sf0.001/documents.parquet"
+    df = spark.read.parquet(path).select("doc_id", "text")
+    probed = io._leaf_bytes(df)
+    actual = os.path.getsize(path)
+    assert probed < io._FANOUT_MIN_BYTES  # NOT the fallback value
+    assert 0 < probed <= actual * 3  # footer-derived, same order as the file
+    assert probed >= actual // 3
