@@ -513,3 +513,21 @@ def test_tfidf_cosine_capped_blocking_is_equijoins_no_cartesian(spark):
     )
     assert bnlj > 0 and bnlj == n_count_aggs, (bnlj, n_count_aggs)
     assert "windowspecdefinition(term" in plan
+
+
+def test_plan_lint_clean(spark):
+    """The whole catalog stays free of the four lint anti-patterns
+    (cartesians, row-at-a-time Python, scan-fed global sorts, non-anchor
+    unlisted BNLJs) — tools/plan_lint.py run in-process over every entry.
+    A new catalog query with any of these shapes fails here, not in a
+    future round's manual audit."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import plan_lint
+
+    findings = []
+    for name in CATALOG:
+        df = CATALOG[name][0](spark, SF)
+        findings.extend(plan_lint.lint_plan(df, name))
+    assert findings == []

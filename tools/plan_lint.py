@@ -1,0 +1,127 @@
+"""Static plan lint over the whole catalog: re-runs the r7 anti-pattern
+audits (SCALE.md) as a permanent, repeatable check instead of a throwaway
+script. Builds every catalog query's physical plan at a small SF (plans are
+SF-invariant in shape for these rules) and flags:
+
+- ``cartesian``      CartesianProductExec anywhere — no catalog query may
+                     generate unbounded pairs.
+- ``py-row-udf``     BatchEvalPythonExec — row-at-a-time Python in a plan;
+                     only Arrow (ArrowEvalPython / MapInPandas /
+                     FlatMapGroupsInPandas) hops are allowed engine-wide.
+- ``scanfed-sort``   a range-partitioning exchange whose subtree contains
+                     no other exchange: the sort's boundary sampler
+                     re-executes the scan-fed child, paying ~2× for a
+                     presentational order (the r7 audit removed 17 of
+                     these; this rule keeps them out). Sorts over
+                     post-shuffle children are fine and not flagged.
+- ``fat-bnlj``       BroadcastNestedLoopJoin whose broadcast side is not a
+                     1-row aggregate anchor (``HashAggregate(keys=[]``) and
+                     not an explicitly allowed broadcast-by-design query.
+
+Exit 1 on any finding. Run: ``python tools/plan_lint.py [sf_dir] [names...]``.
+Pinned green by tests/test_plan_shapes.py::test_plan_lint_clean.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# BNLJ-by-design: the broadcast side is a bounded non-aggregate frame
+# (query vectors, benchmark set, compiled location dictionary) — the
+# documented broadcast shape for these operators, reviewed individually.
+BNLJ_ALLOWED = {
+    "hard_negatives",  # broadcast query side, corpus streams (BNLJ by design)
+    "contamination_embedding",  # fold strategy: broadcast eval-suite bench
+    "dedup_embedding",  # sign-block residual BNLJ under the bucket join
+    "dedup_embedding_multiprobe",
+    "label_noise",  # broadcast probe set
+    "ann_cosine_topk",  # broadcast query vectors
+    "ann_ivf_topk",
+    "ann_ivf_kmeans_topk",
+    "ann_quantized_topk",  # broadcast query vectors (int8 path)
+    "contamination_check",  # broadcast benchmark gram set
+    "locate_two_pass",  # broadcast compiled location terms
+    "locate_full_dim",
+    "label_centroids",  # broadcast k centroids
+    "kmeans_clusters",
+    "q11",  # J2 fuzzy top-1: 25-row nation dim broadcast theta-join
+    "chi2_lang_source",  # expected-count grid: |langs|×|sources| marginals
+    "rolling_distinct_users",  # 7-day interval join over the calendar-bounded daily-sketch frame
+}
+
+
+def _walk(node):
+    yield node
+    cs = node.children()
+    for i in range(cs.size()):
+        yield from _walk(cs.apply(i))
+
+
+def _cls(node) -> str:
+    return node.getClass().getSimpleName()
+
+
+def lint_plan(df, name: str) -> list[str]:
+    findings: list[str] = []
+    root = df._jdf.queryExecution().sparkPlan()
+    for node in _walk(root):
+        c = _cls(node)
+        if c == "CartesianProductExec":
+            findings.append(f"{name}: cartesian")
+        elif c == "BatchEvalPythonExec":
+            findings.append(f"{name}: py-row-udf")
+        elif c == "ShuffleExchangeExec":
+            s = node.simpleString(200)
+            if "rangepartitioning" in s:
+                below = list(_walk(node))[1:]
+                if not any(
+                    _cls(b) in ("ShuffleExchangeExec", "BroadcastExchangeExec")
+                    for b in below
+                ):
+                    findings.append(f"{name}: scanfed-sort ({s[:80]})")
+        elif c == "BroadcastNestedLoopJoinExec" and name not in BNLJ_ALLOWED:
+            # pre-exchange plan (EnsureRequirements hasn't run), so the
+            # build side is a direct child: BuildRight → children[1]
+            side = 1 if "BuildRight" in node.simpleString(200) else 0
+            build = node.children().apply(side)
+            anchor = any(
+                "keys=[]" in b.simpleString(200)
+                for b in _walk(build)
+                if "Aggregate" in _cls(b)
+            )
+            if not anchor:
+                findings.append(f"{name}: fat-bnlj")
+    return findings
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+    from mbgspark.plans.catalog import CATALOG
+    from mbgspark.session import ensure_session_conf, get_spark
+
+    spark = get_spark(app_name="plan-lint")
+    ensure_session_conf(spark)
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    spark.conf.set("spark.sql.debug.maxToStringFields", "200")
+    all_findings: list[str] = []
+    names = [n for n in CATALOG if not only or n in only]
+    for name in names:
+        try:
+            df = CATALOG[name][0](spark, sf_dir)
+        except Exception as e:  # plan build failure is itself a finding
+            all_findings.append(f"{name}: plan-build-error ({e})")
+            continue
+        all_findings.extend(lint_plan(df, name))
+    for f in all_findings:
+        print("LINT", f)
+    print(f"{len(names)} plans linted, {len(all_findings)} findings")
+    return 1 if all_findings else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
