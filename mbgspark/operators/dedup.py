@@ -83,18 +83,21 @@ def with_word_shingles(
     re-evaluate the regex split per array element (O(words²) per doc) —
     measured 13× slower at sf0.1.
 
-    Input rides ``io.fanout_scan`` (row-group-bounded scan parallelism —
-    see bigram_surprise; pass-through at real scale and on the small
-    microbatches the streaming gates feed through here)."""
-    from mbgspark.io import fanout_scan
-
+    Deliberately NOT behind ``io.fanout_scan``: every consumer (signature
+    min, intersection counts, band rows) aggregates right after the
+    explode and re-derives this lineage per consumer, so the fanout
+    exchange is paid once per consumer while the shuffle that follows
+    already spreads the real work — measured at sf1 a consistent small
+    LOSS for minhash_near_dups and dedup_incremental (4.2 → 4.5 s / 4.2 →
+    4.8 s steady-state A/B), unlike the row-local/windowed text operators
+    where it wins 5×."""
     toks = F.col("__toks")
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     shingles = F.transform(
         idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(k)])
     )
-    pre = fanout_scan(df.select(id_col, *carry, text_col)).select(
+    pre = df.select(
         F.col(id_col),
         *[F.col(c) for c in carry],
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("__toks"),
@@ -404,16 +407,15 @@ def with_shingle_array(
     preferred when per-doc shingle sets fit in a row (true for any sane doc:
     ~1 shingle per word). Tokens are split in their own projection — see
     with_word_shingles for why inlining the split into the lambda is 13×
-    slower. Input rides ``io.fanout_scan`` (see with_word_shingles)."""
-    from mbgspark.io import fanout_scan
-
+    slower, and for why neither builder sits behind ``io.fanout_scan``
+    (consumers aggregate immediately; measured loss at sf1)."""
     toks = F.col("__toks")
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     sh = F.transform(
         idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(k)])
     )
-    pre = fanout_scan(df.select(id_col, text_col)).select(
+    pre = df.select(
         F.col(id_col),
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("__toks"),
     )
