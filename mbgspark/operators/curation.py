@@ -31,12 +31,12 @@ from mbgspark.operators.dedup import with_word_shingles
 
 # ------------------------------------------------------- contamination ----
 
-# fold-vs-vectorized crossover for broadcast-bench pair scoring, in PAIRS
-# (|corpus| × |bench|): below it the JVM fold's zero-Python plan wins on
-# fixed overhead; above it the numpy matmul's ~1000× cheaper per-pair cost
-# dominates. Basis measured r7 (embedding_contamination, 64-dim vectors,
-# local[32]) — see SCALE.md.
-_VECTORIZED_PAIR_CROSSOVER = 2_000_000
+# fold-vs-vectorized crossover for broadcast-bench pair scoring — shared
+# definition lives next to the other pair-scoring machinery (see
+# dedup.VECTORIZED_PAIR_CROSSOVER for the measured basis)
+from mbgspark.operators.dedup import (  # noqa: E402
+    VECTORIZED_PAIR_CROSSOVER as _VECTORIZED_PAIR_CROSSOVER,
+)
 
 
 def contamination_flags(

@@ -867,6 +867,15 @@ def simhash_near_dups(
 # -------------------------------------------------- embedding near-dup ----
 
 
+# fold-vs-vectorized crossover for broadcast-side pair scoring, in PAIRS
+# (|stream| × |broadcast|): below it a JVM zip_with/aggregate fold's
+# zero-Python plan wins on fixed overhead (~1.3 s Python-stage floor for
+# the mapInPandas path); above it the numpy matmul's ~1000× cheaper
+# per-pair cost dominates. Measured r7 on 64-dim vectors at local[32]
+# (SCALE.md); shared by embedding_contamination and brute_force_topk.
+VECTORIZED_PAIR_CROSSOVER = 2_000_000
+
+
 def fanout_stream_side(c: DataFrame) -> DataFrame:
     """Spread a narrow broadcast-join stream side across the session's cores.
 

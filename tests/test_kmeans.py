@@ -315,3 +315,21 @@ def test_ivf_index_derived_cells_reject_kmeans_built_index(spark):
         assert ok.count() > 0
     finally:
         idx.unpersist()
+
+
+def test_brute_force_topk_vectorized_matches_fold(spark):
+    """The numpy strategy is a physical rewrite only: identical
+    (query_id, match_id, cos_sim, rnk) rows — same 4-dp scores, same
+    (cos_sim desc, match_id asc) tie order — and its plan is pair-free
+    (one Arrow stage + a |queries|·k-bounded window, no join)."""
+    from mbgspark.io import load_table
+    from mbgspark.operators.similarity import brute_force_topk
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = e.filter(e["vec_id"] % 3 == 0)  # a third of the corpus as queries
+    fold = [tuple(r) for r in brute_force_topk(e, q, k=3).collect()]
+    vec = brute_force_topk(e, q, k=3, strategy="vectorized")
+    assert [tuple(r) for r in vec.collect()] == fold
+    plan = vec._jdf.queryExecution().sparkPlan().toString()
+    assert "MapInPandas" in plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
