@@ -557,9 +557,12 @@ def quantized_topk(
     k: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    strategy: str = "fold",
 ) -> DataFrame:
     """Cosine top-k over int8-quantized vectors (``quantize_int8`` on both
-    sides, then the same broadcast-query scoring as ``brute_force_topk``).
+    sides, then the same broadcast-query scoring as ``brute_force_topk`` —
+    ``strategy`` passes through, and the numpy path casts the int8 arrays
+    to float64 exactly as the fold's lambda does).
     The ranking surface this proves out is what a product-quantization
     first pass looks like at scale: score candidates on the 4x-smaller
     representation, re-rank survivors on full precision if needed.
@@ -570,7 +573,9 @@ def quantized_topk(
     qq = quantize_int8(queries, vec_col, "__q").select(
         F.col(id_col), F.col("__q").alias(vec_col)
     )
-    return brute_force_topk(qc, qq, k=k, id_col=id_col, vec_col=vec_col)
+    return brute_force_topk(
+        qc, qq, k=k, id_col=id_col, vec_col=vec_col, strategy=strategy
+    )
 
 
 def hard_negative_topk(
@@ -720,11 +725,16 @@ def label_noise_flags(
     ``neighbors`` injects a precomputed (query_id, match_id) top-k frame
     — pass ``ivf_topk(df, df, k=k, ...)`` (or a persisted index lookup)
     to run the audit at corpus scale without the exact all-pairs scan;
-    the vote logic is identical either way."""
+    the vote logic is identical either way. The default exact scan runs
+    ``strategy="auto"``: it is a SELF top-k (|corpus|² pairs), so on
+    anything beyond a toy corpus the vectorized matmul path wins by
+    construction."""
     nn = (
         neighbors
         if neighbors is not None
-        else brute_force_topk(df, df, k=k, id_col=id_col, vec_col=vec_col)
+        else brute_force_topk(
+            df, df, k=k, id_col=id_col, vec_col=vec_col, strategy="auto"
+        )
     )
     labels = df.select(
         F.col(id_col).alias("match_id"), F.col(label_col).alias("__nl")
