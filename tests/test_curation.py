@@ -255,7 +255,8 @@ def test_star_components_long_chain_converges_logarithmically(spark):
         [(i, i + 1) for i in range(60)], "id_a bigint, id_b bigint"
     )
     got = {
-        r["id"]: r["component"] for r in connected_components(chain).collect()
+        r["id"]: r["component"]
+        for r in connected_components(chain, algorithm="star").collect()
     }
     assert got == {i: 0 for i in range(61)}
 
@@ -525,3 +526,35 @@ def test_curation_neardup_metrics_survive_zero_survivor_fold(spark):
         "text",
     )
     assert obs2.get["oversized_buckets"] == 0
+
+
+def test_connected_components_auto_matches_star_and_falls_back(spark):
+    """auto's driver union-find produces the exact star labels on every
+    fixture shape (chain + pair + cycle + self-loops), and above the edge
+    cap it falls back to the distributed star loop (same labels again —
+    pinned by shrinking the cap to 0 via monkeypatch)."""
+    from mbgspark.operators import components as C
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5), (6, 7), (7, 8), (8, 6), (9, 9)],
+        "id_a bigint, id_b bigint",
+    )
+    star = {
+        r["id"]: r["component"]
+        for r in C.connected_components(edges, algorithm="star").collect()
+    }
+    auto = {
+        r["id"]: r["component"]
+        for r in C.connected_components(edges, algorithm="auto").collect()
+    }
+    assert auto == star == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6, 7: 6, 8: 6, 9: 9}
+    cap = C._DRIVER_EDGE_CAP
+    try:
+        C._DRIVER_EDGE_CAP = 0  # force the overflow path
+        fallback = {
+            r["id"]: r["component"]
+            for r in C.connected_components(edges, algorithm="auto").collect()
+        }
+    finally:
+        C._DRIVER_EDGE_CAP = cap
+    assert fallback == star
