@@ -335,3 +335,36 @@ def test_cosine_prenorm_bit_identical(spark, vecs):
         # exact equality on doubles (both NaN for zero vectors is fine:
         # NaN != NaN, so compare via repr which canonicalizes nan)
         assert repr(r["direct"]) == repr(r["hoisted"]), r
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 20), st.integers(0, 20)), max_size=40
+    )
+)
+@settings(deadline=None, max_examples=200)
+def test_driver_union_find_matches_bruteforce(edges):
+    """The pure-Python union-find behind connected_components' auto path
+    labels every node with its component's MIN id — checked against a
+    brute-force transitive closure on random small graphs (self-loops and
+    duplicate edges included by construction of the strategy)."""
+    from mbgspark.operators.components import _driver_union_find
+
+    got = dict(_driver_union_find(edges))
+    nodes = {x for e in edges for x in e}
+    assert set(got) == nodes
+    # brute force: grow each node's reachable set to a fixpoint
+    adj = {n: {n} for n in nodes}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    comp = {n: {n} for n in nodes}
+    changed = True
+    while changed:
+        changed = False
+        for n in nodes:
+            new = set().union(*(adj[m] for m in comp[n])) | comp[n]
+            if new != comp[n]:
+                comp[n] = new
+                changed = True
+    assert got == {n: min(comp[n]) for n in nodes}
