@@ -1,12 +1,15 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary`` columns
 with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
-The decode step itself requires codec libraries not present in this
-container, so it is STUBBED: ``decode_image`` raises NotImplementedError
-unless ``fake=True``, in which case a deterministic fake decoder (derived
-only from the bytes) stands in. What IS real and tested here is the
-Spark-side plumbing a 100 TB multimodal pipeline needs: binary schema,
-Arrow batch shape, UDF signatures, partition-preserving mapInPandas.
+Decoding tiers (r7): Pillow when installed (any format); a stdlib-only
+PNG decoder (``_decode_png`` — zlib + struct over the public PNG spec)
+for 8-bit grey/RGB/RGBA non-interlaced PNGs, which runs FOR REAL in this
+container and is pinned un-gated in tests; and for everything else the
+loud NotImplementedError naming ``fake=True`` — the deterministic fake
+decoder (derived only from the bytes) that the catalog queries and
+DuckDB oracles pin. The Spark-side plumbing a 100 TB multimodal pipeline
+needs — binary schema, Arrow batch shape, UDF signatures,
+partition-preserving mapInPandas — is real in every tier.
 """
 
 from __future__ import annotations
@@ -29,6 +32,78 @@ FEATURE_SCHEMA = (
 )
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _decode_png(content: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
+    """Minimal stdlib PNG decoder (public spec: RFC 2083 / W3C PNG): 8-bit
+    greyscale (color type 0), RGB (2), and RGBA (6), non-interlaced, all
+    five scanline filters. Returns (width, height, RGB pixel list) with
+    the same channel values Pillow's ``convert("RGB")`` yields (alpha is
+    dropped, grey replicates) — pinned against Pillow's numbers in
+    tests/test_multimodal.py. Raises ValueError on anything outside this
+    envelope; callers map that to the fake-path guidance."""
+    import struct
+    import zlib
+
+    if content[:8] != _PNG_SIG:
+        raise ValueError("not a PNG signature")
+    pos, ihdr, idat = 8, None, b""
+    while pos + 8 <= len(content):
+        (length,), ctype = struct.unpack(">I", content[pos:pos + 4]), content[pos + 4:pos + 8]
+        data = content[pos + 8:pos + 8 + length]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    channels = {0: 1, 2: 3, 6: 4}.get(color)
+    if channels is None or depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG shape (color={color}, depth={depth}, "
+            f"interlace={interlace})"
+        )
+    raw = zlib.decompress(idat)
+    stride = w * channels
+    if len(raw) < h * (stride + 1):
+        raise ValueError("PNG pixel data truncated")
+    prev = bytearray(stride)
+    px: list[tuple[int, int, int]] = []
+    for row in range(h):
+        base = row * (stride + 1)
+        f, line = raw[base], bytearray(raw[base + 1:base + 1 + stride])
+        for i in range(stride):
+            a = line[i - channels] if i >= channels else 0  # left
+            b = prev[i]  # up
+            c = prev[i - channels] if i >= channels else 0  # up-left
+            if f == 1:
+                line[i] = (line[i] + a) & 0xFF
+            elif f == 2:
+                line[i] = (line[i] + b) & 0xFF
+            elif f == 3:
+                line[i] = (line[i] + (a + b) // 2) & 0xFF
+            elif f == 4:  # Paeth predictor
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pr) & 0xFF
+            elif f != 0:
+                raise ValueError(f"unknown PNG filter {f}")
+        for x in range(w):
+            o = x * channels
+            if channels == 1:
+                px.append((line[o], line[o], line[o]))
+            else:  # RGB / RGBA: alpha dropped, matching PIL convert("RGB")
+                px.append((line[o], line[o + 1], line[o + 2]))
+        prev = line
+    return w, h, px
+
+
 def decode_image(content: bytes, fake: bool = False) -> list[float]:
     """Decode an image to an 8-dim feature vector.
 
@@ -36,29 +111,37 @@ def decode_image(content: bytes, fake: bool = False) -> list[float]:
     from the raw bytes (md5 prefix), stable across runs/engines; this is
     what the catalog queries and DuckDB oracles pin.
 
-    ``fake=False`` — the REAL path (r6): decodes through Pillow when it
-    is installed and emits the same 8-dim shape with image-derived
-    values — [width/4096, height/4096, mean R, mean G, mean B, min
-    luminance, max luminance, mean luminance], all in [0, 1] and
-    deterministic for a given image. Without Pillow it raises
-    NotImplementedError naming the fake path (this container ships no
-    codec libraries); the integration test is importorskip-gated."""
+    ``fake=False`` — the REAL path: decodes through Pillow when it is
+    installed (any format); without Pillow, PNGs inside ``_decode_png``'s
+    stdlib envelope (8-bit grey/RGB/RGBA, non-interlaced) decode for real
+    via zlib — same pixels, same features, exercised un-gated in this
+    container — and anything else raises NotImplementedError naming the
+    fake path. The feature vector is [width/4096, height/4096, mean R,
+    mean G, mean B, min luminance, max luminance, mean luminance], all in
+    [0, 1] and deterministic for a given image."""
     if fake:
         digest = hashlib.md5(content).digest()
         return [b / 255.0 for b in digest[:8]]
     try:
         from PIL import Image
-    except ImportError as exc:
-        raise NotImplementedError(
-            "image codecs are not installed in this environment; "
-            "use fake=True for the deterministic stub"
-        ) from exc
-    import io
+    except ImportError:
+        Image = None
+    if Image is None:
+        try:
+            w, h, px = _decode_png(content)
+        except ValueError as exc:
+            raise NotImplementedError(
+                "image codecs are not installed in this environment and the "
+                "bytes are outside the stdlib PNG envelope; "
+                "use fake=True for the deterministic stub"
+            ) from exc
+    else:
+        import io
 
-    with Image.open(io.BytesIO(content)) as im:
-        rgb = im.convert("RGB")
-        w, h = rgb.size
-        px = list(rgb.getdata())
+        with Image.open(io.BytesIO(content)) as im:
+            rgb = im.convert("RGB")
+            w, h = rgb.size
+            px = list(rgb.getdata())
     n = len(px) or 1
     lum = [(0.299 * p[0] + 0.587 * p[1] + 0.114 * p[2]) / 255.0 for p in px]
     return [

@@ -123,3 +123,104 @@ def test_real_decode_raises_naming_fake_path_without_pil():
 
     with pytest.raises(NotImplementedError, match="fake=True"):
         decode_image(b"\x89PNG not really", fake=False)
+
+
+def _make_png(width, height, pixels, color_type=2, filters=None):
+    """Build a PNG byte-for-byte with stdlib only (zlib + struct): the
+    test-side twin of _decode_png, so the REAL decode path runs un-gated
+    in this container. ``pixels`` is row-major (r, g, b[, a]) tuples;
+    ``filters`` optionally names the per-row filter byte to exercise
+    Sub/Up/Average/Paeth reconstruction."""
+    import struct
+    import zlib
+
+    channels = {0: 1, 2: 3, 6: 4}[color_type]
+
+    def chunk(ctype, data):
+        c = ctype + data
+        return struct.pack(">I", len(data)) + c + struct.pack(
+            ">I", zlib.crc32(c) & 0xFFFFFFFF
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    raw = bytearray()
+    prev = bytearray(width * channels)
+    for row in range(height):
+        line = bytearray()
+        for x in range(width):
+            px = pixels[row * width + x]
+            line.extend(px[:channels] if channels > 1 else px[:1])
+        f = (filters or [0] * height)[row]
+        enc = bytearray(line)
+        for i in reversed(range(len(line))):
+            a = line[i - channels] if i >= channels else 0
+            b = prev[i]
+            c = prev[i - channels] if i >= channels else 0
+            if f == 1:
+                enc[i] = (line[i] - a) & 0xFF
+            elif f == 2:
+                enc[i] = (line[i] - b) & 0xFF
+            elif f == 3:
+                enc[i] = (line[i] - (a + b) // 2) & 0xFF
+            elif f == 4:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[i] = (line[i] - pr) & 0xFF
+        raw.append(f)
+        raw.extend(enc)
+        prev = line
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_real_decode_runs_ungated_on_stdlib_png(spark):
+    """The REAL decode path executes IN THIS CONTAINER via the stdlib PNG
+    tier: the 2x2 RGB fixture produces exactly the feature values the
+    Pillow-gated test pins, end-to-end through mapInPandas, and every PNG
+    filter type reconstructs correctly (Paeth/Sub/Up/Average round-trip
+    against the known pixels)."""
+    from mbgspark.operators.multimodal import decode_image, extract_features
+
+    pixels = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 255)]
+    png = _make_png(2, 2, pixels)
+    feats = decode_image(png, fake=False)
+    assert len(feats) == 8
+    assert feats[0] == feats[1] == 2 / 4096
+    assert abs(feats[2] - 510 / (255.0 * 4)) < 1e-9
+    assert abs(feats[3] - 510 / (255.0 * 4)) < 1e-9
+    assert abs(feats[4] - 510 / (255.0 * 4)) < 1e-9
+    assert abs(feats[5] - 0.114) < 1e-9  # min luminance (pure blue)
+    assert abs(feats[6] - 1.0) < 1e-9  # max luminance (white)
+    assert decode_image(png, fake=False) == feats  # deterministic
+
+    # same pixels through every filter type -> same features
+    for f in (1, 2, 3, 4):
+        assert decode_image(
+            _make_png(2, 2, pixels, filters=[f, f]), fake=False
+        ) == feats
+    # RGBA drops alpha exactly like PIL convert("RGB")
+    rgba = [(255, 0, 0, 10), (0, 255, 0, 200), (0, 0, 255, 0), (255, 255, 255, 255)]
+    assert decode_image(_make_png(2, 2, rgba, color_type=6), fake=False) == feats
+    # greyscale replicates channels
+    grey = decode_image(
+        _make_png(1, 1, [(128,)], color_type=0), fake=False
+    )
+    assert abs(grey[2] - 128 / 255.0) < 1e-9
+    assert grey[2] == grey[3] == grey[4]
+
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(png), None, None, None)],
+        "media_id bigint, media_type string, content binary, "
+        "width int, height int, sample_rate int",
+    )
+    real = extract_features(df, fake_decode=False)
+    fake = extract_features(df, fake_decode=True)
+    assert real.schema == fake.schema  # fake stays the oracle surface
+    row = real.collect()[0]
+    assert row["feat"] == feats
+    assert row["n_bytes"] == len(png)
