@@ -156,6 +156,64 @@ def decode_image(content: bytes, fake: bool = False) -> list[float]:
     ]
 
 
+def decode_audio(content: bytes, fake: bool = False) -> list[float]:
+    """Decode audio to an 8-dim feature vector — the audio twin of
+    ``decode_image``, same tiering: ``fake=True`` is the bytes-derived
+    oracle stub; the real path reads PCM WAV through the stdlib ``wave``
+    module (16/8-bit integer PCM, any channel count — no codec library
+    needed), and anything outside that envelope raises NotImplementedError
+    naming the fake path. Features: [duration_s/3600, sample_rate/48000,
+    n_channels/8, mean |amplitude|, RMS amplitude, peak amplitude,
+    zero-crossing rate, DC offset (shifted to [0,1])] — amplitude terms
+    normalized to [0, 1] by the sample width's full scale, deterministic
+    for given bytes."""
+    if fake:
+        digest = hashlib.md5(content).digest()
+        return [b / 255.0 for b in digest[:8]]
+    import io
+    import struct
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(content)) as wf:
+            nch, width, rate, nframes = (
+                wf.getnchannels(), wf.getsampwidth(), wf.getframerate(),
+                wf.getnframes(),
+            )
+            raw = wf.readframes(nframes)
+    except Exception as exc:
+        raise NotImplementedError(
+            "audio codecs are not installed in this environment and the "
+            "bytes are not stdlib-readable PCM WAV; "
+            "use fake=True for the deterministic stub"
+        ) from exc
+    if width == 2:
+        samples = struct.unpack(f"<{len(raw) // 2}h", raw)
+        full = 32768.0
+    elif width == 1:  # WAV 8-bit is unsigned, centered at 128
+        samples = [b - 128 for b in raw]
+        full = 128.0
+    else:
+        raise NotImplementedError(
+            f"unsupported WAV sample width {width}; use fake=True"
+        )
+    n = len(samples) or 1
+    norm = [s / full for s in samples]
+    crossings = sum(
+        1 for i in range(1, len(norm)) if (norm[i - 1] < 0) != (norm[i] < 0)
+    )
+    return [
+        min(nframes / max(rate, 1), 3600.0) / 3600.0,
+        min(rate, 48000) / 48000.0,
+        min(nch, 8) / 8.0,
+        sum(abs(s) for s in norm) / n,
+        (sum(s * s for s in norm) / n) ** 0.5,
+        max((abs(s) for s in norm), default=0.0),
+        crossings / max(len(norm) - 1, 1),
+        (sum(norm) / n + 1.0) / 2.0,
+    ]
+
+
 def extract_features(df: DataFrame, fake_decode: bool = True) -> DataFrame:
     """mapInPandas feature extraction over binary media rows.
 
