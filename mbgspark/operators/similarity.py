@@ -128,29 +128,50 @@ def _brute_force_topk_vectorized(
     k: int,
     id_col: str,
     vec_col: str,
+    label_col: str | None = None,
 ) -> DataFrame:
-    """``brute_force_topk(strategy="vectorized")`` body. Bounded collect of
-    the query side (same size contract as its broadcast in the fold path);
-    per-batch matmul + local top-k; global rank over the tiny candidate
-    union. See brute_force_topk for semantics."""
+    """``brute_force_topk(strategy="vectorized")`` body — and, with
+    ``label_col``, the ``hard_negative_topk`` variant (pairs sharing a
+    label are masked exactly like self-matches, and both labels ride the
+    output). Bounded collect of the query side (same size contract as its
+    broadcast in the fold path); per-batch matmul + local top-k; global
+    rank over the tiny candidate union. See brute_force_topk for
+    semantics."""
     import numpy as np
     import pandas as pd
 
+    qcols = [id_col, vec_col] + ([label_col] if label_col else [])
     rows = (
-        queries.select(id_col, vec_col)
+        queries.select(*qcols)
         .where(F.col(vec_col).isNotNull())
         .collect()
     )
     id_type = corpus.schema[id_col].dataType.simpleString()
-    cand_schema = (
-        f"query_id {id_type}, match_id {id_type}, __sim_e4 bigint"
-    )
+    cand_schema = f"query_id {id_type}, match_id {id_type}, __sim_e4 bigint"
     base = corpus.select(
         F.col(id_col).alias("match_id"), F.col(vec_col).alias("cv")
     ).where(F.col("cv").isNotNull())
+    if label_col:
+        lab_type = corpus.schema[label_col].dataType.simpleString()
+        cand_schema += f", match_label {lab_type}"
+        base = corpus.select(
+            F.col(id_col).alias("match_id"),
+            F.col(vec_col).alias("cv"),
+            F.col(label_col).alias("match_label"),
+        ).where(F.col("cv").isNotNull())
+    out_cols = (
+        ["query_id", "query_label", "match_id", "match_label"]
+        if label_col
+        else ["query_id", "match_id"]
+    )
+    empty_sel = [F.col("match_id").alias("query_id")]
+    if label_col:
+        empty_sel.append(F.col("match_label").alias("query_label"))
+    empty_sel += [F.col("match_id")] + (
+        [F.col("match_label")] if label_col else []
+    )
     empty = base.limit(0).select(
-        F.col("match_id").alias("query_id"),
-        "match_id",
+        *empty_sel,
         F.lit(None).cast("double").alias("cos_sim"),
         F.lit(None).cast("bigint").alias("rnk"),
     )
@@ -160,6 +181,9 @@ def _brute_force_topk_vectorized(
     qmat = np.asarray([r[1] for r in rows], dtype=np.float64)  # (Q, d)
     qnorm = np.sqrt((qmat * qmat).sum(axis=1))  # (Q,)
     qid_arr = np.asarray(qids)
+    qlabels = [r[2] for r in rows] if label_col else None
+    qlab_arr = np.asarray(qlabels, dtype=object) if label_col else None
+    cand_schema_cols = [c.split()[0] for c in cand_schema.split(", ")]
 
     def _score(batches):
         for pdf in batches:
@@ -171,10 +195,15 @@ def _brute_force_topk_vectorized(
                 sims = (cmat @ qmat.T) / np.outer(cnorm, qnorm)  # (B, Q)
             sim_e4 = np.floor(sims * 1e4 + 0.5)  # half-up, the shared key
             mids = pdf["match_id"].to_numpy()
-            # self-match exclusion mirrors the fold's match_id != query_id
-            self_mask = mids[:, None] == qid_arr[None, :]
-            sim_e4[self_mask] = np.nan
-            out_q, out_m, out_s = [], [], []
+            # exclusions mirror the fold's join filter exactly
+            mask = mids[:, None] == qid_arr[None, :]
+            if label_col:
+                mlab = pdf["match_label"].to_numpy(dtype=object)
+                mask |= mlab[:, None] == qlab_arr[None, :]
+            sim_e4[mask] = np.nan
+            out = {c: [] for c in ("query_id", "match_id", "__sim_e4")}
+            if label_col:
+                out["match_label"] = []
             kk = min(k, sim_e4.shape[0])
             for j in range(sim_e4.shape[1]):
                 col = sim_e4[:, j]
@@ -185,16 +214,21 @@ def _brute_force_topk_vectorized(
                 # local top-k by the GLOBAL rank key: (-sim_e4, match_id)
                 order = np.lexsort((mids[vidx], -col[vidx]))[:kk]
                 sel = vidx[order]
-                out_q.extend([qids[j]] * len(sel))
-                out_m.extend(mids[sel])
-                out_s.extend(col[sel].astype(np.int64))
-            yield pd.DataFrame(
-                {"query_id": out_q, "match_id": out_m, "__sim_e4": out_s}
-            )
+                out["query_id"].extend([qids[j]] * len(sel))
+                out["match_id"].extend(mids[sel])
+                out["__sim_e4"].extend(col[sel].astype(np.int64))
+                if label_col:
+                    out["match_label"].extend(mlab[sel])
+            yield pd.DataFrame(out, columns=list(cand_schema_cols))
 
     from mbgspark.operators.dedup import fanout_stream_side
 
     cands = fanout_stream_side(base).mapInPandas(_score, cand_schema)
+    if label_col:
+        qmap = F.create_map(
+            *[x for qid, ql in zip(qids, qlabels) for x in (F.lit(qid), F.lit(ql))]
+        )
+        cands = cands.withColumn("query_label", qmap[F.col("query_id")])
     w = Window.partitionBy("query_id").orderBy(
         F.desc("__sim_e4"), F.asc("match_id")
     )
@@ -202,8 +236,7 @@ def _brute_force_topk_vectorized(
         cands.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select(
-            "query_id",
-            "match_id",
+            *out_cols,
             (F.col("__sim_e4") / 1e4).alias("cos_sim"),
             F.col("rnk").cast("bigint").alias("rnk"),
         )
@@ -585,6 +618,7 @@ def hard_negative_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    strategy: str = "fold",
 ) -> DataFrame:
     """Hard-negative mining for contrastive training: per query vector,
     the top-k most-similar corpus vectors carrying a DIFFERENT label —
@@ -592,10 +626,24 @@ def hard_negative_topk(
     (near the decision boundary, not random negatives). Same
     broadcast-query scoring shape as ``brute_force_topk`` with the label
     inequality fused into the join filter, so mismatched-label pairs are
-    dropped before the window ranks anything. At corpus scale, swap the
-    scoring source for the IVF probe join (``ivf_topk``'s cell-bucketed
-    candidates) exactly as for plain top-k — the mining step only changes
-    the filter and the ranking, not the candidate-generation shape."""
+    dropped before the window ranks anything — and the same
+    fold/vectorized/auto ``strategy`` family (the numpy path masks
+    same-label pairs exactly like self-matches). At corpus scale, swap
+    the scoring source for the IVF probe join (``ivf_topk``'s
+    cell-bucketed candidates) exactly as for plain top-k — the mining
+    step only changes the filter and the ranking, not the
+    candidate-generation shape."""
+    if strategy == "auto":
+        from mbgspark.operators.dedup import VECTORIZED_PAIR_CROSSOVER
+
+        pairs = corpus.count() * queries.count()
+        strategy = "vectorized" if pairs >= VECTORIZED_PAIR_CROSSOVER else "fold"
+    if strategy == "vectorized":
+        return _brute_force_topk_vectorized(
+            corpus, queries, k, id_col, vec_col, label_col
+        )
+    if strategy != "fold":
+        raise ValueError(f"unknown hard_negative_topk strategy: {strategy!r}")
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"),

@@ -333,3 +333,27 @@ def test_brute_force_topk_vectorized_matches_fold(spark):
     plan = vec._jdf.queryExecution().sparkPlan().toString()
     assert "MapInPandas" in plan
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_hard_negative_vectorized_matches_fold(spark):
+    """hard_negative_topk's numpy strategy: identical rows to the fold —
+    same-label pairs masked exactly like self-matches, query/match labels
+    carried through, same tie order."""
+    from pyspark.sql import functions as F
+
+    from mbgspark.io import load_table
+    from mbgspark.operators.similarity import hard_negative_topk
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings").withColumn(
+        "label", (F.col("vec_id") % 3).cast("string")
+    )
+    q = e.filter(F.col("vec_id") % 4 == 0)
+    fold = [tuple(r) for r in hard_negative_topk(e, q, k=3).collect()]
+    vec = [
+        tuple(r)
+        for r in hard_negative_topk(e, q, k=3, strategy="vectorized").collect()
+    ]
+    assert vec == fold
+    assert fold  # non-degenerate fixture
+    # every returned negative genuinely crosses the label boundary
+    assert all(r[1] != r[3] for r in fold)  # query_label != match_label
