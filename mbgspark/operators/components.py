@@ -194,6 +194,11 @@ def connected_components(
                 F.col(a_col).cast("bigint").alias("src"),
                 F.col(b_col).cast("bigint").alias("dst"),
             )
+            # match the star path's effective null handling: its
+            # null-propagating src != dst / src == dst filters drop any
+            # edge with a null endpoint entirely (ADVICE r7 — without
+            # this, None reaches union-find's `ra < rb` and TypeErrors)
+            .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
             .limit(_DRIVER_EDGE_CAP + 1)
             .collect()
         )

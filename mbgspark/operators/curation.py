@@ -634,19 +634,27 @@ def _embedding_contamination_vectorized(
     # Bounded collect: the bench side is eval-suite-sized by the operator's
     # contract — the same bound that makes F.broadcast(bench) legal in the
     # fold path makes this explicit driver materialization legal here.
-    bench_rows = [
-        r[0]
-        for r in bench.select(vec_col).where(F.col(vec_col).isNotNull()).collect()
-    ]
+    all_bench = bench.select(vec_col).collect()
+    bench_rows = [r[0] for r in all_bench if r[0] is not None]
     id_type = corpus.schema[id_col].dataType.simpleString()
     out_schema = f"{id_col} {id_type}, max_bench_sim double"
     base = corpus.select(id_col, vec_col)
-    if not bench_rows:
+    if not all_bench:
+        # zero bench ROWS: the fold's inner cross join yields no pairs
         return base.limit(0).select(
             id_col,
             F.lit(None).cast("double").alias("max_bench_sim"),
             F.lit(None).cast("bigint").alias("is_contaminated"),
         )
+    if not bench_rows:
+        # bench rows exist but every VECTOR is null: the fold still pairs
+        # them, max over all-null sims → one null-sim row per corpus id
+        # (ADVICE r7 — the strategies must agree on this input)
+        return base.select(
+            id_col,
+            F.lit(None).cast("double").alias("max_bench_sim"),
+            F.lit(None).cast("bigint").alias("is_contaminated"),
+        ).orderBy(id_col)
     bmat = np.asarray(bench_rows, dtype=np.float64)  # (N, d)
     bnorm = np.sqrt((bmat * bmat).sum(axis=1))  # (N,)
 

@@ -49,16 +49,22 @@ def _decode_png(content: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
     if content[:8] != _PNG_SIG:
         raise ValueError("not a PNG signature")
     pos, ihdr, idat = 8, None, b""
-    while pos + 8 <= len(content):
-        (length,), ctype = struct.unpack(">I", content[pos:pos + 4]), content[pos + 4:pos + 8]
-        data = content[pos + 8:pos + 8 + length]
-        if ctype == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", data)
-        elif ctype == b"IDAT":
-            idat += data
-        elif ctype == b"IEND":
-            break
-        pos += 12 + length  # length + type + data + crc
+    # corrupt-but-signed PNGs must still surface as ValueError (the
+    # documented envelope error), not raw struct.error / zlib.error
+    # leaking out of mapInPandas tasks (ADVICE r7)
+    try:
+        while pos + 8 <= len(content):
+            (length,), ctype = struct.unpack(">I", content[pos:pos + 4]), content[pos + 4:pos + 8]
+            data = content[pos + 8:pos + 8 + length]
+            if ctype == b"IHDR":
+                ihdr = struct.unpack(">IIBBBBB", data)
+            elif ctype == b"IDAT":
+                idat += data
+            elif ctype == b"IEND":
+                break
+            pos += 12 + length  # length + type + data + crc
+    except struct.error as exc:
+        raise ValueError(f"corrupt PNG chunk structure: {exc}") from exc
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, color, comp, filt, interlace = ihdr
@@ -68,7 +74,10 @@ def _decode_png(content: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
             f"unsupported PNG shape (color={color}, depth={depth}, "
             f"interlace={interlace})"
         )
-    raw = zlib.decompress(idat)
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error as exc:
+        raise ValueError(f"corrupt PNG pixel stream: {exc}") from exc
     stride = w * channels
     if len(raw) < h * (stride + 1):
         raise ValueError("PNG pixel data truncated")

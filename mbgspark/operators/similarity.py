@@ -141,11 +141,14 @@ def _brute_force_topk_vectorized(
     import pandas as pd
 
     qcols = [id_col, vec_col] + ([label_col] if label_col else [])
-    rows = (
-        queries.select(*qcols)
-        .where(F.col(vec_col).isNotNull())
-        .collect()
-    )
+    qsel = queries.select(*qcols).where(F.col(vec_col).isNotNull())
+    if label_col:
+        # The fold's `match_label != query_label` join filter is
+        # null-propagating: a NULL label on EITHER side drops the pair.
+        # Mirror that by excluding null-label rows from both sides up
+        # front (ADVICE r7, medium).
+        qsel = qsel.where(F.col(label_col).isNotNull())
+    rows = qsel.collect()
     id_type = corpus.schema[id_col].dataType.simpleString()
     cand_schema = f"query_id {id_type}, match_id {id_type}, __sim_e4 bigint"
     base = corpus.select(
@@ -158,7 +161,7 @@ def _brute_force_topk_vectorized(
             F.col(id_col).alias("match_id"),
             F.col(vec_col).alias("cv"),
             F.col(label_col).alias("match_label"),
-        ).where(F.col("cv").isNotNull())
+        ).where(F.col("cv").isNotNull() & F.col("match_label").isNotNull())
     out_cols = (
         ["query_id", "query_label", "match_id", "match_label"]
         if label_col
@@ -193,7 +196,10 @@ def _brute_force_topk_vectorized(
             cnorm = np.sqrt((cmat * cmat).sum(axis=1))
             with np.errstate(divide="ignore", invalid="ignore"):
                 sims = (cmat @ qmat.T) / np.outer(cnorm, qnorm)  # (B, Q)
-            sim_e4 = np.floor(sims * 1e4 + 0.5)  # half-up, the shared key
+            # Half-up AWAY FROM ZERO, matching F.round's BigDecimal
+            # HALF_UP on negative cosines too (ADVICE r7: plain
+            # floor(x*1e4+0.5) rounds -0.64995 toward +inf).
+            sim_e4 = np.sign(sims) * np.floor(np.abs(sims) * 1e4 + 0.5)
             mids = pdf["match_id"].to_numpy()
             # exclusions mirror the fold's join filter exactly
             mask = mids[:, None] == qid_arr[None, :]

@@ -31,74 +31,20 @@ _ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
 }
 
 # The driver's correctness gate checks the FIRST 50 queries() entries
-# (observed in rounds 1-6: exactly the first 50 insertion-order keys got
+# (observed in rounds 1-7: exactly the first 50 insertion-order keys got
 # CORRECTNESS rows). Order therefore encodes verification priority.
-# Round-7 packing (staleness rotation, VERDICT r6 item 2): slots 1-14 are
-# the last entries whose latest driver row is r3 (the only 3-round-old
-# cohort); slots 15-50 are the 36 stalest r4-row entries (catalog
-# insertion order within the cohort). After this round no entry's latest
-# row is older than r4; the 14 r4-cohort entries that don't fit
-# (pricing_summary, forecast_revenue, grouping_sets_status,
-# returned_item_customers, promo_revenue_share, locate_full_dim,
-# contamination_check, repetition_stats, pii_redaction, sequence_packing,
-# top_bigrams, corpus_shuffle_shards, mixture_resample,
-# contamination_embedding) go FIRST in the r8 window, then the r5-row
-# cohort. Catalog stays frozen at 164.
+# Round-8 packing (staleness rotation, VERDICT r7 item 1): slots 1-14 are
+# the 14 remaining entries whose latest driver row is r4 (the oldest
+# cohort after r7's window); slots 15-50 are the 36 stalest r5-row
+# entries (r5 check order within the cohort). After this round no entry's
+# latest row is older than r5; the 14 r5-cohort entries that don't fit
+# (nfc_roundtrip, top_supplier, count_min_user_events, drift_psi,
+# zorder_keys, chi2_lang_source, dedup_minhash_estimate, user_features,
+# loo_target_encode, bm25_topk, tfidf_cosine, cusum_daily_orders,
+# domain_cap_survivors, mad_anomalous_days) go FIRST in the r9 window,
+# then the r6-row cohort. Catalog stays frozen at 164.
 _PRIORITY = [
-    # -- r7 window slots 1-14: last r3-row cohort --
-    "label_centroids",
-    "fingerprints",
-    "salted_segment_revenue",
-    "rollup_status_priority",
-    "asof_click_view",
-    "range_join_value_tiers",
-    "pivot_event_types",
-    "reprocess_idempotent",
-    "stratified_sample_counts",
-    "domain_mixture",
-    "url_stats",
-    "line_filter_stats",
-    "quality_surprise",
-    "tfidf_terms",
-    # -- slots 15-50: stalest 36 of the r4-row cohort --
-    "chunk_windows",
-    "kmeans_clusters",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dup_spans",
-    "dedup_simhash_pairs",
-    "dedup_ngram_jaccard",
-    "dedup_semantic_keep_best",
-    "dup_components",
-    "dedup_embedding_blocked",
-    "dedup_embedding_multiprobe",
-    "ann_ivf_topk",
-    "ann_ivf_kmeans_topk",
-    "langid_confusion",
-    "quality_scores",
-    "token_counts",
-    "multimodal_features",
-    "sentiment_pandas_udf",
-    "trend_moving_avg",
-    "percentile_by_status",
-    "grouped_string_agg",
-    "sessionize_events",
-    "json_props_extract",
-    "shipping_priority_top10",
-    "region_nation_revenue",
-    "cube_flag_status",
-    "dod_order_delta",
-    "customer_period_sets",
-    "big_spenders_vs_avg",
-    "exists_shipped_priority",
-    "cust_order_histogram",
-    "spend_quartiles",
-    "daily_gapfill",
-    "top3_orders_per_segment",
-    "segment_revenue_share",
-    # -- past the 50-window: r8 head — the 14 remaining r4-row entries
-    # (staleness order), then the r5-row cohort, then the r6 window --
+    # -- r8 window slots 1-14: last r4-row cohort --
     "pricing_summary",
     "forecast_revenue",
     "grouping_sets_status",
@@ -113,6 +59,59 @@ _PRIORITY = [
     "corpus_shuffle_shards",
     "mixture_resample",
     "contamination_embedding",
+    # -- slots 15-50: stalest 36 of the r5-row cohort --
+    "profile_orders",
+    "profile_lineitem_numeric",
+    "heavy_hitter_keys",
+    "split_assign_counts",
+    "group_sample_per_lang",
+    "doc_length_histogram",
+    "gopher_quality",
+    "dedup_incremental",
+    "corpus_snapshot_diff",
+    "mixture_interleave",
+    "volume_shipping",
+    "market_share",
+    "small_qty_revenue",
+    "large_orders",
+    "disjunctive_part_revenue",
+    "trailing_30d_revenue",
+    "dup_span_report",
+    "window_rank_features",
+    "quality_by_domain",
+    "curate_corpus_v2",
+    "outlier_orders",
+    "token_budget_sample",
+    "dedup_embedding_keep_best",
+    "multimodal_frame_index",
+    "funnel_view_click_purchase",
+    "cohort_retention",
+    "waiting_suppliers",
+    "dormant_rich_customers",
+    "lm_bigram_score",
+    "ann_quantized_topk",
+    "split_leakage_counts",
+    "markup_strip_roundtrip",
+    "hard_negatives",
+    "inter_event_gaps",
+    "cardinality_sketch_users",
+    "weighted_sample_docs",
+    # -- past the 50-window: r9 head — the 14 remaining r5-row entries
+    # (staleness order), then the r6-row cohort, then the r7 window --
+    "nfc_roundtrip",
+    "top_supplier",
+    "count_min_user_events",
+    "drift_psi",
+    "zorder_keys",
+    "chi2_lang_source",
+    "dedup_minhash_estimate",
+    "user_features",
+    "loo_target_encode",
+    "bm25_topk",
+    "tfidf_cosine",
+    "cusum_daily_orders",
+    "domain_cap_survivors",
+    "mad_anomalous_days",
 ]
 
 CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {

@@ -558,3 +558,24 @@ def test_connected_components_auto_matches_star_and_falls_back(spark):
     finally:
         C._DRIVER_EDGE_CAP = cap
     assert fallback == star
+
+
+def test_connected_components_auto_null_endpoints(spark):
+    """Default auto must tolerate null edge endpoints exactly like the
+    star path's null-propagating filters: the edge is dropped entirely
+    (ADVICE r7 — None used to reach the driver union-find and TypeError).
+    Labels from auto and star agree on the same frame."""
+    from mbgspark.operators.components import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (None, 4), (5, None), (None, None), (6, 7)],
+        "id_a bigint, id_b bigint",
+    )
+    auto = {
+        r["id"]: r["component"] for r in connected_components(edges).collect()
+    }
+    star = {
+        r["id"]: r["component"]
+        for r in connected_components(edges, algorithm="star").collect()
+    }
+    assert auto == star == {1: 1, 2: 1, 3: 1, 6: 6, 7: 6}

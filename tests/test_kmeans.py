@@ -357,3 +357,51 @@ def test_hard_negative_vectorized_matches_fold(spark):
     assert fold  # non-degenerate fixture
     # every returned negative genuinely crosses the label boundary
     assert all(r[1] != r[3] for r in fold)  # query_label != match_label
+
+
+def test_hard_negative_null_labels_match_fold(spark):
+    """Null labels: the fold's `match_label != query_label` join filter is
+    null-propagating — a NULL label on EITHER side drops the pair. The
+    vectorized strategy must agree (ADVICE r7: the object-array mask used
+    to keep null-label corpus rows as negatives)."""
+    from pyspark.sql import functions as F
+
+    from mbgspark.io import load_table
+    from mbgspark.operators.similarity import hard_negative_topk
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings").withColumn(
+        "label",
+        F.when(F.col("vec_id") % 5 == 0, F.lit(None)).otherwise(
+            (F.col("vec_id") % 3).cast("string")
+        ),
+    )
+    q = e.filter(F.col("vec_id") % 4 == 0)  # includes null-label queries
+    fold = [tuple(r) for r in hard_negative_topk(e, q, k=3).collect()]
+    vec = [
+        tuple(r)
+        for r in hard_negative_topk(e, q, k=3, strategy="vectorized").collect()
+    ]
+    assert vec == fold
+    assert fold  # non-degenerate fixture
+    # no null label ever appears on either side of a returned pair
+    assert all(r[1] is not None and r[3] is not None for r in fold)
+
+
+def test_vectorized_quantizer_rounds_half_away_from_zero():
+    """The numpy rank key must mirror F.round's BigDecimal HALF_UP on
+    NEGATIVE values too: half-way magnitudes round AWAY from zero
+    (ADVICE r7: plain floor(x*1e4+0.5) pulled negative halves toward
+    +inf). Pinned by the symmetry property HALF_UP guarantees —
+    quant(-x) == -quant(x) — on a grid dense around the half edges."""
+    import numpy as np
+
+    xs = np.concatenate([
+        np.linspace(0.0, 1.0, 20001),          # every 4-dp half edge
+        np.asarray([0.64995, 0.00005, 0.12345, 0.99995, 0.5e-4]),
+    ])
+    grid = np.concatenate([xs, -xs])
+    quant = np.sign(grid) * np.floor(np.abs(grid) * 1e4 + 0.5)
+    pos = np.sign(xs) * np.floor(np.abs(xs) * 1e4 + 0.5)
+    np.testing.assert_array_equal(quant, np.concatenate([pos, -pos]))
+    # a knife-edge negative half rounds away from zero, matching HALF_UP
+    assert np.sign(-0.64995) * np.floor(np.abs(-0.64995) * 1e4 + 0.5) == -6500.0

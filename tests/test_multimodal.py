@@ -262,3 +262,44 @@ def test_real_audio_decode_runs_ungated_on_stdlib_wav(spark):
         decode_audio(b"not audio at all", fake=False)
     # fake oracle path unchanged: bytes-derived, 8-dim
     assert len(decode_audio(wav, fake=True)) == 8
+
+
+def test_corrupt_png_surfaces_documented_value_error():
+    """A PNG-signed byte string with corrupt internals must surface the
+    DOCUMENTED error (ValueError from _decode_png, NotImplementedError
+    naming the fake path from decode_image) — never a raw zlib.error or
+    struct.error escaping a mapInPandas task (ADVICE r7)."""
+    import importlib.util
+    import struct
+    import zlib
+
+    import pytest
+
+    from mbgspark.operators.multimodal import _decode_png, decode_image
+
+    def chunk(ctype, data):
+        c = ctype + data
+        return struct.pack(">I", len(data)) + c + struct.pack(
+            ">I", zlib.crc32(c) & 0xFFFFFFFF
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    sig = b"\x89PNG\r\n\x1a\n"
+    # corrupt IDAT: well-framed chunk whose payload is not a zlib stream
+    bad_idat = sig + chunk(b"IHDR", ihdr) + chunk(b"IDAT", b"notzlib") + chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="pixel stream"):
+        _decode_png(bad_idat)
+    # short IHDR: unpack would raise struct.error without the wrap
+    short_ihdr = sig + chunk(b"IHDR", b"\x00\x00\x00") + chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="chunk structure"):
+        _decode_png(short_ihdr)
+    # truncated mid-stream zlib (valid prefix, cut off)
+    good = zlib.compress(bytes(bytearray(2 * (2 * 3 + 1))))
+    trunc = sig + chunk(b"IHDR", ihdr) + chunk(b"IDAT", good[: len(good) // 2]) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError):
+        _decode_png(trunc)
+    if importlib.util.find_spec("PIL") is None:
+        # the public surface maps all of these to the documented raise
+        for blob in (bad_idat, short_ihdr, trunc):
+            with pytest.raises(NotImplementedError, match="fake=True"):
+                decode_image(blob, fake=False)

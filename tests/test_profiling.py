@@ -625,3 +625,32 @@ def test_mad_zero_guard_flat_series_yields_null_in_both_engines(spark, tmp_path)
     assert [(r["day"], r["cnt"], r["robust_z_e4"], r["is_anomaly"]) for r in got] == [
         tuple(row) for row in oracle
     ]
+
+
+def test_embedding_contamination_all_null_bench_matches_fold(spark):
+    """A bench with ROWS but all-null VECTORS is not an empty bench: the
+    fold still cross-joins it and emits one null-sim row per corpus id.
+    The vectorized strategy must agree (ADVICE r7), while a bench with
+    zero rows stays the empty-result inner-join contract on both."""
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    corpus = e.filter(F.col("vec_id") % 50 != 0).limit(20)
+    null_bench = (
+        e.filter(F.col("vec_id") % 50 == 0)
+        .limit(3)
+        .withColumn("embedding", F.lit(None).cast("array<double>"))
+    )
+    fold = {
+        r["vec_id"]: (r["max_bench_sim"], r["is_contaminated"])
+        for r in embedding_contamination(
+            corpus, null_bench, "vec_id", "embedding", 0.30, strategy="fold"
+        ).collect()
+    }
+    vec = {
+        r["vec_id"]: (r["max_bench_sim"], r["is_contaminated"])
+        for r in embedding_contamination(
+            corpus, null_bench, "vec_id", "embedding", 0.30, strategy="vectorized"
+        ).collect()
+    }
+    assert fold == vec
+    assert len(fold) == 20
+    assert all(v == (None, None) for v in fold.values())
