@@ -203,11 +203,13 @@ def connected_components(
             .collect()
         )
         if len(fetched) <= _DRIVER_EDGE_CAP:
+            from mbgspark.session import local_result_df
+
             labeled = _driver_union_find(
                 [(r[0], r[1]) for r in fetched]
             )
-            return edges.sparkSession.createDataFrame(
-                labeled, "id bigint, component bigint"
+            return local_result_df(
+                edges.sparkSession, labeled, "id bigint, component bigint"
             )
         algorithm = "star"  # overflow: discard the probe, run distributed
     und = edges.select(

@@ -94,8 +94,11 @@ def with_word_shingles(
     toks = F.col("__toks")
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    # try_element_at, not element_at: for docs shorter than k the tail
+    # shingle reads past the array, which must yield NULL (concat_ws skips
+    # it) under ANSI sessions too — element_at would THROW there
     shingles = F.transform(
-        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(k)])
+        idx, lambda i: F.concat_ws(" ", *[F.try_element_at(toks, i + j + 1) for j in range(k)])
     )
     pre = df.select(
         F.col(id_col),
@@ -412,8 +415,9 @@ def with_shingle_array(
     toks = F.col("__toks")
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    # try_element_at: see with_word_shingles — NULL past the end (ANSI-safe)
     sh = F.transform(
-        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(k)])
+        idx, lambda i: F.concat_ws(" ", *[F.try_element_at(toks, i + j + 1) for j in range(k)])
     )
     pre = df.select(
         F.col(id_col),
@@ -465,6 +469,157 @@ def jaccard_verify_arrays(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard", *carry)
     )
+
+
+# ngram_jaccard_pairs' driver-path caps: the row cap bounds the probe-fetch
+# (100k (id, text) rows ≈ tens of MB on the driver — same sizing idiom as
+# components._DRIVER_EDGE_CAP and the broadcast thresholds); the pair cap
+# aborts mid-build if shared-shingle buckets mint a quadratic candidate set
+# the driver shouldn't hold (the distributed join spreads that same set
+# across executors instead).
+NGRAM_DRIVER_ROW_CAP = 100_000
+NGRAM_DRIVER_PAIR_CAP = 2_000_000
+
+
+class _PairOverflow(Exception):
+    """Internal: the driver ngram path exceeded NGRAM_DRIVER_PAIR_CAP."""
+
+
+def _ngram_jaccard_driver(
+    rows, k: int, threshold: float, pair_cap: int
+) -> list[tuple]:
+    """Driver-side twin of the distributed ngram-Jaccard join, row-for-row
+    identical by construction:
+
+    - tokens: ``re.split(r"\\s+", text.strip(' ').lower())`` with
+      ``re.ASCII`` — Java's default ``\\s`` is the ASCII class
+      ``[ \\t\\n\\x0B\\f\\r]``, exactly Python's ``\\s`` under re.ASCII, and
+      ``F.trim`` strips 0x20 only, exactly ``str.strip(' ')``;
+    - shingles: ``" ".join(toks[i:i+k])`` for i in 0..max(n-k, 0) —
+      Python slice truncation ≡ concat_ws skipping the NULLs
+      ``element_at`` yields past the end (ANSI off); empty-string
+      shingles dropped, per-doc DISTINCT (≡ array_distinct);
+    - jaccard: IEEE double division then ``Decimal(float).quantize(4,
+      ROUND_HALF_UP)`` — ``Decimal(float)`` is the exact binary expansion,
+      the same value ``java.math.BigDecimal(double)`` sees, so the 4-dp
+      HALF_UP surface is bit-identical to ``F.round(..., 4)``;
+    - keep if rounded jaccard >= threshold, id_a < id_b.
+
+    Raises ``_PairOverflow`` past ``pair_cap`` candidate pairs so the
+    caller can fall back to the distributed join."""
+    import re
+    from decimal import ROUND_HALF_UP, Decimal
+
+    ws = re.compile(r"\s+", re.ASCII)
+    sets: dict = {}
+    for rid, text in rows:
+        if text is None:
+            sets[rid] = frozenset()
+            continue
+        toks = ws.split(text.strip(" ").lower())
+        n = len(toks)
+        sh = {
+            " ".join(toks[i : i + k]) for i in range(max(n - k, 0) + 1)
+        }
+        sh.discard("")
+        sets[rid] = frozenset(sh)
+    buckets: dict = {}
+    for rid, sh in sets.items():
+        for s in sh:
+            buckets.setdefault(s, []).append(rid)
+    cand: set = set()
+    for ids in buckets.values():
+        if len(ids) < 2:
+            continue
+        ids.sort()
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                cand.add((ids[i], ids[j]))
+        if len(cand) > pair_cap:
+            raise _PairOverflow()
+    q4 = Decimal("0.0001")
+    out = []
+    for a, b in cand:
+        sa, sb = sets[a], sets[b]
+        n_inter = len(sa & sb)
+        jac = n_inter / (len(sa) + len(sb) - n_inter)
+        jac = float(Decimal(jac).quantize(q4, rounding=ROUND_HALF_UP))
+        if jac >= threshold:
+            out.append((a, b, jac))
+    return out
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+    strategy: str = "auto",
+) -> DataFrame:
+    """Exact n-gram (k-word shingle) Jaccard similarity join: candidate
+    pairs = any shared shingle (equi-join on shingle, no LSH), verified
+    ``>= threshold``. Columns ``(id_a, id_b, jaccard)``, id_a < id_b,
+    unordered.
+
+    ``strategy="distributed"`` is the scale path: shingle arrays stay
+    per-row, BOTH self-join sides alias the SAME exploded subtree so
+    Spark shares the shingle-keyed shuffle (measured 2.0 → 1.8 s warm,
+    5.8 → 1.8 s cold at sf0.1), and the verify is a pair→doc join +
+    array_intersect.
+
+    ``strategy="auto"`` (default) mirrors ``connected_components``'
+    cap-guarded driver idiom: exact-Jaccard corpora are bounded by
+    construction in every pipeline that uses this operator (the LSH
+    variant is the scale path for open-ended corpora — this join is
+    inherently quadratic in shared-shingle buckets on ANY engine), so a
+    corpus under ``NGRAM_DRIVER_ROW_CAP`` rows is probe-fetched with one
+    ``limit(cap+1)`` action and joined on the driver (~10 sequential
+    sub-second Spark stages collapse to one scan), falling back to the
+    distributed join on row OR candidate-pair overflow. The driver twin
+    is row-for-row identical — see ``_ngram_jaccard_driver`` for the
+    tokenization/rounding equivalence argument; ``tests/test_dedup.py``
+    pins both strategies against each other."""
+    if strategy == "auto":
+        fetched = (
+            df.select(F.col(id_col), F.col(text_col))
+            .limit(NGRAM_DRIVER_ROW_CAP + 1)
+            .collect()
+        )
+        if len(fetched) <= NGRAM_DRIVER_ROW_CAP:
+            try:
+                out = _ngram_jaccard_driver(
+                    [(r[0], r[1]) for r in fetched],
+                    k,
+                    threshold,
+                    NGRAM_DRIVER_PAIR_CAP,
+                )
+            except _PairOverflow:
+                out = None
+            if out is not None:
+                from mbgspark.session import local_result_df
+
+                id_type = df.schema[id_col].dataType.simpleString()
+                return local_result_df(
+                    df.sparkSession,
+                    out,
+                    f"id_a {id_type}, id_b {id_type}, jaccard double",
+                )
+        strategy = "distributed"
+    if strategy != "distributed":
+        raise ValueError(f"unknown ngram_jaccard_pairs strategy: {strategy!r}")
+    shingled = with_shingle_array(df, id_col, text_col, k)
+    ex = shingled.select(id_col, F.explode("shingles").alias("shingle"))
+    a, b = ex.alias("a"), ex.alias("b")
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    return jaccard_verify_arrays(shingled, pairs, id_col, threshold)
 
 
 def minhash_near_dups(

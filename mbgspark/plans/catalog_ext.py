@@ -527,39 +527,16 @@ def dedup_ngram_jaccard(spark, sf_dir):
     """Exact n-gram (3-word shingle) Jaccard similarity join: candidate pairs
     = any shared shingle (equi-join on shingle, no LSH), verified ≥ 0.5.
     Subset (doc_id < 300 ∪ perturbed < 30) keeps the all-shared-pairs
-    blow-up bounded — the LSH variant is the scale path."""
+    blow-up bounded — the LSH variant is the scale path. Delegates to
+    ``dedup.ngram_jaccard_pairs`` (r8): ``auto`` resolves to the driver
+    twin on this by-construction-bounded corpus (~10 sequential tiny-data
+    stages collapse to one scan) with the shared-exchange distributed
+    join as the overflow path."""
     corpus = _dup_corpus(spark, sf_dir).filter(
         (F.col("id") < 300) | (F.col("id") >= 1000000)
     )
-    # Array-native plan: shingle arrays stay per-row; only the candidate
-    # equi-join on exploded shingle shuffles, and the verify is a pair→doc
-    # join + array_intersect (no per-shingle intersection groupBy).
-    shingled = dd.with_shingle_array(corpus, "id", "t", k=3)
-    # BOTH self-join sides are the SAME exploded subtree (aliased, not
-    # re-projected with different column names): identical subtrees let
-    # Spark share the shingle-keyed shuffle between the build and probe
-    # sides instead of re-deriving the corpus explode per side (measured
-    # 2.0 s -> 1.8 s warm, 5.8 s -> 1.8 s cold at sf0.1)
-    ex = shingled.select("id", F.explode("shingles").alias("shingle"))
-    a, b = ex.alias("a"), ex.alias("b")
-    pairs = (
-        a.join(b, "shingle")
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
-    )
-    arr_a = shingled.select(F.col("id").alias("id_a"), F.col("shingles").alias("sa"))
-    arr_b = shingled.select(F.col("id").alias("id_b"), F.col("shingles").alias("sb"))
-    n_inter = F.size(F.array_intersect("sa", "sb"))
-    return (
-        pairs.join(arr_a, "id_a")
-        .join(arr_b, "id_b")
-        .withColumn(
-            "jaccard", F.round(n_inter / (F.size("sa") + F.size("sb") - n_inter), 4)
-        )
-        .filter(F.col("jaccard") >= 0.5)
-        .select("id_a", "id_b", "jaccard")
-        .orderBy("id_a", "id_b")
+    return dd.ngram_jaccard_pairs(corpus, "id", "t", k=3, threshold=0.5).orderBy(
+        "id_a", "id_b"
     )
 
 

@@ -487,3 +487,61 @@ def test_observation_jo_probe_seam_pinned(spark):
     obs2 = Observation("seam_pin_unobserved")
     spark.range(5).observe(obs2, F.count(F.lit(1)).alias("n"))  # no action
     assert dd.observed_or_direct(obs2, decoy) == {"n": -999}
+
+
+def test_ngram_jaccard_driver_matches_distributed(spark):
+    """ngram_jaccard_pairs' driver strategy (auto under the row cap) is a
+    physical rewrite only: identical (id_a, id_b, jaccard) sets to the
+    distributed join — same tokenization (ASCII \\s+, trim-space-only,
+    leading/trailing empty tokens), same truncated tail shingles, same
+    4-dp HALF_UP jaccard — across doc-shape edge cases."""
+    rows = [
+        (1, None),                       # null text: empty shingle set
+        (2, ""),                         # empty: [""] token -> "" shingle dropped
+        (3, "  \tHello   world  "),      # tab survives trim(' '); leading "" token
+        (4, "hello world"),              # 2-token doc, k=3 truncated shingle
+        (5, "a b"),
+        (6, "A B"),                      # case-folds to the same shingle as 5
+        (7, "one two three four five"),
+        (8, "one two three four five six"),
+        (9, "\tx\ty\tz\t"),              # tab-separated, trailing empty token
+        (10, "one two three four"),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, t string")
+    drv = sorted(
+        tuple(r)
+        for r in dd.ngram_jaccard_pairs(df, "id", "t", threshold=0.1).collect()
+    )
+    dist = sorted(
+        tuple(r)
+        for r in dd.ngram_jaccard_pairs(
+            df, "id", "t", threshold=0.1, strategy="distributed"
+        ).collect()
+    )
+    assert drv == dist
+    assert drv  # non-degenerate
+    assert (5, 6, 1.0) in drv  # case folding unified the shingles
+
+
+def test_ngram_jaccard_auto_overflow_falls_back(spark, monkeypatch):
+    """auto falls back to the distributed join on row overflow AND on
+    candidate-pair overflow, producing the same rows either way."""
+    texts = [(i, f"w{i} common one two three shared tail") for i in range(1, 9)]
+    df = spark.createDataFrame(texts, "id bigint, t string")
+    want = sorted(
+        tuple(r)
+        for r in dd.ngram_jaccard_pairs(
+            df, "id", "t", threshold=0.2, strategy="distributed"
+        ).collect()
+    )
+    monkeypatch.setattr(dd, "NGRAM_DRIVER_ROW_CAP", 3)  # 8 rows overflow
+    got = sorted(
+        tuple(r) for r in dd.ngram_jaccard_pairs(df, "id", "t", threshold=0.2).collect()
+    )
+    assert got == want
+    monkeypatch.setattr(dd, "NGRAM_DRIVER_ROW_CAP", 100_000)
+    monkeypatch.setattr(dd, "NGRAM_DRIVER_PAIR_CAP", 5)  # 8C2=28 pairs overflow
+    got2 = sorted(
+        tuple(r) for r in dd.ngram_jaccard_pairs(df, "id", "t", threshold=0.2).collect()
+    )
+    assert got2 == want
