@@ -21,6 +21,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from mbgspark import jvmseam
+
 # Driver-generated testdata catalog (TESTDATA.md).
 TESTDATA_TABLES = (
     "region",
@@ -137,14 +139,8 @@ def _leaf_bytes(df: DataFrame) -> int:
     the probe fails the suite instead of silently degrading the fanout
     gate to always-fan-out (the failure direction: a wrong small-input
     plan costs one tiny exchange, never a wrong answer)."""
-    try:
-        size = 0
-        it = df._jdf.queryExecution().optimizedPlan().collectLeaves().iterator()
-        while it.hasNext():
-            size += int(str(it.next().stats().sizeInBytes()))
-        return size
-    except Exception:
-        return _FANOUT_MIN_BYTES  # probe failed: assume big, fan out
+    size = jvmseam.leaf_size_bytes(df)
+    return _FANOUT_MIN_BYTES if size is None else size  # None: assume big
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
@@ -510,13 +506,10 @@ def retention_sweep(
             stacklevel=2,
         )
     if not dry_run:
-        jvm = spark._jvm
-        conf = spark._jsc.hadoopConfiguration()
         for v in doomed:
-            part_path = jvm.org.apache.hadoop.fs.Path(
-                os.path.join(path, f"{partition_col}={v}")
+            fs, part_path = jvmseam.hadoop_fs(
+                spark, os.path.join(path, f"{partition_col}={v}")
             )
-            fs = part_path.getFileSystem(conf)
             # recursive delete; False return = not deleted (missing or
             # failure) — re-check existence to distinguish, and raise on
             # a partition that survives the call

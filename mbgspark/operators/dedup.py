@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from mbgspark import jvmseam
+
 
 # ---------------------------------------------------------------- D1-D3 ----
 
@@ -233,11 +235,8 @@ def observed_or_direct(obs, metrics_df: DataFrame) -> dict:
     one-row aggregate is evaluated directly (TRUE counts, one extra run
     of the metrics lineage). A real failure inside that direct
     evaluation propagates — this never converts errors into zeros."""
-    jo = getattr(obs, "_jo", None)
-    if jo is not None:
-        jopt = jo.getRowOrEmpty()
-        if not jopt.isEmpty() and jopt.get().size() > 0:
-            return obs.get
+    if jvmseam.observation_delivered(obs):
+        return obs.get
     return metrics_df.first().asDict()
 
 

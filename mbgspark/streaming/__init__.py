@@ -20,6 +20,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from mbgspark import jvmseam
 from mbgspark.io import merge_by_key, write_partitioned
 from mbgspark.operators.dedup import keep_latest_per_key
 from mbgspark.schema import TWEET_RAW_SCHEMA
@@ -28,39 +29,23 @@ from mbgspark.schema import TWEET_RAW_SCHEMA
 def _store_exists(spark: SparkSession, path: str) -> bool:
     """True iff the store path exists on the session's Hadoop filesystem —
     the explicit check that replaces catch-any-exception-as-missing."""
-    jvm = spark._jvm
-    hadoop_path = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hadoop_path.getFileSystem(spark._jsc.hadoopConfiguration())
-    return bool(fs.exists(hadoop_path))
+    fs, p = jvmseam.hadoop_fs(spark, path)
+    return bool(fs.exists(p))
 
 
 def _fs_for(spark: SparkSession, path: str):
-    jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    return p.getFileSystem(spark._jsc.hadoopConfiguration()), p, jvm
+    return jvmseam.hadoop_fs(spark, path)
 
 
 def _read_small_file(spark: SparkSession, path: str) -> str | None:
     """Read a small sidecar file (meta/manifest JSON) through the Hadoop
     FS API so the gate's metadata travels with the store on any
     filesystem (local, HDFS, object store), not just the driver's."""
-    fs, p, jvm = _fs_for(spark, path)
-    if not fs.exists(p):
-        return None
-    stream = fs.open(p)
-    try:
-        return str(jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8"))
-    finally:
-        stream.close()
+    return jvmseam.fs_read_utf8(spark, path)
 
 
 def _write_small_file(spark: SparkSession, path: str, data: str) -> None:
-    fs, p, _ = _fs_for(spark, path)
-    out = fs.create(p, True)
-    try:
-        out.write(bytearray(data.encode("utf-8")))
-    finally:
-        out.close()
+    jvmseam.fs_write_utf8(spark, path, data)
 
 
 #: Sidecar filename at the index root recording the gate's on-disk layout
@@ -540,7 +525,7 @@ def start_neardup_gate_sink_indexed(
     _layout: dict[str, str] = {}
 
     def _legacy_has_buckets(spark: SparkSession) -> bool:
-        fs, p, _ = _fs_for(spark, bands_path)
+        fs, p = _fs_for(spark, bands_path)
         for st in fs.listStatus(p):
             name = st.getPath().getName()
             if st.isDirectory() and name.startswith("__gate_batch="):
@@ -904,7 +889,7 @@ def start_neardup_gate_sink_indexed(
                 # and partition N overwrites to empty). Crash
                 # mid-compaction heals via the staged snapshot's manifest
                 # on the next trigger.
-                fs, store_p, _ = _fs_for(spark, store_path)
+                fs, store_p = _fs_for(spark, store_path)
                 live = [
                     st.getPath().getName()
                     for st in fs.listStatus(store_p)
@@ -964,13 +949,10 @@ def compact_gate_store(
 
     staging = path.rstrip("/") + ".__compact_staging"
     manifest_path = staging + "/_COMPACT_MANIFEST.json"
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-
     def _p(s: str):
-        return jvm.org.apache.hadoop.fs.Path(s)
+        return jvmseam.hadoop_path(spark, s)
 
-    fs = _p(path).getFileSystem(conf)
+    fs, _ = jvmseam.hadoop_fs(spark, path)
 
     def _batch_dirs() -> list[str]:
         if not fs.exists(_p(path)):
@@ -1080,10 +1062,8 @@ def start_cardinality_sink(
     staging_path = store_path.rstrip("/") + "__staging"
 
     def _swap_in(spark: SparkSession) -> None:
-        jvm = spark._jvm
-        final_p = jvm.org.apache.hadoop.fs.Path(store_path)
-        stage_p = jvm.org.apache.hadoop.fs.Path(staging_path)
-        fs = final_p.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs, final_p = jvmseam.hadoop_fs(spark, store_path)
+        stage_p = jvmseam.hadoop_path(spark, staging_path)
         if fs.exists(final_p) and not fs.delete(final_p, True):
             raise RuntimeError(f"cardinality sink: failed to drop old {store_path}")
         if not fs.rename(stage_p, final_p):
@@ -1092,9 +1072,7 @@ def start_cardinality_sink(
             )
 
     def _staging_committed(spark: SparkSession) -> bool:
-        jvm = spark._jvm
-        marker = jvm.org.apache.hadoop.fs.Path(staging_path + "/_SUCCESS")
-        fs = marker.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs, marker = jvmseam.hadoop_fs(spark, staging_path + "/_SUCCESS")
         return bool(fs.exists(marker))
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:

@@ -451,44 +451,6 @@ def test_auto_multiprobe_rejects_unfittable_explicit_values(spark):
         dd.auto_multiprobe_params(narrow, tables=16)
 
 
-def test_observation_jo_probe_seam_pinned(spark):
-    """VERDICT r6 item 4: observed_or_direct's fold-detection rests on
-    the private ``Observation._jo`` handle and its ``getRowOrEmpty`` JVM
-    method. If a PySpark upgrade renames either, the probe would
-    SILENTLY degrade to always-recompute (an extra metrics-lineage run
-    per read — cost, not wrongness). Pin the seam loudly: (a) the
-    attributes exist with the assumed JVM surface; (b) on a non-folded
-    observation the PROBE path is actually taken — proven with a decoy
-    metrics frame whose direct evaluation would return a different
-    answer; (c) a never-notified observation resolves through the
-    direct branch instead of blocking."""
-    from pyspark.sql import Observation
-
-    df = spark.range(10)
-    obs = Observation("seam_pin")
-    df.observe(obs, F.count(F.lit(1)).alias("n")).collect()
-
-    jo = getattr(obs, "_jo", None)
-    assert jo is not None, (
-        "Observation._jo is gone: PySpark renamed the private JVM "
-        "handle; update observed_or_direct's probe or the fold-fallback "
-        "silently degrades to always-recompute"
-    )
-    jopt = jo.getRowOrEmpty()
-    assert not jopt.isEmpty(), (
-        "getRowOrEmpty returned an empty Option for a delivered "
-        "observation; the probe's non-folded detection no longer holds"
-    )
-    assert jopt.get().size() == 1
-
-    decoy = spark.range(1).select(F.lit(-999).cast("bigint").alias("n"))
-    assert dd.observed_or_direct(obs, decoy) == {"n": 10}
-
-    obs2 = Observation("seam_pin_unobserved")
-    spark.range(5).observe(obs2, F.count(F.lit(1)).alias("n"))  # no action
-    assert dd.observed_or_direct(obs2, decoy) == {"n": -999}
-
-
 def test_ngram_jaccard_driver_matches_distributed(spark):
     """ngram_jaccard_pairs' driver strategy (auto under the row cap) is a
     physical rewrite only: identical (id_a, id_b, jaccard) sets to the

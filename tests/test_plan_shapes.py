@@ -531,3 +531,29 @@ def test_plan_lint_clean(spark):
         df = CATALOG[name][0](spark, SF)
         findings.extend(plan_lint.lint_plan(df, name))
     assert findings == []
+
+
+def test_plan_lint_flags_scanfed_sort(spark):
+    """The scanfed-sort rule actually FIRES (r8 regression pin: the r7
+    form matched rangepartitioning exchanges, which never exist in the
+    pre-exchange ``sparkPlan`` — the rule was dead and 'clean' was
+    vacuous for it). A scan→project→global-orderBy plan must flag;
+    a post-aggregate order and a within-partition sort must not."""
+    import sys
+
+    from pyspark.sql import functions as F
+
+    sys.path.insert(0, "/root/repo/tools")
+    import plan_lint
+
+    scan = spark.read.parquet(f"{SF}/orders.parquet")
+    bad = scan.select("o_orderkey").orderBy("o_orderkey")
+    assert any("scanfed-sort" in f for f in plan_lint.lint_plan(bad, "neg"))
+    ok = (
+        scan.groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("o_orderstatus")
+    )
+    assert plan_lint.lint_plan(ok, "ok") == []
+    local = scan.sortWithinPartitions("o_orderkey")
+    assert plan_lint.lint_plan(local, "local") == []

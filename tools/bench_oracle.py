@@ -11,7 +11,9 @@ Protocol mirrors bench.py: one warm pass (DuckDB plans are cheap but the
 OS page cache matters at sf1), then a timed pass; headline queries with
 no SQL oracle (intentionally approximate ops) are skipped and listed.
 
-Usage: python tools/bench_oracle.py [sf_dir]   # default /root/testdata/sf0.1
+Usage: python tools/bench_oracle.py [sf_dir] [names...]
+  # default sf_dir /root/testdata/sf0.1; names subset HEADLINE (isolated
+  # mode, mirroring bench.py's) — no names = the full headline set
 Prints one JSON line: {"oracle_total": s, "queries": {...}, "skipped": [...]}.
 """
 
@@ -31,10 +33,14 @@ from tools.parity import duck_connection
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    subset = [a for a in sys.argv[2:] if a in set(HEADLINE)]
+    unknown = [a for a in sys.argv[2:] if a not in set(HEADLINE)]
+    if unknown:
+        sys.stderr.write(f"bench_oracle: not in HEADLINE, ignoring {unknown}\n")
     con = duck_connection(sf_dir)
     timings: dict[str, float] = {}
     skipped: list[str] = []
-    for name in HEADLINE:
+    for name in subset or HEADLINE:
         sql = CATALOG[name][1]
         if sql is None:
             skipped.append(name)

@@ -28,7 +28,12 @@ Choices that keep the inflated data honest:
 - timestamps/dates/categories copy unchanged — per-day volumes scale
   10×, the same shape real TPC-H SF growth has.
 
-Usage: python tools/make_sf1.py [out_dir]   (default /tmp/sf1)
+Usage: python tools/make_sf1.py [out_dir] [copies]   (default /tmp/sf1, 10)
+
+``copies`` extends the same construction to other SFs (r7 VERDICT item 4:
+a third scale point past sf1) — e.g. ``/tmp/sf3 30`` builds a 3×-sf1
+corpus. The document-stride bound caps ``copies`` at 99: the highest
+shifted base doc id must stay below the 1e6 planted-id floor (asserted).
 """
 
 from __future__ import annotations
@@ -100,6 +105,12 @@ def copy_table(tbl: pa.Table, name: str, k: int) -> pa.Table:
 
 def main() -> None:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
+    copies = int(sys.argv[2]) if len(sys.argv) > 2 else COPIES
+    if not 1 <= copies <= 99:
+        # k=99 shifts the highest base doc id (<5000) to 995e3 — still
+        # under the 1e6 planted-id floor every bounded query keys on;
+        # k=100 would cross it and corrupt the bounded-pair semantics.
+        raise SystemExit(f"copies must be in [1, 99], got {copies}")
     os.makedirs(out_dir, exist_ok=True)
     for name in TABLES:
         tbl = pq.read_table(f"{SRC}/{name}.parquet")
@@ -107,7 +118,7 @@ def main() -> None:
             pq.write_table(tbl, f"{out_dir}/{name}.parquet")
             print(f"{name}: {tbl.num_rows} rows (dim, copied)")
             continue
-        parts = [copy_table(tbl, name, k) for k in range(COPIES)]
+        parts = [copy_table(tbl, name, k) for k in range(copies)]
         big = pa.concat_tables(parts)
         pq.write_table(big, f"{out_dir}/{name}.parquet")
         print(f"{name}: {tbl.num_rows} -> {big.num_rows} rows")

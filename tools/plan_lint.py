@@ -8,12 +8,21 @@ SF-invariant in shape for these rules) and flags:
 - ``py-row-udf``     BatchEvalPythonExec — row-at-a-time Python in a plan;
                      only Arrow (ArrowEvalPython / MapInPandas /
                      FlatMapGroupsInPandas) hops are allowed engine-wide.
-- ``scanfed-sort``   a range-partitioning exchange whose subtree contains
-                     no other exchange: the sort's boundary sampler
-                     re-executes the scan-fed child, paying ~2× for a
-                     presentational order (the r7 audit removed 17 of
-                     these; this rule keeps them out). Sorts over
-                     post-shuffle children are fine and not flagged.
+- ``scanfed-sort``   a GLOBAL SortExec whose subtree contains no
+                     shuffle-inducing node (aggregate, join, window,
+                     explicit exchange): EnsureRequirements will put a
+                     range-partitioning exchange under it whose boundary
+                     sampler re-executes the scan-fed child, paying ~2×
+                     for a presentational order (the r7 audit removed 17
+                     of these; this rule keeps them out). Sorts over
+                     children that already shuffle are fine — the
+                     sampler re-reads a shuffle output, not the scan.
+                     Detected on the sort node itself, not the exchange:
+                     ``sparkPlan`` is PRE-EnsureRequirements, so the
+                     exchange does not exist yet (the r7→r8 form of this
+                     rule matched ``rangepartitioning`` exchanges and
+                     could never fire — pinned against regression by
+                     ``test_plan_lint_flags_scanfed_sort``).
 - ``fat-bnlj``       BroadcastNestedLoopJoin whose broadcast side is not a
                      1-row aggregate anchor (``HashAggregate(keys=[]``) and
                      not an explicitly allowed broadcast-by-design query.
@@ -28,6 +37,10 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from mbgspark.jvmseam import node_class as _cls  # noqa: E402
+from mbgspark.jvmseam import physical_plan_root  # noqa: E402
+from mbgspark.jvmseam import walk_plan as _walk  # noqa: E402
 
 # BNLJ-by-design: the broadcast side is a bounded non-aggregate frame
 # (query vectors, benchmark set, compiled location dictionary) — the
@@ -53,35 +66,41 @@ BNLJ_ALLOWED = {
 }
 
 
-def _walk(node):
-    yield node
-    cs = node.children()
-    for i in range(cs.size()):
-        yield from _walk(cs.apply(i))
-
-
-def _cls(node) -> str:
-    return node.getClass().getSimpleName()
+# Nodes that put an exchange (and so a re-readable materialization
+# boundary) below a global sort once EnsureRequirements runs — a sort
+# over any of these samples a shuffle/broadcast output instead of
+# re-running the scan lineage.
+_SHUFFLE_INDUCING = {
+    "ShuffleExchangeExec",
+    "BroadcastExchangeExec",
+    "HashAggregateExec",
+    "ObjectHashAggregateExec",
+    "SortAggregateExec",
+    "SortMergeJoinExec",
+    "ShuffledHashJoinExec",
+    "BroadcastHashJoinExec",
+    "BroadcastNestedLoopJoinExec",
+    "CartesianProductExec",
+    "WindowExec",
+    "WindowGroupLimitExec",
+}
 
 
 def lint_plan(df, name: str) -> list[str]:
     findings: list[str] = []
-    root = df._jdf.queryExecution().sparkPlan()
+    root = physical_plan_root(df)
     for node in _walk(root):
         c = _cls(node)
         if c == "CartesianProductExec":
             findings.append(f"{name}: cartesian")
         elif c == "BatchEvalPythonExec":
             findings.append(f"{name}: py-row-udf")
-        elif c == "ShuffleExchangeExec":
-            s = node.simpleString(200)
-            if "rangepartitioning" in s:
-                below = list(_walk(node))[1:]
-                if not any(
-                    _cls(b) in ("ShuffleExchangeExec", "BroadcastExchangeExec")
-                    for b in below
-                ):
-                    findings.append(f"{name}: scanfed-sort ({s[:80]})")
+        elif c == "SortExec" and bool(getattr(node, "global")()):
+            below = list(_walk(node))[1:]
+            if not any(_cls(b) in _SHUFFLE_INDUCING for b in below):
+                findings.append(
+                    f"{name}: scanfed-sort ({node.simpleString(200)[:80]})"
+                )
         elif c == "BroadcastNestedLoopJoinExec" and name not in BNLJ_ALLOWED:
             # pre-exchange plan (EnsureRequirements hasn't run), so the
             # build side is a direct child: BuildRight → children[1]
