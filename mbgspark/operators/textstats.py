@@ -414,8 +414,27 @@ def gopher_quality_filter(
     )
 
 
+#: Bigram-model rows fetched to the driver by ``bigram_surprise``'s
+#: vectorized strategy — the cap-guarded probe-fetch bound (same idiom as
+#: the dedup/components driver strategies): collect ``limit(cap+1)`` in
+#: ONE action, fall back to the fold join on overflow. 2M (w1, w2, int)
+#: rows is a few hundred MB of driver dict, comfortably under the bound
+#: that legalizes the other families' broadcasts.
+LM_MODEL_DRIVER_CAP = 2_000_000
+
+#: Corpus leaf bytes (COMPRESSED file bytes — the parquet footer stats
+#: ``fanout_scan`` reads) above which the vectorized scoring pass pays
+#: for its Python stage: measured wash at sf0.1 (0.6 MB documents file),
+#: 2.3× win at sf1 (6 MB), slight loss at sf0.01 — the crossover sits
+#: between the first two (SCALE.md r8 A/B table).
+LM_VECTORIZED_MIN_BYTES = 2 << 20
+
+
 def bigram_surprise(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    strategy: str = "auto",
 ) -> DataFrame:
     """Corpus-bigram-LM quality score — the conditional-probability upgrade
     of ``unigram_surprise`` and the closest deterministic analog of the
@@ -465,10 +484,42 @@ def bigram_surprise(
     serialize every tokenize/explode pass on one core (sf1 measured: the
     whole 5.2 s runtime was single-task). At real scale the guard is a
     pass-through.
+
+    ``strategy``: ``"fold"`` is the all-JVM plan above. ``"vectorized"``
+    keeps the model build (explode → groupBy → window) but replaces the
+    SECOND occurrence explode + model join + per-doc rollup with a
+    cap-guarded driver fetch of the |bigram-vocab| model
+    (``limit(LM_MODEL_DRIVER_CAP+1)`` — ONE action) broadcast into a
+    single ``mapInPandas`` scoring pass: each task tokenizes its docs
+    (``re.ASCII \\s+`` + trim-space-only + lower — the pinned Python twin
+    of the JVM tokenizer, see ``dedup._ngram_jaccard_driver``) and sums
+    micro-nat surprises from the dict, so nothing shuffles at occurrence
+    scale in the scoring half. The per-pair surprises are read FROM the
+    JVM-computed model frame, so no libm divergence is introduced; a
+    tokenization divergence would KeyError loudly rather than mis-score.
+    Same-process A/B at sf1: fold 3.8–4.9 s, vectorized 1.7–2.4 s
+    (SCALE.md r8); model overflow falls back to the fold join, which is
+    the 100 TB path (open-vocabulary corpora blow the driver cap — the
+    cap IS the legality bound, exactly like the broadcast families).
+    ``"auto"`` (default) picks vectorized when the corpus leaf bytes
+    clear ``LM_VECTORIZED_MIN_BYTES`` (the measured crossover; the probe
+    is the same footer-stats read ``fanout_scan`` uses, no job) and the
+    model fits the cap.
     """
     from pyspark.sql import Window
 
+    from mbgspark import jvmseam
     from mbgspark.io import fanout_scan
+
+    if strategy not in ("auto", "fold", "vectorized"):
+        raise ValueError(f"unknown bigram_surprise strategy: {strategy!r}")
+    if strategy == "auto":
+        leaf = jvmseam.leaf_size_bytes(df.select(id_col, text_col))
+        strategy = (
+            "vectorized"
+            if leaf is not None and leaf >= LM_VECTORIZED_MIN_BYTES
+            else "fold"
+        )
 
     df = fanout_scan(df.select(id_col, text_col))
     toks = F.filter(_tokens(F.col(text_col)), lambda x: x != "")
@@ -499,6 +550,11 @@ def bigram_surprise(
         )
         .select("w1", "w2", "__sup")
     )
+    if strategy == "vectorized":
+        fetched = sup.limit(LM_MODEL_DRIVER_CAP + 1).collect()
+        if len(fetched) <= LM_MODEL_DRIVER_CAP:
+            return _bigram_score_vectorized(df, id_col, text_col, fetched)
+        # model overflow: fall through to the fold join (the scale path)
     return (
         occ.join(sup, ["w1", "w2"])
         .groupBy(id_col)
@@ -513,6 +569,62 @@ def bigram_surprise(
             .cast("bigint")
             .alias("mean_bigram_surprise_micronats"),
         )
+    )
+
+
+def _bigram_score_vectorized(
+    df: DataFrame, id_col: str, text_col: str, model_rows
+) -> DataFrame:
+    """The scoring half of ``bigram_surprise(strategy="vectorized")``:
+    broadcast the driver-fetched (w1, w2, sup_micronats) model and score
+    every doc in one ``mapInPandas`` pass. ``df`` is the already
+    fanout-scanned (id, text) projection; output schema and absent-row
+    semantics (docs with <2 tokens emit nothing) match the fold exactly —
+    pinned by ``test_bigram_vectorized_matches_fold``."""
+    import re
+
+    model = {(r[0], r[1]): r[2] for r in model_rows}
+    bcast = df.sparkSession.sparkContext.broadcast(model)
+    ws = re.compile(r"\s+", re.ASCII)
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def _score(it):
+        import pandas as pd
+
+        m = bcast.value
+        for pdf in it:
+            ids, nbgs, means = [], [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                toks = (
+                    [w for w in ws.split(t.strip(" ").lower()) if w]
+                    if t is not None
+                    else []
+                )
+                n = len(toks) - 1
+                if n < 1:
+                    continue
+                s = 0
+                for j in range(n):
+                    # KeyError here = tokenizer divergence from the JVM
+                    # model build — fail loudly, never mis-score
+                    s += m[(toks[j], toks[j + 1])]
+                ids.append(i)
+                nbgs.append(n)
+                means.append((2 * s + n) // (2 * n))
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "n_bigrams": nbgs,
+                    "mean_bigram_surprise_micronats": means,
+                }
+            )
+
+    return df.mapInPandas(
+        _score,
+        schema=(
+            f"{id_col} {id_type}, n_bigrams bigint, "
+            "mean_bigram_surprise_micronats bigint"
+        ),
     )
 
 

@@ -343,11 +343,15 @@ GROUP BY t.doc_id ORDER BY t.doc_id
 def lm_bigram_score(spark, sf_dir):
     """Corpus-bigram-LM surprise per document (integer micro-nats) — the
     conditional-transition upgrade of quality_surprise; the deterministic
-    analog of the CCNet KenLM-perplexity filter."""
+    analog of the CCNet KenLM-perplexity filter. Unordered (driver hash is
+    order-insensitive; r8 dropped the presentational orderBy — its range
+    sampler would re-execute the vectorized strategy's whole Python
+    scoring pass, and the lint's revived scanfed-sort rule flags exactly
+    that shape)."""
     from mbgspark.operators.textstats import bigram_surprise
 
     d = _t(spark, sf_dir, "documents")
-    return bigram_surprise(d, "doc_id", "text").orderBy("doc_id")
+    return bigram_surprise(d, "doc_id", "text")
 
 
 BIGRAM_SURPRISE_SQL = r"""
@@ -382,7 +386,7 @@ scored AS (
 SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
        CAST((2 * sum(tf * sup_micro) + sum(tf)) // (2 * sum(tf)) AS BIGINT)
          AS mean_bigram_surprise_micronats
-FROM scored GROUP BY doc_id ORDER BY doc_id
+FROM scored GROUP BY doc_id
 """
 
 

@@ -110,6 +110,68 @@ def test_bigram_surprise_flags_shuffled_transitions(spark):
     )
 
 
+def test_bigram_vectorized_matches_fold(spark):
+    """bigram_surprise's vectorized strategy (driver-model broadcast +
+    mapInPandas scoring, r8) is a physical rewrite only: identical rows
+    to the fold join across the doc-shape edge cases — null text, empty,
+    0/1-token, tab/padding whitespace, case folding, repeated bigrams —
+    and on the real sf0.001 documents table. Also pins the routing: the
+    vectorized plan carries the Python hop, the fold does not, and a
+    too-small model cap falls back to the fold plan."""
+    from mbgspark.operators import textstats as ts
+
+    rows = [
+        (1, None),
+        (2, ""),
+        (3, "one"),
+        (4, "  \tOne   TWO  "),         # trim(' ') keeps the tab token
+        (5, "one two one two one"),
+        (6, "ONE TWO ONE TWO ONE"),      # folds to the same transitions as 5
+        (7, "alpha beta gamma delta"),
+        (8, "beta alpha"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+    fold = ts.bigram_surprise(d, strategy="fold").collect()
+    vec = ts.bigram_surprise(d, strategy="vectorized").collect()
+    key = lambda r: r["doc_id"]  # noqa: E731
+    assert sorted(fold, key=key) == sorted(vec, key=key)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    f2 = ts.bigram_surprise(docs, strategy="fold").collect()
+    v2 = ts.bigram_surprise(docs, strategy="vectorized").collect()
+    assert sorted(f2, key=key) == sorted(v2, key=key)
+    assert len(f2) > 0
+
+    plan_vec = (
+        ts.bigram_surprise(docs, strategy="vectorized")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    plan_fold = (
+        ts.bigram_surprise(docs, strategy="fold")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "MapInPandas" in plan_vec
+    assert "MapInPandas" not in plan_fold
+
+    # cap overflow: vectorized probe-fetch falls back to the fold join
+    old = ts.LM_MODEL_DRIVER_CAP
+    ts.LM_MODEL_DRIVER_CAP = 1
+    try:
+        capped = ts.bigram_surprise(docs, strategy="vectorized")
+        assert "MapInPandas" not in (
+            capped._jdf.queryExecution().executedPlan().toString()
+        )
+        assert sorted(capped.collect(), key=key) == sorted(f2, key=key)
+    finally:
+        ts.LM_MODEL_DRIVER_CAP = old
+
+
 def test_normalize_unicode_folds_combining_marks(spark):
     """NFC folds decomposed sequences to precomposed; ASCII and None pass
     through untouched."""
