@@ -136,7 +136,13 @@ def main() -> None:
         shutil.copytree(store, twin_store)
         if twin == "crash":
             staging = twin_store + ".__compact_staging"
-            dirs_at_snapshot = _live_dirs(twin_store)
+            # manifest scope = EVERY dir the snapshot subsumes, including
+            # the old -1 base (what the real compaction records)
+            dirs_at_snapshot = [
+                d
+                for d in os.listdir(twin_store)
+                if d.startswith("__gate_batch=")
+            ]
             (
                 spark.read.parquet(twin_store)
                 .drop("__gate_batch")
