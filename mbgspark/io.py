@@ -121,10 +121,14 @@ def fanout_scan(df: DataFrame) -> DataFrame:
     """
     if df.isStreaming:  # no static partitioning to probe; sources size
         return df  # their own microbatches (maxFilesPerTrigger etc.)
+    # byte floor FIRST: it reads optimizer-plan footer stats only, while
+    # the split-count probe (df.rdd) forces full physical planning per
+    # call — ordering the cheap veto first makes the guard near-free on
+    # the small inputs that dominate plan-build time (r7 blemish note)
+    if _leaf_bytes(df) < _FANOUT_MIN_BYTES:
+        return df
     n = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions() or 1) >= n:
-        return df
-    if _leaf_bytes(df) < _FANOUT_MIN_BYTES:
         return df
     return df.repartition(n)
 
