@@ -368,3 +368,70 @@ def test_driver_union_find_matches_bruteforce(edges):
                 comp[n] = new
                 changed = True
     assert got == {n: min(comp[n]) for n in nodes}
+
+
+@given(
+    texts=st.lists(
+        st.one_of(
+            st.none(),
+            st.text(
+                alphabet=string.ascii_letters + string.digits + " \t\n\r\x0b\x0c",
+                max_size=60,
+            ),
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+@SETTINGS
+def test_bigram_vectorized_property_equivalence(spark, texts):
+    """bigram_surprise fold ≡ vectorized on ANY doc list within the
+    documented ASCII envelope (random whitespace runs incl. every char of
+    Java's default \\s class, nulls, empties) — the hypothesis upgrade of
+    the fixed-fixture pin: the Python re.ASCII tokenizer twin and the
+    absent-row semantics must agree for arbitrary token shapes."""
+    from mbgspark.operators.textstats import bigram_surprise
+
+    rows = list(enumerate(texts))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    fold = sorted(
+        bigram_surprise(df, strategy="fold").collect(), key=lambda r: r["doc_id"]
+    )
+    vec = sorted(
+        bigram_surprise(df, strategy="vectorized").collect(),
+        key=lambda r: r["doc_id"],
+    )
+    assert fold == vec
+
+
+@given(
+    texts=st.lists(
+        st.one_of(
+            st.none(),
+            st.text(alphabet="ab \t", max_size=25),  # tiny alphabet: forces
+        ),                                           # shared shingles/pairs
+        min_size=1,
+        max_size=10,
+    )
+)
+@SETTINGS
+def test_ngram_driver_property_equivalence(spark, texts):
+    """ngram_jaccard_pairs driver ≡ distributed on ANY doc list in the
+    ASCII envelope — random short docs over a 2-letter alphabet maximize
+    candidate-pair collisions, the regime where a tokenization or
+    rounding divergence would actually surface."""
+    from mbgspark.operators.dedup import ngram_jaccard_pairs
+
+    rows = list(enumerate(texts))
+    df = spark.createDataFrame(rows, "id bigint, t string")
+    key = lambda r: (r["id_a"], r["id_b"])  # noqa: E731
+    drv = sorted(
+        ngram_jaccard_pairs(df, "id", "t", k=2, threshold=0.3).collect(), key=key
+    )
+    dist = sorted(
+        ngram_jaccard_pairs(
+            df, "id", "t", k=2, threshold=0.3, strategy="distributed"
+        ).collect(),
+        key=key,
+    )
+    assert drv == dist
