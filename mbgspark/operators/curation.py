@@ -657,6 +657,15 @@ def _embedding_contamination_vectorized(
         ).orderBy(id_col)
     bmat = np.asarray(bench_rows, dtype=np.float64)  # (N, d)
     bnorm = np.sqrt((bmat * bmat).sum(axis=1))  # (N,)
+    # Pre-normalize the bench matrix ONCE (r8): the earlier
+    # `(cmat @ bmat.T) / np.outer(cnorm, bnorm)` materialized TWO extra
+    # B×N temporaries per batch (the outer-product matrix and the
+    # division result) — measured 26× slower than matmul + one in-place
+    # row division at the sf10 shard shape (11.45 → 0.44 s, SCALE.md).
+    # Values move by last-ulp only (6e-16 max on that shape) — the same
+    # divergence class the fold↔vectorized contract already documents.
+    with np.errstate(divide="ignore", invalid="ignore"):
+        bmat_n = bmat / bnorm[:, None]  # (N, d); zero-norm row → NaN row
 
     def _score(batches):
         for pdf in batches:
@@ -667,7 +676,8 @@ def _embedding_contamination_vectorized(
                 cmat = np.asarray(list(vecs[mask]), dtype=np.float64)  # (B, d)
                 cnorm = np.sqrt((cmat * cmat).sum(axis=1))  # (B,)
                 with np.errstate(divide="ignore", invalid="ignore"):
-                    pair = (cmat @ bmat.T) / np.outer(cnorm, bnorm)
+                    pair = cmat @ bmat_n.T  # (B, N), the ONLY B×N temp
+                    pair /= cnorm[:, None]
                 sims[mask] = pair.max(axis=1)
             out = pd.DataFrame({id_col: pdf[id_col], "max_bench_sim": sims})
             # null corpus vector → null result row (NaN would survive the

@@ -183,6 +183,11 @@ def _brute_force_topk_vectorized(
     qids = [r[0] for r in rows]
     qmat = np.asarray([r[1] for r in rows], dtype=np.float64)  # (Q, d)
     qnorm = np.sqrt((qmat * qmat).sum(axis=1))  # (Q,)
+    # Pre-normalized query matrix (r8): avoids the per-batch B×Q
+    # outer-product + division temporaries (26× on big shards — see
+    # curation._embedding_contamination_vectorized); last-ulp only.
+    with np.errstate(divide="ignore", invalid="ignore"):
+        qmat_n = qmat / qnorm[:, None]  # (Q, d)
     qid_arr = np.asarray(qids)
     qlabels = [r[2] for r in rows] if label_col else None
     qlab_arr = np.asarray(qlabels, dtype=object) if label_col else None
@@ -195,7 +200,8 @@ def _brute_force_topk_vectorized(
             cmat = np.asarray(list(pdf["cv"]), dtype=np.float64)  # (B, d)
             cnorm = np.sqrt((cmat * cmat).sum(axis=1))
             with np.errstate(divide="ignore", invalid="ignore"):
-                sims = (cmat @ qmat.T) / np.outer(cnorm, qnorm)  # (B, Q)
+                sims = cmat @ qmat_n.T  # (B, Q), the ONLY B×Q temp
+                sims /= cnorm[:, None]
             # Half-up AWAY FROM ZERO, matching F.round's BigDecimal
             # HALF_UP on negative cosines too (ADVICE r7: plain
             # floor(x*1e4+0.5) rounds -0.64995 toward +inf).
