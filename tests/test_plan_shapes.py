@@ -397,6 +397,24 @@ def test_lm_bigram_two_pass_explode(spark):
     assert plan.count("CartesianProduct") == 0
 
 
+def test_lm_bigram_vectorized_scoring_has_no_shuffle(spark):
+    """The r8 vectorized scoring pass is shuffle-FREE by design: once the
+    model is fetched at plan build, the returned lineage is scan →
+    (fanout) → MapInPandas → row-local projections — nothing moves at
+    occurrence scale. An exchange appearing here means the scoring half
+    regressed toward the fold's join."""
+    from pyspark.sql import functions as F
+
+    from mbgspark.operators.textstats import bigram_surprise
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    vec = bigram_surprise(docs, strategy="vectorized")
+    plan = vec._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan, plan
+    assert vec.count() > 0
+
+
 def test_split_leakage_probes_are_equijoins(spark):
     """Both fingerprint probes are hash equi-joins against DISTINCT train
     sets (left joins cannot multiply rows), nothing nested-loop."""
