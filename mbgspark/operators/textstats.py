@@ -436,7 +436,12 @@ def bigram_surprise(
     text_col: str = "text",
     strategy: str = "auto",
 ) -> DataFrame:
-    """Corpus-bigram-LM quality score — the conditional-probability upgrade
+    """Corpus-bigram-LM quality score. NOTE: ``strategy="vectorized"`` (and
+    ``"auto"`` when it picks vectorized) runs the model-build job EAGERLY
+    at plan-build time — one collect per invocation, O(model-build), not
+    the usual lazy builder contract.
+
+    The conditional-probability upgrade
     of ``unigram_surprise`` and the closest deterministic analog of the
     KenLM-perplexity filter CCNet-style pipelines run (`score docs by how
     surprising each token is GIVEN its predecessor`); the LM is the
@@ -580,52 +585,105 @@ def _bigram_score_vectorized(
     every doc in one ``mapInPandas`` pass. ``df`` is the already
     fanout-scanned (id, text) projection; output schema and absent-row
     semantics (docs with <2 tokens emit nothing) match the fold exactly —
-    pinned by ``test_bigram_vectorized_matches_fold``."""
+    pinned by ``test_bigram_vectorized_matches_fold``.
+
+    Null ids get the fold's null-GROUP semantics, not per-row scoring:
+    the fold's ``groupBy(id)`` collapses every null-id doc into ONE
+    output row, and Arrow would anyway hand a nullable bigint id column
+    to pandas as float64-with-NaN (corrupting the bigint output schema).
+    So null-id rows are split off JVM-side, scored by the same pandas
+    pass emitting per-batch partial sums, and folded into a single
+    null-id row with one tiny aggregate; the non-null hot path stays
+    shuffle-free. Pinned by ``test_bigram_vectorized_null_id_group``."""
     import re
 
     model = {(r[0], r[1]): r[2] for r in model_rows}
     bcast = df.sparkSession.sparkContext.broadcast(model)
     ws = re.compile(r"\s+", re.ASCII)
     id_type = df.schema[id_col].dataType.simpleString()
+    # Integer mean identical to the fold's JVM expression: both branches
+    # below and the fold compute (2*sum + n) div (2*n) in bigint.
+    mean_expr = (
+        F.expr("(2 * __sum_micro + n_bigrams) div (2 * n_bigrams)")
+        .cast("bigint")
+        .alias("mean_bigram_surprise_micronats")
+    )
 
-    def _score(it):
+    def _doc_sums(m, t):
+        toks = (
+            [w for w in ws.split(t.strip(" ").lower()) if w]
+            if t is not None
+            else []
+        )
+        n = len(toks) - 1
+        if n < 1:
+            return None
+        s = 0
+        for j in range(n):
+            # KeyError here = tokenizer divergence from the JVM
+            # model build — fail loudly, never mis-score
+            s += m[(toks[j], toks[j + 1])]
+        return n, s
+
+    def _sums(it):
         import pandas as pd
 
         m = bcast.value
         for pdf in it:
-            ids, nbgs, means = [], [], []
+            ids, nbgs, sums = [], [], []
             for i, t in zip(pdf[id_col], pdf[text_col]):
-                toks = (
-                    [w for w in ws.split(t.strip(" ").lower()) if w]
-                    if t is not None
-                    else []
-                )
-                n = len(toks) - 1
-                if n < 1:
+                ns = _doc_sums(m, t)
+                if ns is None:
                     continue
-                s = 0
-                for j in range(n):
-                    # KeyError here = tokenizer divergence from the JVM
-                    # model build — fail loudly, never mis-score
-                    s += m[(toks[j], toks[j + 1])]
                 ids.append(i)
-                nbgs.append(n)
-                means.append((2 * s + n) // (2 * n))
+                nbgs.append(ns[0])
+                sums.append(ns[1])
             yield pd.DataFrame(
-                {
-                    id_col: ids,
-                    "n_bigrams": nbgs,
-                    "mean_bigram_surprise_micronats": means,
-                }
+                {id_col: ids, "n_bigrams": nbgs, "__sum_micro": sums}
             )
 
-    return df.mapInPandas(
-        _score,
-        schema=(
-            f"{id_col} {id_type}, n_bigrams bigint, "
-            "mean_bigram_surprise_micronats bigint"
-        ),
+    def _sums_no_id(it):
+        import pandas as pd
+
+        m = bcast.value
+        for pdf in it:
+            nbgs, sums = [], []
+            for t in pdf[text_col]:
+                ns = _doc_sums(m, t)
+                if ns is None:
+                    continue
+                nbgs.append(ns[0])
+                sums.append(ns[1])
+            yield pd.DataFrame({"n_bigrams": nbgs, "__sum_micro": sums})
+
+    sums_schema = f"{id_col} {id_type}, n_bigrams bigint, __sum_micro bigint"
+    scored = (
+        df.filter(F.col(id_col).isNotNull())
+        .mapInPandas(_sums, schema=sums_schema)
+        .select(F.col(id_col), F.col("n_bigrams"), mean_expr)
     )
+    # Null-id branch: partial sums per batch (id column dropped BEFORE
+    # the pandas pass — Arrow would hand an all-null bigint column to
+    # pandas as float64 NaN), one global fold into the single null-group
+    # row the fold strategy would emit. The isNull filter pushes to the
+    # scan (parquet null_count stats skip clean row groups), so a corpus
+    # with no null ids pays ~nothing for this.
+    null_group = (
+        df.filter(F.col(id_col).isNull())
+        .select(text_col)
+        .mapInPandas(_sums_no_id, schema="n_bigrams bigint, __sum_micro bigint")
+        .agg(
+            F.sum("n_bigrams").alias("n_bigrams"),
+            F.sum("__sum_micro").alias("__sum_micro"),
+        )
+        .where(F.col("n_bigrams").isNotNull())
+        .select(
+            F.lit(None).cast(id_type).alias(id_col),
+            F.col("n_bigrams"),
+            mean_expr,
+        )
+    )
+    return scored.unionByName(null_group)
 
 
 def normalize_unicode(

@@ -31,73 +31,18 @@ _ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
 }
 
 # The driver's correctness gate checks the FIRST 50 queries() entries
-# (observed in rounds 1-7: exactly the first 50 insertion-order keys got
+# (observed in rounds 1-8: exactly the first 50 insertion-order keys got
 # CORRECTNESS rows). Order therefore encodes verification priority.
-# Round-8 packing (staleness rotation, VERDICT r7 item 1): slots 1-14 are
-# the 14 remaining entries whose latest driver row is r4 (the oldest
-# cohort after r7's window); slots 15-50 are the 36 stalest r5-row
-# entries (r5 check order within the cohort). After this round no entry's
-# latest row is older than r5; the 14 r5-cohort entries that don't fit
-# (nfc_roundtrip, top_supplier, count_min_user_events, drift_psi,
-# zorder_keys, chi2_lang_source, dedup_minhash_estimate, user_features,
-# loo_target_encode, bm25_topk, tfidf_cosine, cusum_daily_orders,
-# domain_cap_survivors, mad_anomalous_days) go FIRST in the r9 window,
-# then the r6-row cohort. Catalog stays frozen at 164.
+# Round-9 packing (staleness rotation, VERDICT r8 item 1): slots 1-14 are
+# the 14 remaining entries whose latest driver row is r5 (the oldest
+# cohort after r8's window); slots 15-50 are the first 36 r6-row entries
+# in r6 check order (jl_projection .. q18r). After this round no entry's
+# latest row is older than r6; the 14 r6-cohort entries that don't fit
+# (q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, curate_corpus,
+# dedup_embedding, ann_cosine_topk, locate_two_pass) go FIRST in the r10
+# window, then the r7-row cohort. Catalog stays frozen at 164.
 _PRIORITY = [
-    # -- r8 window slots 1-14: last r4-row cohort --
-    "pricing_summary",
-    "forecast_revenue",
-    "grouping_sets_status",
-    "returned_item_customers",
-    "promo_revenue_share",
-    "locate_full_dim",
-    "contamination_check",
-    "repetition_stats",
-    "pii_redaction",
-    "sequence_packing",
-    "top_bigrams",
-    "corpus_shuffle_shards",
-    "mixture_resample",
-    "contamination_embedding",
-    # -- slots 15-50: stalest 36 of the r5-row cohort --
-    "profile_orders",
-    "profile_lineitem_numeric",
-    "heavy_hitter_keys",
-    "split_assign_counts",
-    "group_sample_per_lang",
-    "doc_length_histogram",
-    "gopher_quality",
-    "dedup_incremental",
-    "corpus_snapshot_diff",
-    "mixture_interleave",
-    "volume_shipping",
-    "market_share",
-    "small_qty_revenue",
-    "large_orders",
-    "disjunctive_part_revenue",
-    "trailing_30d_revenue",
-    "dup_span_report",
-    "window_rank_features",
-    "quality_by_domain",
-    "curate_corpus_v2",
-    "outlier_orders",
-    "token_budget_sample",
-    "dedup_embedding_keep_best",
-    "multimodal_frame_index",
-    "funnel_view_click_purchase",
-    "cohort_retention",
-    "waiting_suppliers",
-    "dormant_rich_customers",
-    "lm_bigram_score",
-    "ann_quantized_topk",
-    "split_leakage_counts",
-    "markup_strip_roundtrip",
-    "hard_negatives",
-    "inter_event_gaps",
-    "cardinality_sketch_users",
-    "weighted_sample_docs",
-    # -- past the 50-window: r9 head — the 14 remaining r5-row entries
-    # (staleness order), then the r6-row cohort, then the r7 window --
+    # -- r9 window slots 1-14: last r5-row cohort --
     "nfc_roundtrip",
     "top_supplier",
     "count_min_user_events",
@@ -112,6 +57,59 @@ _PRIORITY = [
     "cusum_daily_orders",
     "domain_cap_survivors",
     "mad_anomalous_days",
+    # -- slots 15-50: first 36 of the r6-row cohort (r6 check order) --
+    "jl_projection",
+    "item_cooccurrence_events",
+    "dup_cluster_histogram",
+    "quantile_sketch_check",
+    "scd2_customer_dim",
+    "scd2_asof_revenue",
+    "dq_checks_orders",
+    "funnel_latency",
+    "event_transitions",
+    "embedding_drift",
+    "augment_dropout",
+    "label_noise",
+    "dedup_strategy_venn",
+    "top_session_paths",
+    "rolling_distinct_users",
+    "rfm_segments",
+    "etl_lifecycle",
+    "q1",
+    "q2",
+    "q3",
+    "q4",
+    "q5",
+    "q6",
+    "q7",
+    "q8",
+    "q9",
+    "q10",
+    "q11",
+    "q12",
+    "q13",
+    "q14",
+    "q15",
+    "q16",
+    "q17",
+    "q18",
+    "q18r",
+    # -- past the 50-window: r10 head — the 14 remaining r6-row entries
+    # (r6 check order), then the r7-row cohort, then the r8 window --
+    "q19",
+    "q20",
+    "q21",
+    "q22",
+    "q23",
+    "q24",
+    "q25",
+    "q26",
+    "q27",
+    "q28",
+    "curate_corpus",
+    "dedup_embedding",
+    "ann_cosine_topk",
+    "locate_two_pass",
 ]
 
 CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {

@@ -172,6 +172,46 @@ def test_bigram_vectorized_matches_fold(spark):
         ts.LM_MODEL_DRIVER_CAP = old
 
 
+def test_bigram_vectorized_null_id_group(spark):
+    """Null doc_ids with scoreable text get the fold's null-GROUP
+    semantics in the vectorized strategy too (ADVICE r8): every null-id
+    doc folds into ONE null-id output row, and the bigint id column
+    never round-trips through pandas as NaN-bearing float64. Covers
+    multiple null-id docs (merged), a null-id doc with <2 tokens
+    (ignored), and the all-null and no-null corpus edges."""
+    from mbgspark.operators import textstats as ts
+
+    rows = [
+        (1, "one two one two one"),
+        (None, "one two one"),         # scoreable, null id
+        (None, "two one two"),         # merges with the row above
+        (None, "one"),                 # <2 tokens: contributes nothing
+        (2, "two one"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+    key = lambda r: (r["doc_id"] is None, r["doc_id"] or 0)  # noqa: E731
+    fold = sorted(ts.bigram_surprise(d, strategy="fold").collect(), key=key)
+    vec = sorted(
+        ts.bigram_surprise(d, strategy="vectorized").collect(), key=key
+    )
+    assert fold == vec
+    nulls = [r for r in vec if r["doc_id"] is None]
+    assert len(nulls) == 1 and nulls[0]["n_bigrams"] == 4
+
+    # all-null corpus: exactly the one null-group row, both strategies
+    d2 = spark.createDataFrame(
+        [(None, "alpha beta"), (None, "beta alpha")], "doc_id bigint, text string"
+    )
+    f2 = sorted(ts.bigram_surprise(d2, strategy="fold").collect(), key=key)
+    v2 = sorted(ts.bigram_surprise(d2, strategy="vectorized").collect(), key=key)
+    assert f2 == v2 and len(v2) == 1 and v2[0]["doc_id"] is None
+
+    # no-null corpus: the null branch must not emit a phantom row
+    d3 = spark.createDataFrame([(7, "alpha beta")], "doc_id bigint, text string")
+    v3 = ts.bigram_surprise(d3, strategy="vectorized").collect()
+    assert [r["doc_id"] for r in v3] == [7]
+
+
 def test_normalize_unicode_folds_combining_marks(spark):
     """NFC folds decomposed sequences to precomposed; ASCII and None pass
     through untouched."""

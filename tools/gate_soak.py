@@ -103,7 +103,12 @@ def main() -> None:
             num_buckets=NUM_BUCKETS,
             compact_every=ce,
         )
-        q.awaitTermination(1200)
+        # awaitTermination returns False on timeout WITHOUT raising; a
+        # hung batch must fail loudly, not let the soak read a store the
+        # query is still writing (ADVICE r8)
+        if not q.awaitTermination(1200):
+            q.stop()
+            raise TimeoutError(f"batch {b}: gate sink still running after 1200 s")
         secs = round(time.time() - t0, 2)
         print(
             json.dumps(

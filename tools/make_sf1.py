@@ -21,9 +21,13 @@ Choices that keep the inflated data honest:
   exactly, but copies share NO shingles, so inflation adds no artificial
   cross-copy near-dup clusters (which would explode pair-query outputs
   quadratically instead of scaling them linearly).
-- embeddings.embedding for copy k>0 is np.roll(vec, k): same norm and
-  component distribution, near-zero cosine to the original — no
-  artificial cross-copy ANN/near-dup mass.
+- embeddings.embedding for copy k>0 is np.roll(vec, k) times a
+  seeded-by-k Rademacher ±1 mask (deterministic): same norm and
+  component distribution, near-zero cosine to the original AND to every
+  other copy — no artificial cross-copy ANN/near-dup mass. The mask is
+  the r9 fix for the roll-only construction's dim-64 CYCLE: at 99
+  copies, roll(k) == roll(k-64), so copies 64..98 duplicated copies
+  0..34's vectors exactly — artificial near-dup mass at sf10.
 - region/nation are dimensions: copied once, unshifted.
 - timestamps/dates/categories copy unchanged — per-day volumes scale
   10×, the same shape real TPC-H SF growth has.
@@ -32,8 +36,12 @@ Usage: python tools/make_sf1.py [out_dir] [copies]   (default /tmp/sf1, 10)
 
 ``copies`` extends the same construction to other SFs (r7 VERDICT item 4:
 a third scale point past sf1) — e.g. ``/tmp/sf3 30`` builds a 3×-sf1
-corpus. The document-stride bound caps ``copies`` at 99: the highest
-shifted base doc id must stay below the 1e6 planted-id floor (asserted).
+corpus. The document stride bounds ``copies``: the highest shifted base
+doc id must stay below the 1e6 planted-id floor (asserted). Up to 99
+copies the stride is the historical 10_000 (sf1/sf3/sf10 corpora
+byte-identical to earlier rounds modulo the embedding-mask fix); above
+99 the stride drops to 5_000 (base doc ids occupy [0, 5000), so copies
+stay disjoint), lifting the ceiling to 199 ≈ sf20 (r8 VERDICT item 4).
 """
 
 from __future__ import annotations
@@ -72,7 +80,9 @@ def suffix_words(texts: list[str | None], k: int) -> list[str | None]:
     ]
 
 
-def copy_table(tbl: pa.Table, name: str, k: int) -> pa.Table:
+def copy_table(
+    tbl: pa.Table, name: str, k: int, doc_stride: int = DOC_STRIDE
+) -> pa.Table:
     if k == 0:
         return tbl
     arrays = []
@@ -81,16 +91,26 @@ def copy_table(tbl: pa.Table, name: str, k: int) -> pa.Table:
         if field.name in KEY_COLS:
             col = pc.add(col, pa.scalar(k * STRIDE, type=field.type))
         elif field.name in DOC_KEY_COLS:
-            col = pc.add(col, pa.scalar(k * DOC_STRIDE, type=field.type))
+            col = pc.add(col, pa.scalar(k * doc_stride, type=field.type))
         elif name == "documents" and field.name == "text":
             col = pa.chunked_array(
                 [pa.array(suffix_words(col.to_pylist(), k), type=field.type)]
             )
         elif name == "embeddings" and field.name == "embedding":
-            rolled = [
-                None if v is None else np.roll(np.asarray(v), k).tolist()
-                for v in col.to_pylist()
-            ]
+            # roll-only cycles at the embedding dim (64); the seeded ±1
+            # mask keeps every copy pair near-orthogonal at any k —
+            # deterministic (seed = k), norm/distribution preserved
+            mask = None
+            rolled = []
+            for v in col.to_pylist():
+                if v is None:
+                    rolled.append(None)
+                    continue
+                a = np.roll(np.asarray(v), k)
+                if mask is None or len(mask) != len(a):
+                    rng = np.random.default_rng(k)
+                    mask = rng.integers(0, 2, len(a)) * 2 - 1
+                rolled.append((a * mask).tolist())
             col = pa.chunked_array([pa.array(rolled, type=field.type)])
         arrays.append(col)
     out = pa.table(arrays, schema=tbl.schema)
@@ -106,11 +126,16 @@ def copy_table(tbl: pa.Table, name: str, k: int) -> pa.Table:
 def main() -> None:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
     copies = int(sys.argv[2]) if len(sys.argv) > 2 else COPIES
-    if not 1 <= copies <= 99:
-        # k=99 shifts the highest base doc id (<5000) to 995e3 — still
-        # under the 1e6 planted-id floor every bounded query keys on;
-        # k=100 would cross it and corrupt the bounded-pair semantics.
-        raise SystemExit(f"copies must be in [1, 99], got {copies}")
+    if not 1 <= copies <= 199:
+        # stride 5000 × k=199 shifts the highest base doc id (<5000) to
+        # 999,999 — the last value under the 1e6 planted-id floor every
+        # bounded query keys on; k=200 would cross it and corrupt the
+        # bounded-pair semantics.
+        raise SystemExit(f"copies must be in [1, 199], got {copies}")
+    # ≤99 copies keeps the historical 10k stride (sf1/sf3/sf10 corpora
+    # reproduce earlier rounds' id layout); >99 needs the tighter 5k
+    # stride (base doc ids occupy [0, 5000) — copies stay disjoint).
+    doc_stride = DOC_STRIDE if copies <= 99 else 5_000
     os.makedirs(out_dir, exist_ok=True)
     for name in TABLES:
         tbl = pq.read_table(f"{SRC}/{name}.parquet")
@@ -118,7 +143,7 @@ def main() -> None:
             pq.write_table(tbl, f"{out_dir}/{name}.parquet")
             print(f"{name}: {tbl.num_rows} rows (dim, copied)")
             continue
-        parts = [copy_table(tbl, name, k) for k in range(copies)]
+        parts = [copy_table(tbl, name, k, doc_stride) for k in range(copies)]
         big = pa.concat_tables(parts)
         pq.write_table(big, f"{out_dir}/{name}.parquet")
         print(f"{name}: {tbl.num_rows} -> {big.num_rows} rows")

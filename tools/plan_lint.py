@@ -83,6 +83,14 @@ _SHUFFLE_INDUCING = {
     "CartesianProductExec",
     "WindowExec",
     "WindowGroupLimitExec",
+    # pandas group/cogroup exec nodes require a hash-clustered child, so
+    # EnsureRequirements puts an exchange under them (ADVICE r8)
+    "FlatMapGroupsInPandasExec",
+    "FlatMapCoGroupsInPandasExec",
+    "AggregateInPandasExec",
+    "FlatMapGroupsInPandasWithStateExec",
+    # limit-then-sort: GlobalLimitExec gets a single-partition exchange
+    "GlobalLimitExec",
 }
 
 
