@@ -51,6 +51,11 @@ class ConvergenceError(RuntimeError):
 # on an 8 GB driver — far above any LSH-capped near-dup graph, far below
 # driver risk. Above it the star loop runs distributed (where, at that
 # size, its per-round cost is amortized by real work).
+# Measured (tools/drivercap_audit.py, r9): a cap-sized run peaks at
+# 0.64 GB python / 1.4 GB JVM RSS over a 0.1/0.35 GB baseline, and the
+# worst-case concurrent pairing (this + a cap-sized bigram model in one
+# session) peaks at 1.6 GB python / 6.0 GB JVM — the one-query-owns-the-
+# heap assumption survives two cap-sized queries with headroom.
 _DRIVER_EDGE_CAP = 1_000_000
 
 

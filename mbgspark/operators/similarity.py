@@ -148,6 +148,10 @@ def _brute_force_topk_vectorized(
         # Mirror that by excluding null-label rows from both sides up
         # front (ADVICE r7, medium).
         qsel = qsel.where(F.col(label_col).isNotNull())
+    # Query-side collect bounded by the broadcast contract (no fixed row
+    # cap). Measured (tools/drivercap_audit.py, r9): 20k × 64-float
+    # queries against a 100k corpus peaks at 0.36 GB python RSS — the
+    # query matrix, not this collect, is the footprint that matters.
     rows = qsel.collect()
     id_type = corpus.schema[id_col].dataType.simpleString()
     cand_schema = f"query_id {id_type}, match_id {id_type}, __sim_e4 bigint"

@@ -420,6 +420,12 @@ def gopher_quality_filter(
 #: ONE action, fall back to the fold join on overflow. 2M (w1, w2, int)
 #: rows is a few hundred MB of driver dict, comfortably under the bound
 #: that legalizes the other families' broadcasts.
+#: Measured (tools/drivercap_audit.py, r9): a cap-sized model (2M rows
+#: collected + dict + pickled broadcast) peaks at 1.48 GB python /
+#: 3.7 GB JVM RSS — the heaviest of the four driver strategies — and
+#: paired concurrently with a cap-sized union-find in one session the
+#: driver peaks at 1.6 GB python / 6.0 GB JVM: two cap-sized queries
+#: coexist with headroom, no cap reduction owed.
 LM_MODEL_DRIVER_CAP = 2_000_000
 
 #: Corpus leaf bytes (COMPRESSED file bytes — the parquet footer stats
