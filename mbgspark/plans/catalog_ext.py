@@ -2111,7 +2111,12 @@ def label_centroids(spark, sf_dir):
     pos = e.select("label", F.posexplode("embedding").alias("idx", "v"))
     return (
         pos.groupBy("label", "idx")
-        .agg(F.round(F.avg("v"), 4).alias("m"), F.count("*").alias("n"))
+        # + 0.0 folds IEEE negative zero to +0.0 (-0.0 + 0.0 = +0.0):
+        # a tiny-negative mean rounds to zero as -0.0 in DuckDB but
+        # +0.0 in Spark, and the byte-level value hash sees them as
+        # different rows (surfaced by the r9 sf1 corpus; both sides
+        # carry the same normalization)
+        .agg((F.round(F.avg("v"), 4) + F.lit(0.0)).alias("m"), F.count("*").alias("n"))
         .filter(F.col("idx") < 4)
         .orderBy("label", "idx")
     )
@@ -2119,7 +2124,7 @@ def label_centroids(spark, sf_dir):
 
 LABEL_CENTROIDS_SQL = """
 SELECT label, CAST(i.idx AS INT) AS idx,
-       round(avg(embedding[i.idx + 1]), 4) AS m,
+       round(avg(embedding[i.idx + 1]), 4) + 0.0 AS m,
        count(*) AS n
 FROM embeddings, (VALUES (0), (1), (2), (3)) AS i(idx)
 GROUP BY 1, 2 ORDER BY 1, 2
