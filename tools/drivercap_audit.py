@@ -70,16 +70,16 @@ class PeakSampler:
     def __init__(self):
         self._stop = threading.Event()
         self.peak_py = 0
-        self.peak_jvm = 0
-        self._jvm_pids = _java_children()
+        self.peak_java = 0
+        self._java_pids = _java_children()  # plain OS pids; no JVM internals
         self._t = threading.Thread(target=self._run, daemon=True)
 
     def _run(self):
         me = os.getpid()
         while not self._stop.is_set():
             self.peak_py = max(self.peak_py, _rss_kb(me))
-            self.peak_jvm = max(
-                self.peak_jvm, sum(_rss_kb(p) for p in self._jvm_pids)
+            self.peak_java = max(
+                self.peak_java, sum(_rss_kb(p) for p in self._java_pids)
             )
             time.sleep(0.05)
 
@@ -179,7 +179,7 @@ def run_phase(spark, name, fn) -> dict:
         "phase": name,
         "secs": round(time.time() - t0, 2),
         "peak_py_mb": s.peak_py // 1024,
-        "peak_jvm_mb": s.peak_jvm // 1024,
+        "peak_java_mb": s.peak_java // 1024,
         **extra,
     }
     print(json.dumps(rec), flush=True)
@@ -198,8 +198,8 @@ def main() -> None:
     ]
     spark = get_spark("drivercap_audit")
     baseline = {"py_mb": _rss_kb(os.getpid()) // 1024}
-    jvm = _java_children()
-    baseline["jvm_mb"] = sum(_rss_kb(p) for p in jvm) // 1024
+    java_pids = _java_children()
+    baseline["java_mb"] = sum(_rss_kb(p) for p in java_pids) // 1024
     print(json.dumps({"phase": "baseline", **baseline}), flush=True)
 
     for name in wanted:
@@ -229,7 +229,7 @@ def main() -> None:
                         "phase": "concurrent(bigram+components)",
                         "secs": round(time.time() - t0, 2),
                         "peak_py_mb": s.peak_py // 1024,
-                        "peak_jvm_mb": s.peak_jvm // 1024,
+                        "peak_java_mb": s.peak_java // 1024,
                         "per_phase": results,
                     }
                 ),
