@@ -553,3 +553,36 @@ def test_fanout_leaf_bytes_probe_is_live(spark):
     assert probed < io._FANOUT_MIN_BYTES  # NOT the fallback value
     assert 0 < probed <= actual * 3  # footer-derived, same order as the file
     assert probed >= actual // 3
+
+
+def test_load_table_reads_directory_shaped_tables(spark, tmp_path):
+    """A table may be one parquet FILE or a DIRECTORY of part files (the
+    production layout; tools/make_split.py builds it at scale). load_table
+    must read both shapes through the same path, and the directory shape
+    must arrive with one split per part file so scans parallelize without
+    fanout_scan's exchange (r9, SCALE.md 'directory-shaped tables')."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mbgspark.io import load_table
+
+    sf_dir = tmp_path / "sfdir"
+    d = sf_dir / "documents.parquet"
+    d.mkdir(parents=True)
+    rows = [(i, f"doc number {i} text") for i in range(90)]
+    for p in range(3):
+        chunk = rows[p * 30 : (p + 1) * 30]
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in chunk], type=pa.int64()),
+                    "text": pa.array([r[1] for r in chunk]),
+                }
+            ),
+            str(d / f"part-{p:05d}.parquet"),
+        )
+    df = load_table(spark, str(sf_dir), "documents")
+    assert df.count() == 90
+    assert sorted(r["doc_id"] for r in df.collect()) == list(range(90))
+    # file-granular splits: at least one task per part file
+    assert df.rdd.getNumPartitions() >= 3
