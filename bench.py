@@ -75,7 +75,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # dir names like sf1_split (tools/make_split.py) carry a suffix after
     # the numeric SF — parse the leading float, don't crash on the rest
-    m = re.match(r"sf?([0-9.]+)", os.path.basename(sf_dir.rstrip("/")))
+    m = re.match(r"sf([0-9]+(?:\.[0-9]+)?)", os.path.basename(sf_dir.rstrip("/")))
     sf = float(m.group(1)) if m else 0.1
     # Isolated mode (regression triage — NOTES_r6): name queries on the
     # command line to warm + time ONLY those, removing suite-ordering and

@@ -33,69 +33,19 @@ _ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
 # The driver's correctness gate checks the FIRST 50 queries() entries
 # (observed in rounds 1-8: exactly the first 50 insertion-order keys got
 # CORRECTNESS rows). Order therefore encodes verification priority.
-# Round-9 packing (staleness rotation, VERDICT r8 item 1): slots 1-14 are
-# the 14 remaining entries whose latest driver row is r5 (the oldest
-# cohort after r8's window); slots 15-50 are the first 36 r6-row entries
-# in r6 check order (jl_projection .. q18r). After this round no entry's
-# latest row is older than r6; the 14 r6-cohort entries that don't fit
-# (q19, q20, q21, q22, q23, q24, q25, q26, q27, q28, curate_corpus,
-# dedup_embedding, ann_cosine_topk, locate_two_pass) go FIRST in the r10
-# window, then the r7-row cohort. Catalog stays frozen at 164.
+# Round-10 packing (staleness rotation, VERDICT r9 item 1): slots 1-14 are
+# the 14 remaining entries whose latest driver row is r6 (the oldest
+# cohort after r9's window); slots 15-50 are the first 36 r7-row entries
+# in r7 check order (label_centroids .. grouped_string_agg). After this
+# round no entry's latest row is older than r7; the 14 r7-cohort entries
+# that don't fit (sessionize_events, json_props_extract,
+# shipping_priority_top10, region_nation_revenue, cube_flag_status,
+# dod_order_delta, customer_period_sets, big_spenders_vs_avg,
+# exists_shipped_priority, cust_order_histogram, spend_quartiles,
+# daily_gapfill, top3_orders_per_segment, segment_revenue_share) go FIRST
+# in the r11 window, then the r8-row cohort. Catalog stays frozen at 164.
 _PRIORITY = [
-    # -- r9 window slots 1-14: last r5-row cohort --
-    "nfc_roundtrip",
-    "top_supplier",
-    "count_min_user_events",
-    "drift_psi",
-    "zorder_keys",
-    "chi2_lang_source",
-    "dedup_minhash_estimate",
-    "user_features",
-    "loo_target_encode",
-    "bm25_topk",
-    "tfidf_cosine",
-    "cusum_daily_orders",
-    "domain_cap_survivors",
-    "mad_anomalous_days",
-    # -- slots 15-50: first 36 of the r6-row cohort (r6 check order) --
-    "jl_projection",
-    "item_cooccurrence_events",
-    "dup_cluster_histogram",
-    "quantile_sketch_check",
-    "scd2_customer_dim",
-    "scd2_asof_revenue",
-    "dq_checks_orders",
-    "funnel_latency",
-    "event_transitions",
-    "embedding_drift",
-    "augment_dropout",
-    "label_noise",
-    "dedup_strategy_venn",
-    "top_session_paths",
-    "rolling_distinct_users",
-    "rfm_segments",
-    "etl_lifecycle",
-    "q1",
-    "q2",
-    "q3",
-    "q4",
-    "q5",
-    "q6",
-    "q7",
-    "q8",
-    "q9",
-    "q10",
-    "q11",
-    "q12",
-    "q13",
-    "q14",
-    "q15",
-    "q16",
-    "q17",
-    "q18",
-    "q18r",
-    # -- past the 50-window: r10 head — the 14 remaining r6-row entries
-    # (r6 check order), then the r7-row cohort, then the r8 window --
+    # -- r10 window slots 1-14: last r6-row cohort --
     "q19",
     "q20",
     "q21",
@@ -110,6 +60,59 @@ _PRIORITY = [
     "dedup_embedding",
     "ann_cosine_topk",
     "locate_two_pass",
+    # -- slots 15-50: first 36 of the r7-row cohort (r7 check order) --
+    "label_centroids",
+    "fingerprints",
+    "salted_segment_revenue",
+    "rollup_status_priority",
+    "asof_click_view",
+    "range_join_value_tiers",
+    "pivot_event_types",
+    "reprocess_idempotent",
+    "stratified_sample_counts",
+    "domain_mixture",
+    "url_stats",
+    "line_filter_stats",
+    "quality_surprise",
+    "tfidf_terms",
+    "chunk_windows",
+    "kmeans_clusters",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dup_spans",
+    "dedup_simhash_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_semantic_keep_best",
+    "dup_components",
+    "dedup_embedding_blocked",
+    "dedup_embedding_multiprobe",
+    "ann_ivf_topk",
+    "ann_ivf_kmeans_topk",
+    "langid_confusion",
+    "quality_scores",
+    "token_counts",
+    "multimodal_features",
+    "sentiment_pandas_udf",
+    "trend_moving_avg",
+    "percentile_by_status",
+    "grouped_string_agg",
+    # -- past the 50-window: r11 head -- the 14 remaining r7-row entries
+    # (r7 check order), then the r8 window, then the r9 window --
+    "sessionize_events",
+    "json_props_extract",
+    "shipping_priority_top10",
+    "region_nation_revenue",
+    "cube_flag_status",
+    "dod_order_delta",
+    "customer_period_sets",
+    "big_spenders_vs_avg",
+    "exists_shipped_priority",
+    "cust_order_histogram",
+    "spend_quartiles",
+    "daily_gapfill",
+    "top3_orders_per_segment",
+    "segment_revenue_share",
 ]
 
 CATALOG: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {

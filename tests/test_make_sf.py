@@ -5,12 +5,13 @@ copies k and k+64 were bit-identical, planting artificial exact-dup
 embedding mass in every sf10 measurement. These tests run pure
 pyarrow/numpy — no Spark session."""
 
+import os
 import sys
 
 import numpy as np
 import pyarrow as pa
 
-sys.path.insert(0, "/root/repo/tools")
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
 
 from make_sf1 import copy_table  # noqa: E402
 

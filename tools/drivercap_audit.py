@@ -71,15 +71,17 @@ class PeakSampler:
         self._stop = threading.Event()
         self.peak_py = 0
         self.peak_java = 0
-        self._java_pids = _java_children()  # plain OS pids; no JVM internals
         self._t = threading.Thread(target=self._run, daemon=True)
 
     def _run(self):
         me = os.getpid()
         while not self._stop.is_set():
             self.peak_py = max(self.peak_py, _rss_kb(me))
+            # re-enumerate every tick (cheap at 50 ms cadence): a JVM
+            # (re)spawned mid-phase would be invisible to a pid list
+            # cached at construction, silently under-reporting peak_java
             self.peak_java = max(
-                self.peak_java, sum(_rss_kb(p) for p in self._java_pids)
+                self.peak_java, sum(_rss_kb(p) for p in _java_children())
             )
             time.sleep(0.05)
 

@@ -143,6 +143,21 @@ def main() -> None:
             pq.write_table(tbl, f"{out_dir}/{name}.parquet")
             print(f"{name}: {tbl.num_rows} rows (dim, copied)")
             continue
+        for col in DOC_KEY_COLS & set(tbl.schema.names):
+            # the '(asserted)' claim in the module docstring: base ids
+            # must fit under the stride (else copies collide) and the
+            # highest shifted id must stay under the 1e6 planted-id
+            # floor (else bounded queries absorb inflated copies).
+            base_max = pc.max(tbl.column(col)).as_py()
+            assert base_max < doc_stride, (
+                f"{name}.{col} max base id {base_max} >= stride "
+                f"{doc_stride}: copies would collide"
+            )
+            shifted_max = base_max + (copies - 1) * doc_stride
+            assert shifted_max < 1_000_000, (
+                f"{name}.{col} max shifted id {shifted_max} crosses the "
+                f"1e6 planted-id floor"
+            )
         parts = [copy_table(tbl, name, k, doc_stride) for k in range(copies)]
         big = pa.concat_tables(parts)
         pq.write_table(big, f"{out_dir}/{name}.parquet")
