@@ -16,6 +16,25 @@ complementary to AQE's runtime skew-join splitting
   count-distinct where a single reducer would otherwise hold the whole
   hot key's value set. Plain count/sum/avg don't need this: Spark's
   hash-aggregate already does map-side partials.
+
+MEASURED ORDER OF PREFERENCE (tools/key_skew_octave.py, SCALE.md r10:
+one custkey holding 50% of orders rows, best-of-2, checksummed
+identical results). At 59.4M fact rows / 29.7M hot / 1.485M-row build
+(too big for the 10 MB auto-broadcast): broadcast-hint 2.3 s <
+**AQE-skew-split 5.7 s** < plain SMJ 15.8 s < salted_join(16) 22.1 s;
+at 14.85M/7.4M the straggler doesn't yet dominate and AQE ≈ plain
+(3.5/3.7 s) with salted still ×2.8 worse. Count-distinct under the
+same 50%-hot group key: plain 6.3 s < salted 8.6 s — Spark's
+Expand-based two-phase distinct already spreads the hot group across
+the (group, value) shuffle. So the engine's DEFAULT stance (pinned in
+test_skew.py): broadcast when the build legally fits, otherwise trust
+AQE's skew split (on in every get_spark session); reach for
+``salted_join`` only where AQE's split cannot apply — a join whose
+output partitioning must be preserved for a downstream stage, or a
+non-SMJ/SHJ path — and expect to PAY the ×S build replication for it.
+``salted_count_distinct`` earns its keep only when the per-(group,
+value) pair set itself overwhelms a reducer, not at any shape measured
+here.
 """
 
 from __future__ import annotations

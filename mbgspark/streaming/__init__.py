@@ -185,12 +185,18 @@ def start_merge_sink(
     checkpoint_path: str,
     key: str = "_id",
     available_now: bool = False,
+    max_records_per_file: int = 5_000_000,
 ) -> StreamingQuery:
     """X5 idempotent sink: per-micro-batch MERGE into the partitioned store.
 
     foreachBatch + keep-latest merge + dynamic partition overwrite ⇒ replayed
     batches (crash recovery) converge to the same store state — the
-    exactly-once analog of Mongo upsert (resilient_scraper.py:944-972)."""
+    exactly-once analog of Mongo upsert (resilient_scraper.py:944-972).
+
+    ``max_records_per_file`` flows to ``write_partitioned``: at 100 TB a
+    hot day is MANY part files under its partition directory, a store
+    shape the bound produces automatically; the soak harness lowers it
+    to force that directory shape at test scale (tools/merge_soak.py)."""
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -219,7 +225,12 @@ def start_merge_sink(
         else:
             # no store yet — still dedup re-delivered keys within the batch
             merged = keep_latest_per_key(batch_df, key=key, order_col="scraped_at")
-        write_partitioned(merged, store_path, "event_date")
+        write_partitioned(
+            merged,
+            store_path,
+            "event_date",
+            max_records_per_file=max_records_per_file,
+        )
 
     writer = stream.writeStream.foreachBatch(_merge).option(
         "checkpointLocation", checkpoint_path
@@ -402,6 +413,7 @@ def start_neardup_gate_sink_indexed(
     index_arrays: bool = True,
     num_buckets: int = 64,
     compact_every: int | None = None,
+    compact_target_files: int = 1,
 ) -> StreamingQuery:
     """The INDEX-MAINTAINING form of the near-dup ingest gate. Each
     batch:
@@ -499,7 +511,14 @@ def start_neardup_gate_sink_indexed(
     batch's writes and the next batch's reads; a crash mid-compaction is
     healed by the manifest-scoped recovery on the next batch (or the
     next manual call). This bounds the long-running stream's file count
-    at O(compact_every × buckets) instead of O(batches × buckets)."""
+    at O(compact_every × buckets) instead of O(batches × buckets).
+    ``compact_target_files`` sizes the folded FLAT-store base generation
+    (bucketed index paths keep their bucket layout regardless): the
+    default 1 suits test-scale stores, but a base generation one task
+    can rewrite stops existing long before 100 TB — a production stream
+    sets this to its store's natural part count so the fold stays a
+    directory of parallel-written parts (the same many-files shape
+    tools/make_split.py exercises on the batch side)."""
     from mbgspark.operators.dedup import (
         _oversized_metrics_row,
         build_minhash_index,
@@ -898,7 +917,9 @@ def start_neardup_gate_sink_indexed(
                     and st.getPath().getName() != "__gate_batch=-1"
                 ]
                 if len(live) >= compact_every:
-                    compact_gate_store(spark, store_path)
+                    compact_gate_store(
+                        spark, store_path, target_files=compact_target_files
+                    )
                     if index_arrays:
                         compact_gate_store(spark, arrays_path)
                     compact_gate_store(spark, bands_path)
@@ -944,7 +965,15 @@ def compact_gate_store(
     either marker is an incomplete remnant: discarded and rebuilt.
     Safe to run whenever no batch is concurrently WRITING — i.e. with
     the stream stopped, or from inside the gate's own foreachBatch
-    (``compact_every``), which is the only writer."""
+    (``compact_every``), which is the only writer.
+
+    ``target_files`` sizes the FLAT store's folded base: 1 (default)
+    coalesces to one task's output — right for test-scale stores;
+    > 1 repartitions to exactly that many parts (the directory-shaped
+    base a 100 TB store needs — no single task could rewrite it), at
+    the cost of one round-robin shuffle of bytes the fold was rewriting
+    anyway. Bucketed index paths ignore it (their layout is the bucket
+    sub-partitioning)."""
     import json
 
     staging = path.rstrip("/") + ".__compact_staging"
@@ -1003,12 +1032,20 @@ def compact_gate_store(
             .partitionBy("__bucket")
             .parquet(staging)
         )
-    else:
-        # flat survivors store: ``target_files`` caps the compacted file
-        # count (raise it for stores too large for one task's output)
-        df.drop("__gate_batch").coalesce(target_files).write.mode(
+    elif target_files > 1:
+        # directory-shaped base (the 100 TB layout): a deterministic
+        # round-robin repartition — one extra shuffle of the store bytes,
+        # but the fold is a full rewrite anyway, and coalesce() can only
+        # REDUCE partitions (a small-file store reads as few partitions,
+        # so coalesce(32) would silently emit a near-single-file base)
+        df.drop("__gate_batch").repartition(target_files).write.mode(
             "overwrite"
         ).parquet(staging)
+    else:
+        # flat survivors store, test-scale default: one task's output
+        df.drop("__gate_batch").coalesce(1).write.mode("overwrite").parquet(
+            staging
+        )
     # commit marker pair: _SUCCESS (parquet committer) + the manifest —
     # written AFTER the data, so a crash in between reads as incomplete
     _write_small_file(spark, manifest_path, json.dumps({"dirs": dirs}))

@@ -40,3 +40,24 @@ def test_salted_count_distinct_exact(spark):
         for r in salted_count_distinct(df, "g", "v", buckets=4).collect()
     }
     assert got == {"a": 7, "b": 13}
+
+
+def test_skew_default_stance_is_aqe_split(spark):
+    """The measured pin (SCALE.md r10, tools/key_skew_octave.py): at a
+    50%-hot join key the winning non-broadcast strategy is AQE's skew
+    split (5.7 s vs plain 15.8 s vs salted 22.1 s at 59.4M fact rows),
+    so the engine session MUST keep it on — salting is the documented
+    exception path, never the default."""
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+
+def test_salted_join_rejects_build_duplicating_types(spark):
+    """right/full outer would emit every unmatched build row x buckets —
+    the operator must refuse, not return silently wrong rows."""
+    import pytest
+
+    fact = spark.createDataFrame([(1, "a")], "k int, p string")
+    build = spark.createDataFrame([(2, "v")], "k int, val string")
+    with pytest.raises(ValueError, match="would duplicate"):
+        salted_join(fact, build, "k", 4, "right")

@@ -1110,3 +1110,64 @@ def test_streaming_etl_lifecycle_matches_batch_twin(spark, tmp_path):
     assert by_id["2"][cols.index("city")] == "jakarta selatan"
     assert by_id["3"][cols.index("city")] is None
     assert by_id["1"][cols.index("like_count")] == "9"  # keep-latest won
+
+
+def test_compact_target_files_builds_directory_shaped_base(spark, tmp_path):
+    """VERDICT r9 item 5 plumbing: ``compact_gate_store(target_files=N)``
+    with N > 1 folds the flat store into a base generation of exactly N
+    part files (the 100 TB directory shape), content-identical to the
+    single-file fold."""
+    import os
+
+    from mbgspark.streaming import compact_gate_store
+
+    def seed(tag):
+        store = str(tmp_path / f"{tag}_store")
+        for b in range(3):
+            spark.range(b * 100, b * 100 + 100).selectExpr(
+                "id AS doc_id", "concat('body ', id) AS text"
+            ).write.mode("overwrite").parquet(f"{store}/__gate_batch={b}")
+        return store
+
+    single, multi = seed("single"), seed("multi")
+    assert compact_gate_store(spark, single) == 3
+    assert compact_gate_store(spark, multi, target_files=4) == 3
+
+    def parts(store):
+        base = f"{store}/__gate_batch=-1"
+        return sorted(f for f in os.listdir(base) if f.endswith(".parquet"))
+
+    assert len(parts(single)) == 1
+    assert len(parts(multi)) == 4
+    a = spark.read.parquet(single).drop("__gate_batch")
+    b = spark.read.parquet(multi).drop("__gate_batch")
+    assert sorted(r["doc_id"] for r in a.collect()) == sorted(
+        r["doc_id"] for r in b.collect()
+    )
+
+
+def test_merge_sink_max_records_per_file_bounds_day_files(spark, tmp_path):
+    """``start_merge_sink(max_records_per_file=...)`` flows to the store
+    writer: a day partition splits into ceil(rows/bound) part files —
+    the many-part directory shape — while keyed merge semantics hold."""
+    import os
+
+    src = tmp_path / "src_mrpf"
+    rows = [
+        {**R1, "_id": str(i), "scraped_at": "2025-01-01T11:00:00Z"}
+        for i in range(6)
+    ]
+    _write_batch(src, rows)
+    store = str(tmp_path / "store_mrpf")
+    q = start_merge_sink(
+        read_tweet_stream(spark, str(src)),
+        store,
+        str(tmp_path / "ck_mrpf"),
+        available_now=True,
+        max_records_per_file=2,
+    )
+    q.awaitTermination(120)
+    day = f"{store}/event_date=2025-01-01"
+    files = [f for f in os.listdir(day) if f.endswith(".parquet")]
+    assert len(files) == 3  # 6 rows / 2 per file
+    assert spark.read.parquet(store).count() == 6

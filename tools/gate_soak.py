@@ -18,8 +18,15 @@ call takes the adoption path. Both must end with identical doc_id sets.
 Reuses gate_bench's corpus/seed/batch construction so the store layout
 is the gate's own. Prints one JSON line per batch and one summary line.
 
-Usage: python tools/gate_soak.py [N_docs] [batches] [compact_every]
-       (defaults: 1000000 12 3)
+Usage: python tools/gate_soak.py [N_docs] [batches] [compact_every] [target_files]
+       (defaults: 1000000 12 3 1)
+
+``target_files`` > 1 runs the soak in the DIRECTORY-SHAPED store mode
+(VERDICT r9 item 5): in-line compaction folds the flat store base to
+that many part files instead of one — the 100 TB shape, where the base
+generation is a directory of parallel-written parts that no single task
+could rewrite. The replay twins compact with the same target, so the
+crash-adoption path is exercised on the many-part layout too.
 """
 
 from __future__ import annotations
@@ -71,6 +78,7 @@ def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     batches = int(sys.argv[2]) if len(sys.argv) > 2 else 12
     ce = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    target_files = int(sys.argv[4]) if len(sys.argv) > 4 else 1
 
     spark = get_spark("gate_soak")
     spark.sparkContext.setLogLevel("ERROR")
@@ -102,6 +110,7 @@ def main() -> None:
             index_arrays=True,
             num_buckets=NUM_BUCKETS,
             compact_every=ce,
+            compact_target_files=target_files,
         )
         # awaitTermination returns False on timeout WITHOUT raising; a
         # hung batch must fail loudly, not let the soak read a store the
@@ -151,15 +160,15 @@ def main() -> None:
             (
                 spark.read.parquet(twin_store)
                 .drop("__gate_batch")
-                .coalesce(4)
+                .coalesce(max(4, target_files))
                 .write.mode("overwrite")
                 .parquet(staging)
             )
             with open(f"{staging}/_COMPACT_MANIFEST.json", "w") as f:
                 json.dump({"dirs": dirs_at_snapshot}, f)
         extra.write.mode("overwrite").parquet(f"{twin_store}/__gate_batch=9999")
-        folded_1 = compact_gate_store(spark, twin_store)
-        folded_2 = compact_gate_store(spark, twin_store)
+        folded_1 = compact_gate_store(spark, twin_store, target_files=target_files)
+        folded_2 = compact_gate_store(spark, twin_store, target_files=target_files)
         df = spark.read.parquet(twin_store)
         results[twin] = {
             "folded": [folded_1, folded_2],

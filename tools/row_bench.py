@@ -1,0 +1,85 @@
+"""Time arbitrary CATALOG rows (Spark + DuckDB oracle) at a given SF dir.
+
+bench.py / bench_oracle.py are pinned to the driver's HEADLINE set; the
+scale octaves (VERDICT r9 items 2-4: the r9-mask embedding baseline, the
+key-skew octave, the split-layout sweep) need the same protocol on
+NON-headline rows (ann_ivf_topk, label_centroids, jl_projection, ...).
+This tool generalizes the pair: for each named catalog row it
+
+- warms the Spark plan at sf0.001 (JIT/codegen, per bench.py's rationale),
+  then times best-of-2 at the real SF with the noop sink (full compute,
+  no collect cost) — byte-for-byte the bench.py measurement;
+- warms + times the row's DuckDB oracle on the same parquet (per
+  bench_oracle.py); rows with no SQL oracle report null.
+
+Usage: python tools/row_bench.py SF_DIR NAME [NAME...]
+Prints one JSON line:
+  {"sf_dir": ..., "spark": {name: s}, "oracle": {name: s|null},
+   "spark_total": s, "oracle_total": s}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import ITERATIVE, run_one
+from mbgspark.plans.catalog import CATALOG
+from mbgspark.session import get_spark
+from tools.parity import duck_connection
+
+WARM_DIR = "/root/testdata/sf0.001"
+
+
+def main() -> None:
+    if len(sys.argv) < 3:
+        sys.exit("usage: row_bench.py SF_DIR NAME [NAME...]")
+    sf_dir = sys.argv[1]
+    names = sys.argv[2:]
+    unknown = [n for n in names if n not in CATALOG]
+    if unknown:
+        sys.exit(f"row_bench: not in CATALOG: {unknown}")
+
+    spark = get_spark("row_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    for name in names:
+        try:
+            run_one(spark, name, WARM_DIR)
+        except Exception:
+            pass
+    spark_times: dict[str, float] = {}
+    for name in names:
+        spark_times[name] = round(min(run_one(spark, name, sf_dir) for _ in range(2)), 3)
+
+    con = duck_connection(sf_dir)
+    oracle_times: dict[str, float | None] = {}
+    for name in names:
+        sql = CATALOG[name][1]
+        if sql is None:
+            oracle_times[name] = None
+            continue
+        con.execute(sql).fetchall()  # warm (page cache + catalog)
+        t0 = time.time()
+        con.execute(sql).fetchall()
+        oracle_times[name] = round(time.time() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "sf_dir": sf_dir,
+                "spark": spark_times,
+                "oracle": oracle_times,
+                "spark_total": round(sum(spark_times.values()), 3),
+                "oracle_total": round(sum(v for v in oracle_times.values() if v), 3),
+                "iterative_cold": sorted(set(names) & ITERATIVE),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
