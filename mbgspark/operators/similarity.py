@@ -307,12 +307,22 @@ def build_ivf_index(
     if n_cells is None and centroids is None:
         n_cells = auto_ivf_cells(corpus)
     cents = _centroid_table(corpus, n_cells, id_col, vec_col, centroids)
-    w_assign = Window.partitionBy("match_id").orderBy(F.desc("a_sim"), F.asc("cell_id"))
-    out = (
-        corpus.select(
-            F.col(id_col).alias("match_id"),
-            F.col(vec_col).alias("cv"),
-            vec_norm(F.col(vec_col)).alias("__cvn"),
+    # Assignment is an n × n_cells broadcast crossJoin whose parallelism
+    # equals the CORPUS side's partition count — fan it out to session
+    # cores like every other broadcast scorer (r10: the un-fanned 8-way
+    # scan serialized 3.2M cosine folds onto a straggler at sf10; see
+    # SCALE.md). Top-1 per vector is a hash-aggregate max_by on the
+    # identical rank key (a_sim desc, cell_id asc — encoded as a
+    # (a_sim, -cell_id) struct max), NOT a row_number window: the agg
+    # combines map-side, so the shuffle carries n rows, not n × n_cells,
+    # and no sort happens. Same argmax, same rounding, identical output.
+    scored = (
+        _fanout(
+            corpus.select(
+                F.col(id_col).alias("match_id"),
+                F.col(vec_col).alias("cv"),
+                vec_norm(F.col(vec_col)).alias("__cvn"),
+            )
         )
         .crossJoin(cents.withColumn("__ctn", vec_norm(F.col("cent"))))
         .withColumn(
@@ -324,10 +334,13 @@ def build_ivf_index(
                 6,
             ),
         )
-        .withColumn("__rn", F.row_number().over(w_assign))
-        .filter(F.col("__rn") == 1)
-        .select("match_id", "cv", "cell_id")
     )
+    out = scored.groupBy("match_id").agg(
+        F.max_by(
+            F.col("cell_id"), F.struct(F.col("a_sim"), (-F.col("cell_id")).alias("nc"))
+        ).alias("cell_id"),
+        F.first("cv").alias("cv"),
+    ).select("match_id", "cv", "cell_id")
     if default_built:
         out = out.withColumn("__default_cells", F.lit(True))
     return out
@@ -585,16 +598,30 @@ def quantize_int8(
     every downstream dot product of the resulting integer grids (|q|<=127,
     so a 64-dim dot <= ~1.03e6) is EXACTLY representable in double — the
     approximate path stays value-hash comparable across engines. A zero
-    vector quantizes to zeros (guarded; no 0/0 at the scale step)."""
+    vector quantizes to zeros (guarded; no 0/0 at the scale step).
+
+    PHYSICAL SHAPE (r10): the per-row ``maxabs`` scalar must NOT appear
+    inside the per-element lambda — Catalyst inlines outer expressions
+    into LambdaFunction bodies, so ``transform(v, x -> x/maxabs)``
+    re-evaluates the 64-element array_max PER ELEMENT (~64× the work;
+    measured 7.9 s to quantize 19.9k vectors, ~0.4 ms/row, the whole
+    ann_quantized_topk hotspot at every SF). ``array_repeat(maxabs,
+    size)`` evaluates the scalar ONCE per row as a plain function
+    argument — collapse-proof — and ``zip_with`` reads it back per
+    element; the arithmetic per element (x·127/maxabs, half-up floor,
+    tinyint cast) is unchanged, so values are bit-identical
+    (test_kmeans pins the A/B)."""
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     maxabs = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    rep = F.array_repeat(maxabs, F.size(F.col(vec_col)))
     q = F.when(
         maxabs == F.lit(0.0),
         F.transform(v, lambda x: F.lit(0).cast("tinyint")),
     ).otherwise(
-        F.transform(
+        F.zip_with(
             v,
-            lambda x: F.floor(x * F.lit(127.0) / maxabs + F.lit(0.5)).cast("tinyint"),
+            rep,
+            lambda x, m: F.floor(x * F.lit(127.0) / m + F.lit(0.5)).cast("tinyint"),
         )
     )
     return df.withColumn(out_col, q)
