@@ -1332,7 +1332,23 @@ def embedding_near_dups(
         b = b.withColumn("bk", bucket(F.col("vb")))
         joined = a.join(b, "bk").drop("bk")
     else:
-        joined = a.crossJoin(b)
+        # CartesianProduct schedules left×right SPLIT-COUNT tasks, and the
+        # split count comes from the FILE, not the filtered row count — a
+        # bounded baseline query over a big corpus file (16 splits/side)
+        # paid 256 near-empty tasks, and the r10 canonical split layout
+        # (32 files/table) would pay 1024 (measured: 4.6 s of scheduling
+        # floor for 400 surviving rows at sf10). Repartition each side to
+        # ~√parallelism so the product lands at ~session parallelism: the
+        # exchange moves only post-filter rows (tiny for the baseline's
+        # bounded inputs; linear — and condemned anyway — for a big
+        # opt-in input, where this path is documented as the scale-killer
+        # you must ask for).
+        import math
+
+        side = max(1, math.ceil(math.sqrt(
+            emb.sparkSession.sparkContext.defaultParallelism
+        )))
+        joined = a.repartition(side).crossJoin(b.repartition(side))
     return (
         joined.filter(F.col("id_a") < F.col("id_b"))
         .withColumn(
