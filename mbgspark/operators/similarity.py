@@ -311,11 +311,16 @@ def build_ivf_index(
     # equals the CORPUS side's partition count — fan it out to session
     # cores like every other broadcast scorer (r10: the un-fanned 8-way
     # scan serialized 3.2M cosine folds onto a straggler at sf10; see
-    # SCALE.md). Top-1 per vector is a hash-aggregate max_by on the
+    # SCALE.md). Top-1 per vector is a hash-aggregate min_by on the
     # identical rank key (a_sim desc, cell_id asc — encoded as a
-    # (a_sim, -cell_id) struct max), NOT a row_number window: the agg
+    # (-a_sim, cell_id) struct min), NOT a row_number window: the agg
     # combines map-side, so the shuffle carries n rows, not n × n_cells,
     # and no sort happens. Same argmax, same rounding, identical output.
+    # The negation lives on a_sim (always double), never on cell_id: a
+    # default-built index carries the caller's id_col as cell_id, and
+    # negating a string column casts to double → NULL under the non-ANSI
+    # sessions this engine pins, which would make the equal-sim tie-break
+    # nondeterministic (ADVICE r10).
     scored = (
         _fanout(
             corpus.select(
@@ -336,8 +341,8 @@ def build_ivf_index(
         )
     )
     out = scored.groupBy("match_id").agg(
-        F.max_by(
-            F.col("cell_id"), F.struct(F.col("a_sim"), (-F.col("cell_id")).alias("nc"))
+        F.min_by(
+            F.col("cell_id"), F.struct((-F.col("a_sim")).alias("ns"), F.col("cell_id"))
         ).alias("cell_id"),
         F.first("cv").alias("cv"),
     ).select("match_id", "cv", "cell_id")

@@ -405,3 +405,27 @@ def test_vectorized_quantizer_rounds_half_away_from_zero():
     np.testing.assert_array_equal(quant, np.concatenate([pos, -pos]))
     # a knife-edge negative half rounds away from zero, matching HALF_UP
     assert np.sign(-0.64995) * np.floor(np.abs(-0.64995) * 1e4 + 0.5) == -6500.0
+
+
+def test_ivf_index_string_id_tiebreak_deterministic(spark):
+    """A default-built index carries the caller's id_col as cell_id; with a
+    STRING id column the tie-break must stay deterministic (sim desc,
+    cell_id asc). The r10 shape negated cell_id inside the max_by rank
+    struct — a string negation casts to double and yields NULL under the
+    engine's non-ANSI sessions, making equal-sim assignment arbitrary
+    (ADVICE r10). Duplicate vectors force exact sim ties against both
+    string-keyed centroids; every duplicate must land in the
+    lexicographically smallest cell."""
+    from mbgspark.operators.similarity import build_ivf_index
+
+    rows = [(f"doc_{i:02d}", [1.0, 0.0, 0.0]) for i in range(8)]
+    rows += [(f"doc_{i:02d}", [0.0, 1.0, 0.0]) for i in range(8, 12)]
+    e = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    # n_cells=2 → centroids are the first two ids by orderBy(vec_id):
+    # doc_00 and doc_01, both [1,0,0] — every x-axis vector ties exactly
+    idx = build_ivf_index(e, n_cells=2, id_col="vec_id").collect()
+    cells = {r["match_id"]: r["cell_id"] for r in idx}
+    for i in range(8):
+        assert cells[f"doc_{i:02d}"] == "doc_00", cells
+    # and the marker column survives
+    assert all(r["__default_cells"] for r in idx)

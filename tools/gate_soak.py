@@ -157,10 +157,15 @@ def main() -> None:
                 for d in os.listdir(twin_store)
                 if d.startswith("__gate_batch=")
             ]
+            # repartition, not coalesce: coalesce only REDUCES the count,
+            # so a small twin store read as fewer splits would stage
+            # near-single-part and never exercise the many-part adoption
+            # path (the pitfall compact_gate_store's own comment records;
+            # ADVICE r10)
             (
                 spark.read.parquet(twin_store)
                 .drop("__gate_batch")
-                .coalesce(max(4, target_files))
+                .repartition(max(4, target_files))
                 .write.mode("overwrite")
                 .parquet(staging)
             )

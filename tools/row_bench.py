@@ -49,8 +49,11 @@ def main() -> None:
     for name in names:
         try:
             run_one(spark, name, WARM_DIR)
-        except Exception:
-            pass
+        except Exception as exc:
+            # a failed warm run means this row gets timed COLD, off
+            # bench.py's protocol — say so instead of silently skewing
+            # the best-of-2 number (ADVICE r10)
+            print(f"row_bench: WARM RUN FAILED for {name} ({exc}); timing cold")
     spark_times: dict[str, float] = {}
     for name in names:
         spark_times[name] = round(min(run_one(spark, name, sf_dir) for _ in range(2)), 3)
