@@ -102,6 +102,24 @@ def node_class(node) -> str:
     return node.getClass().getSimpleName()
 
 
+def node_expressions(node):
+    """Generator over a plan node's top-level Catalyst expressions (the
+    JVM ``SparkPlan.expressions`` Seq). Same read-only introspection
+    contract as ``walk_plan``; used by the lambda-inlining lint rule."""
+    exprs = node.expressions()
+    for i in range(exprs.size()):
+        yield exprs.apply(i)
+
+
+def walk_expression(expr):
+    """Depth-first generator over a Catalyst expression and its children
+    (expressions share TreeNode's ``children`` Seq API with plan nodes)."""
+    yield expr
+    cs = expr.children()
+    for i in range(cs.size()):
+        yield from walk_expression(cs.apply(i))
+
+
 # ------------------------------------------------------------ 4. Hadoop FS ----
 def hadoop_path(spark: SparkSession, path: str):
     """A JVM ``org.apache.hadoop.fs.Path`` for ``path``."""

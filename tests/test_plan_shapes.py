@@ -576,3 +576,75 @@ def test_plan_lint_flags_scanfed_sort(spark):
     assert plan_lint.lint_plan(ok, "ok") == []
     local = scan.sortWithinPartitions("o_orderkey")
     assert plan_lint.lint_plan(local, "local") == []
+
+
+def test_plan_lint_flags_lambda_inlined_scalar(spark):
+    """The lambda-inlined-scalar rule actually FIRES on the r10
+    quantize_int8 bug shape (a per-row array_max referenced inside a
+    transform lambda — Catalyst inlines it per element, ~64x work;
+    VERDICT r10 item 2 mechanized). The fixed shape (array_repeat +
+    zip_with), a bare outer-column read, a cast over one, and an
+    aggregate() whose FINISH divides by an outer scalar must all stay
+    clean — reading an outer value per element is free; recomputing one
+    is not, and finish runs once per row."""
+    import sys
+
+    from pyspark.sql import functions as F
+
+    sys.path.insert(0, "/root/repo/tools")
+    import plan_lint
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0])], "id int, v array<double>"
+    )
+    maxabs = F.array_max(F.transform(F.col("v"), lambda x: F.abs(x)))
+
+    # the exact pre-fix quantize shape: scalar inside the lambda body
+    bad = df.withColumn(
+        "q", F.transform(F.col("v"), lambda x: x * F.lit(127.0) / maxabs)
+    )
+    finds = plan_lint.lint_plan(bad, "neg")
+    assert any("lambda-inlined-scalar" in f for f in finds), finds
+    assert any("array_max" in f for f in finds), finds
+
+    # the post-fix shape: scalar hoisted through array_repeat, zip_with
+    # reads it back per element
+    rep = F.array_repeat(maxabs, F.size(F.col("v")))
+    good = df.withColumn(
+        "q",
+        F.zip_with(
+            F.col("v"), rep, lambda x, m: F.floor(x * F.lit(127.0) / m)
+        ),
+    )
+    assert plan_lint.lint_plan(good, "fixed") == []
+
+    # bare outer-column reads and trivial wrappers over them are allowed
+    ok_attr = df.withColumn(
+        "q", F.transform(F.col("v"), lambda x: x * F.col("id").cast("double"))
+    )
+    assert plan_lint.lint_plan(ok_attr, "attr") == []
+
+    # aggregate() finish lambda runs once per ROW — an outer scalar there
+    # is not a per-element recompute
+    ok_finish = df.withColumn(
+        "m",
+        F.aggregate(
+            F.col("v"),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+            lambda acc: acc / F.sqrt(F.size(F.col("v")).cast("double")),
+        ),
+    )
+    assert plan_lint.lint_plan(ok_finish, "finish") == []
+
+    # ...but the same scalar inside the MERGE lambda IS per element
+    bad_merge = df.withColumn(
+        "m",
+        F.aggregate(
+            F.col("v"),
+            F.lit(0.0),
+            lambda acc, x: acc + x / F.sqrt(F.size(F.col("v")).cast("double")),
+        ),
+    )
+    finds = plan_lint.lint_plan(bad_merge, "negmerge")
+    assert any("lambda-inlined-scalar" in f for f in finds), finds

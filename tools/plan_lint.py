@@ -26,6 +26,21 @@ SF-invariant in shape for these rules) and flags:
 - ``fat-bnlj``       BroadcastNestedLoopJoin whose broadcast side is not a
                      1-row aggregate anchor (``HashAggregate(keys=[]``) and
                      not an explicitly allowed broadcast-by-design query.
+- ``lambda-inlined-scalar``  a non-trivial per-row expression subtree inside
+                     a higher-order-function lambda body that does NOT
+                     reference the enclosing lambda's arguments: Catalyst
+                     inlines outer expressions into LambdaFunction bodies,
+                     so the subtree is re-evaluated PER ARRAY ELEMENT (the
+                     r10 quantize_int8 bug — ``transform(v, x -> x/maxabs)``
+                     recomputed a 64-element ``array_max`` per element, ~64×
+                     the work; found by octave measurement, mechanized here
+                     per VERDICT r10 item 2). Hoist the scalar through
+                     ``array_repeat(scalar, size)`` + ``zip_with``. Bare
+                     column references and trivial wrappers (cast etc.) over
+                     them are allowed — reading an outer value per element
+                     is free; recomputing one is not. Subtrees inside an
+                     ``aggregate()`` FINISH lambda are exempt (the finish
+                     function runs once per ROW, not per element).
 
 Exit 1 on any finding. Run: ``python tools/plan_lint.py [sf_dir] [names...]``.
 Pinned green by tests/test_plan_shapes.py::test_plan_lint_clean.
@@ -39,7 +54,9 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from mbgspark.jvmseam import node_class as _cls  # noqa: E402
+from mbgspark.jvmseam import node_expressions as _exprs  # noqa: E402
 from mbgspark.jvmseam import physical_plan_root  # noqa: E402
+from mbgspark.jvmseam import walk_expression as _ewalk  # noqa: E402
 from mbgspark.jvmseam import walk_plan as _walk  # noqa: E402
 
 # BNLJ-by-design: the broadcast side is a bounded non-aggregate frame
@@ -94,6 +111,99 @@ _SHUFFLE_INDUCING = {
 }
 
 
+# wrappers whose cost per element is a register move / format change, not a
+# recomputation — stripping them from an invariant subtree may reach a bare
+# outer-column read, which is allowed inside a lambda
+_TRIVIAL_WRAPPERS = {
+    "Cast",
+    "KnownFloatingPointNormalized",
+    "KnownNotNull",
+    "NormalizeNaNAndZero",
+    "Alias",
+    "GetStructField",
+}
+_EXPR_LEAVES = {"Literal", "AttributeReference", "BoundReference"}
+
+
+def _expr_cls(e) -> str:
+    return e.getClass().getSimpleName()
+
+
+def _is_trivial(e) -> bool:
+    c = _expr_cls(e)
+    if c in _EXPR_LEAVES or c == "NamedLambdaVariable":
+        return True
+    if c in _TRIVIAL_WRAPPERS:
+        ch = e.children()
+        return ch.size() > 0 and _is_trivial(ch.apply(0))
+    return False
+
+
+def _lambda_inlined_scalars(top) -> list[str]:
+    """Maximal non-trivial per-row subtrees inside LambdaFunction bodies
+    that are invariant w.r.t. every ENCLOSING lambda's arguments (bound
+    variable ids are tracked through nesting — a nested lambda's own
+    variables do not make a subtree 'dependent'). aggregate() FINISH
+    lambdas are exempt at their top level (once per row), but HOF lambdas
+    nested inside them are still scanned."""
+    out: list[str] = []
+
+    def uses_bound(t, bound: set[str]) -> bool:
+        return any(
+            _expr_cls(x) == "NamedLambdaVariable" and str(x.exprId()) in bound
+            for x in _ewalk(t)
+        )
+
+    def per_row(t) -> bool:
+        return any(
+            _expr_cls(x) in {"AttributeReference", "BoundReference"}
+            for x in _ewalk(t)
+        )
+
+    def descend(e, bound: set[str], report: bool) -> None:
+        """Walk below ``e`` looking for LambdaFunction regions; ``report``
+        controls whether the NEXT lambda body level flags (False only for
+        an aggregate's finish slot)."""
+        c = _expr_cls(e)
+        ch = e.children()
+        if c == "LambdaFunction":
+            nb = set(bound)
+            for i in range(1, ch.size()):
+                nb.add(str(ch.apply(i).exprId()))
+            scan(ch.apply(0), nb, report)
+            return
+        if c == "ArrayAggregate" and ch.size() >= 4:
+            # children: argument, zero, merge (per element), finish (per row)
+            for i in range(ch.size() - 1):
+                descend(ch.apply(i), bound, True)
+            descend(ch.apply(ch.size() - 1), bound, False)
+            return
+        for i in range(ch.size()):
+            descend(ch.apply(i), bound, True)
+
+    def scan(body, bound: set[str], report: bool) -> None:
+        c = _expr_cls(body)
+        if c == "LambdaFunction" or c == "ArrayAggregate":
+            descend(body, bound, True)
+            return
+        if report and not uses_bound(body, bound):
+            if per_row(body) and not _is_trivial(body):
+                out.append(str(body.toString())[:120])
+                return
+            # invariant but trivial/constant: nothing below can flag at
+            # this level, but nested lambdas inside still get their own
+            ch = body.children()
+            for i in range(ch.size()):
+                descend(ch.apply(i), bound, True)
+            return
+        ch = body.children()
+        for i in range(ch.size()):
+            scan(ch.apply(i), bound, report)
+
+    descend(top, set(), True)
+    return out
+
+
 def lint_plan(df, name: str) -> list[str]:
     findings: list[str] = []
     root = physical_plan_root(df)
@@ -121,6 +231,13 @@ def lint_plan(df, name: str) -> list[str]:
             )
             if not anchor:
                 findings.append(f"{name}: fat-bnlj")
+        for top in _exprs(node):
+            # cheap pre-filter: one toString per top-level expression, walk
+            # only the trees that actually contain a lambda
+            if "lambdafunction" not in str(top.toString()).lower():
+                continue
+            for sub in _lambda_inlined_scalars(top):
+                findings.append(f"{name}: lambda-inlined-scalar ({sub})")
     return findings
 
 
