@@ -453,7 +453,13 @@ def ivf_topk(
         if corpus_index is not None
         else build_ivf_index(corpus, n_cells, id_col, vec_col, centroids)
     )
-    # query → nprobe nearest cells
+    # query → nprobe nearest cells. This broadcast crossJoin deliberately
+    # does NOT fan out its stream side: the stream is the QUERY frame,
+    # bounded by the same contract that justifies broadcasting it
+    # elsewhere, so the pair count is |queries| × n_cells — thousands,
+    # not millions — and a fanout exchange would cost more than the
+    # scoring (r11 BNLJ audit; the corpus-side assignment join is the
+    # one that fans out, in build_ivf_index).
     w_probe = Window.partitionBy("query_id").orderBy(F.desc("p_sim"), F.asc("cell_id"))
     probes = (
         queries.select(

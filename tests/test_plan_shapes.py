@@ -648,3 +648,68 @@ def test_plan_lint_flags_lambda_inlined_scalar(spark):
     )
     finds = plan_lint.lint_plan(bad_merge, "negmerge")
     assert any("lambda-inlined-scalar" in f for f in finds), finds
+
+
+def test_scorer_bnlj_stream_sides_fanned(spark):
+    """Every broadcast-pair SCORER (similarity/curation per-pair cosine,
+    the class the r10 IVF fix belongs to) must fan out its stream side or
+    inherit a shuffle upstream — a BNLJ inherits the STREAM side's
+    partition count, and a single-file corpus arrives as ONE split, so an
+    unfanned scorer serializes millions of per-pair folds onto one task
+    (VERDICT r10 item 4 mechanized). Expected counts per scorer row at
+    sf0.001 (where strategy='auto' resolves to the fold/BNLJ side):
+    (fanned, bounded-unfanned). The only legitimate unfanned BNLJs are
+    the IVF PROBE joins, whose stream is the bounded query frame —
+    |queries| x n_cells pairs, where a fanout would cost more than the
+    scoring. A scorer losing its fanout shows up as a fanned-count drop;
+    a new unfanned BNLJ shows up as a bounded-count rise — both fail."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from plan_lint import _SHUFFLE_INDUCING
+
+    from mbgspark.jvmseam import node_class, physical_plan_root, walk_plan
+    from mbgspark.plans.catalog import CATALOG
+
+    expected = {
+        # brute-force fold: corpus fanned, queries broadcast
+        "ann_cosine_topk": (1, 0),
+        # int8 path, same fold shape
+        "ann_quantized_topk": (1, 0),
+        # assignment join fanned (build_ivf_index), probe join bounded
+        "ann_ivf_topk": (1, 1),
+        "ann_ivf_kmeans_topk": (1, 1),
+        # label-aware fold: corpus fanned, labeled queries broadcast
+        "hard_negatives": (1, 0),
+        # probe-set fold: corpus fanned, probe set broadcast
+        "label_noise": (1, 0),
+        # sign-block residual BNLJ under the bucket equi-join: fanned
+        "dedup_embedding": (1, 0),
+        # eval-suite bench fold: corpus fanned, bench broadcast
+        "contamination_embedding": (1, 0),
+    }
+    for name, (want_fanned, want_bounded) in expected.items():
+        df = CATALOG[name][0](spark, SF)
+        fanned = bounded = 0
+        for node in walk_plan(physical_plan_root(df)):
+            if node_class(node) != "BroadcastNestedLoopJoinExec":
+                continue
+            side = 1 if "BuildRight" in node.simpleString(200) else 0
+            build = node.children().apply(side)
+            onerow = any(
+                "keys=[]" in b.simpleString(200)
+                for b in walk_plan(build)
+                if "Aggregate" in node_class(b)
+            )
+            if onerow:
+                continue  # 1-row metric anchors don't multiply cardinality
+            stream = node.children().apply(1 - side)
+            if any(
+                node_class(b) in _SHUFFLE_INDUCING for b in walk_plan(stream)
+            ):
+                fanned += 1
+            else:
+                bounded += 1
+        assert (fanned, bounded) == (want_fanned, want_bounded), (
+            name, fanned, bounded,
+        )
