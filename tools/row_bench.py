@@ -12,10 +12,15 @@ This tool generalizes the pair: for each named catalog row it
 - warms + times the row's DuckDB oracle on the same parquet (per
   bench_oracle.py); rows with no SQL oracle report null.
 
-Usage: python tools/row_bench.py SF_DIR NAME [NAME...]
+Usage: python tools/row_bench.py [--spark-only] SF_DIR NAME [NAME...]
 Prints one JSON line:
   {"sf_dir": ..., "spark": {name: s}, "oracle": {name: s|null},
    "spark_total": s, "oracle_total": s}
+
+``--spark-only`` skips the oracle pass (all-null oracle columns): when
+only Spark-side code changed against an UNCHANGED corpus, the prior
+round's oracle column is still the measurement of record and re-paying
+a 20-minute jl_projection oracle buys nothing (r11).
 """
 
 from __future__ import annotations
@@ -36,10 +41,12 @@ WARM_DIR = "/root/testdata/sf0.001"
 
 
 def main() -> None:
-    if len(sys.argv) < 3:
-        sys.exit("usage: row_bench.py SF_DIR NAME [NAME...]")
-    sf_dir = sys.argv[1]
-    names = sys.argv[2:]
+    args = [a for a in sys.argv[1:] if a != "--spark-only"]
+    spark_only = "--spark-only" in sys.argv[1:]
+    if len(args) < 2:
+        sys.exit("usage: row_bench.py [--spark-only] SF_DIR NAME [NAME...]")
+    sf_dir = args[0]
+    names = args[1:]
     unknown = [n for n in names if n not in CATALOG]
     if unknown:
         sys.exit(f"row_bench: not in CATALOG: {unknown}")
@@ -58,12 +65,11 @@ def main() -> None:
     for name in names:
         spark_times[name] = round(min(run_one(spark, name, sf_dir) for _ in range(2)), 3)
 
-    con = duck_connection(sf_dir)
-    oracle_times: dict[str, float | None] = {}
-    for name in names:
+    oracle_times: dict[str, float | None] = {name: None for name in names}
+    con = None if spark_only else duck_connection(sf_dir)
+    for name in [] if spark_only else names:
         sql = CATALOG[name][1]
         if sql is None:
-            oracle_times[name] = None
             continue
         con.execute(sql).fetchall()  # warm (page cache + catalog)
         t0 = time.time()
