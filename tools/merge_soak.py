@@ -20,7 +20,20 @@ store actually lives in:
   batch against a store that already contains its rows. The replayed
   twin must be content-identical to the uninterrupted one (the keyed
   keep-latest merge + dynamic partition overwrite convergence claim,
-  now exercised on the many-part layout).
+  now exercised on the many-part layout);
+- **a MID-SOAK kill-mid-write crash** (r11, mirroring the gate soak's
+  kill-mid-compaction): at ``crash_at`` the LIVE lineage is crashed in
+  the other window — DURING ``write_partitioned``'s dynamic partition
+  overwrite — by restoring the store to its pre-batch state, injecting
+  the litter an interrupted overwrite job leaves (``_temporary`` task
+  dirs inside a day partition, a ``.spark-staging-*`` dir at the store
+  root, both holding junk ``.parquet`` bytes), and deleting the batch's
+  commit marker while its offset entry stays. The restart must replay
+  the batch against the PRE-batch store, converge bit-identically to
+  the recorded uninterrupted hash, ignore the hidden litter, and the
+  soak then CONTINUES on the crashed-and-recovered lineage — proving
+  the store stays writable after a real crash, not just comparable in
+  a clone.
 
 Rows are tweets in the merge sink's contract shape (_id/created_at/
 scraped_at/text); each batch spans several days and RE-DELIVERS a slice
@@ -157,9 +170,15 @@ def main() -> None:
     src, store, ck = f"{BASE}/src", f"{BASE}/store", f"{BASE}/ck"
 
     sweep_at = batches // 2
+    crash_at = (2 * batches) // 3  # mid-soak, after the retention sweep
     per_day = rows // DAYS_PER_BATCH  # rows a batch contributes to one day
     for b in range(batches):
         write_batch(spark, src, b, rows)
+        if b == crash_at:
+            # snapshot the pre-batch store: the mid-write crash below
+            # restores it (an interrupted dynamic overwrite has not yet
+            # committed any day dir, so the visible store IS pre-batch)
+            shutil.copytree(store, f"{BASE}/pre_b{b}_store")
         t0 = time.time()
         run_stream(spark, src, store, ck, mrpf)
         counts = day_file_counts(store)
@@ -202,6 +221,68 @@ def main() -> None:
             print(
                 json.dumps(
                     {"phase": "retention", "cutoff": cutoff, "dropped": dropped}
+                ),
+                flush=True,
+            )
+        if b == crash_at:
+            # ---- mid-soak kill-MID-WRITE crash on the LIVE lineage ----
+            # An interrupted dynamic partition overwrite leaves: the
+            # store visibly PRE-batch (no day dir committed), task
+            # _temporary litter inside a day partition, job staging
+            # litter at the store root, an offset entry for the batch,
+            # and no commit marker. Reconstruct exactly that, restart,
+            # and require bit-identical convergence with the recorded
+            # uninterrupted state — then keep soaking on this lineage.
+            post_hash = content_hash(spark, store)
+            shutil.rmtree(store)
+            shutil.move(f"{BASE}/pre_b{b}_store", store)
+            day = sorted(
+                d for d in os.listdir(store) if d.startswith("event_date=")
+            )[-1]
+            lit1 = f"{store}/{day}/_temporary/0/_temporary/attempt_0001"
+            os.makedirs(lit1)
+            with open(f"{lit1}/part-00000-junk.c000.snappy.parquet", "w") as fh:
+                fh.write("not parquet")
+            lit2 = f"{store}/.spark-staging-cafef00d/{day}"
+            os.makedirs(lit2)
+            with open(f"{lit2}/part-00001-junk.c000.snappy.parquet", "w") as fh:
+                fh.write("also not parquet")
+            # post-crash restart = fresh driver: new query id (metadata
+            # dropped with its checksum sidecar), commit marker gone,
+            # offset entry retained
+            for f2 in ("metadata", ".metadata.crc"):
+                p = f"{ck}/{f2}"
+                if os.path.exists(p):
+                    os.remove(p)
+            commits = sorted(
+                int(f2)
+                for f2 in os.listdir(f"{ck}/commits")
+                if not f2.startswith(".")
+            )
+            for f2 in (f"{commits[-1]}", f".{commits[-1]}.crc"):
+                p = f"{ck}/commits/{f2}"
+                if os.path.exists(p):
+                    os.remove(p)
+            run_stream(spark, src, store, ck, mrpf)  # replays batch b only
+            replayed = content_hash(spark, store)
+            assert replayed == post_hash, (
+                "mid-write crash replay diverged",
+                replayed,
+                post_hash,
+            )
+            counts = day_file_counts(store)
+            assert max(counts.values()) <= bound, (
+                f"post-crash file-count creep: {counts}"
+            )
+            print(
+                json.dumps(
+                    {
+                        "phase": "crash_midwrite",
+                        "batch": b,
+                        "replayed_commit": commits[-1],
+                        "identical": True,
+                        "hash": post_hash,
+                    }
                 ),
                 flush=True,
             )
