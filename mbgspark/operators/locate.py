@@ -70,8 +70,18 @@ def containment_join_first_match(
         )
         return fact.join(best, fact_id)
     if use_token_membership:
-        joined = fact.join(
-            b, F.array_contains(F.split(F.lower(F.col(text_col)), r"\s+"), F.col(term_col))
+        # Tokenize ONCE per row, before the join: a BNLJ evaluates its
+        # condition per (row × term) pair, so split(lower(text)) inside
+        # the condition re-lowers and re-splits the full text |dim| times
+        # per row — the same recompute class as the r10 lambda-inlining
+        # bug, at the join-condition level (r11 BNLJ audit). Pre-projected,
+        # the per-pair work is one array_contains over a ready array.
+        joined = (
+            fact.withColumn(
+                "__toks", F.split(F.lower(F.col(text_col)), r"\s+")
+            )
+            .join(b, F.array_contains(F.col("__toks"), F.col(term_col)))
+            .drop("__toks")
         )
     else:
         # rlike with a column-valued pattern needs the SQL form (the Python
