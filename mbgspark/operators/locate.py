@@ -85,9 +85,19 @@ def containment_join_first_match(
         )
     else:
         # rlike with a column-valued pattern needs the SQL form (the Python
-        # Column.rlike only accepts a literal pattern string)
-        joined = fact.crossJoin(b).filter(
-            F.expr(f"lower({text_col}) rlike concat('\\\\b', {term_col}, '\\\\b')")
+        # Column.rlike only accepts a literal pattern string). Same
+        # per-pair-recompute discipline as the membership branch: lower the
+        # text once per fact row and build the \b-bounded pattern once per
+        # dim row BEFORE the join, so the per-pair work is the regex match
+        # alone — not a re-lower of the full text per term.
+        lowered = fact.withColumn("__lc", F.lower(F.col(text_col)))
+        pat = b.withColumn(
+            "__pat", F.concat(F.lit("\\b"), F.col(term_col), F.lit("\\b"))
+        )
+        joined = (
+            lowered.crossJoin(pat)
+            .filter(F.expr("__lc rlike __pat"))
+            .drop("__lc", "__pat")
         )
     w = Window.partitionBy(fact_id).orderBy(F.col(order_col).asc())
     return (

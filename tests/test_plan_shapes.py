@@ -713,3 +713,68 @@ def test_scorer_bnlj_stream_sides_fanned(spark):
         assert (fanned, bounded) == (want_fanned, want_bounded), (
             name, fanned, bounded,
         )
+
+
+def test_plan_lint_flags_bnlj_pair_recompute(spark):
+    """The bnlj-pair-recompute rule FIRES on the pre-r11
+    containment_join_first_match shapes (tokenize/lower inside the join
+    condition — recomputed per (row x term) pair; r11 SCALE.md entry) and
+    stays quiet on both fixed shapes, on cheap-arithmetic range
+    conditions, and on genuinely two-sided conditions (levenshtein)."""
+    import sys
+
+    from pyspark.sql import functions as F
+
+    sys.path.insert(0, "/root/repo/tools")
+    import plan_lint
+
+    d = spark.createDataFrame([(1, "spark streams")], "id int, text string")
+    dim = spark.createDataFrame([("spark", 1)], "kw string, dict_order int")
+    b = F.broadcast(dim)
+
+    # old membership shape: split(lower(text)) inside the condition
+    bad1 = d.join(
+        b,
+        F.array_contains(
+            F.split(F.lower(F.col("text")), r"\s+"), F.col("kw")
+        ),
+    )
+    finds = plan_lint.lint_plan(bad1, "neg1")
+    assert any("bnlj-pair-recompute" in f for f in finds), finds
+
+    # old regex shape: lower(text) and the concat'd pattern per pair
+    bad2 = d.crossJoin(b).filter(
+        F.expr("lower(text) rlike concat('\\\\b', kw, '\\\\b')")
+    )
+    finds = plan_lint.lint_plan(bad2, "neg2")
+    assert any("bnlj-pair-recompute" in f for f in finds), finds
+
+    # fixed membership shape: tokens pre-projected, bare-attr condition
+    good1 = (
+        d.withColumn("__toks", F.split(F.lower(F.col("text")), r"\s+"))
+        .join(b, F.array_contains(F.col("__toks"), F.col("kw")))
+        .drop("__toks")
+    )
+    assert [
+        f for f in plan_lint.lint_plan(good1, "ok1") if "recompute" in f
+    ] == []
+
+    # two-sided condition: levenshtein(stream, build) is per-pair by
+    # nature — nothing to pre-project
+    ok2 = d.crossJoin(b).filter(
+        F.levenshtein(F.col("text"), F.col("kw")) <= 2
+    )
+    assert [
+        f for f in plan_lint.lint_plan(ok2, "ok2") if "recompute" in f
+    ] == []
+
+    # cheap arithmetic on one side (range-join scaffolding) is allowed
+    e = spark.createDataFrame([(1, 5)], "id int, r int")
+    f2 = spark.createDataFrame([(2, 7)], "id2 int, r2 int")
+    ok3 = e.join(
+        F.broadcast(f2),
+        (F.col("r") >= F.col("r2") - 6) & (F.col("r") <= F.col("r2")),
+    )
+    assert [
+        f for f in plan_lint.lint_plan(ok3, "ok3") if "recompute" in f
+    ] == []

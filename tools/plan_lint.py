@@ -26,6 +26,18 @@ SF-invariant in shape for these rules) and flags:
 - ``fat-bnlj``       BroadcastNestedLoopJoin whose broadcast side is not a
                      1-row aggregate anchor (``HashAggregate(keys=[]``) and
                      not an explicitly allowed broadcast-by-design query.
+- ``bnlj-pair-recompute``  a non-cheap expression subtree inside a
+                     nested-loop join condition that references attributes
+                     from ONLY ONE side: the condition is evaluated per
+                     (stream row × build row) PAIR, so a single-side
+                     computation (a lower(), a split(), a concat'd pattern)
+                     is redone |other side| times per row instead of once —
+                     the join-condition twin of the lambda-inlining class
+                     (r11: containment_join_first_match re-split the full
+                     text per dim term). Pre-project the expression onto its
+                     side before the join. Bare attributes, casts, and cheap
+                     arithmetic/comparison scaffolding are allowed; anything
+                     with a real function call over one side's columns flags.
 - ``lambda-inlined-scalar``  a non-trivial per-row expression subtree inside
                      a higher-order-function lambda body that does NOT
                      reference the enclosing lambda's arguments: Catalyst
@@ -139,6 +151,53 @@ def _is_trivial(e) -> bool:
     return False
 
 
+# scaffolding whose per-pair cost is a few ALU ops — join conditions are
+# MADE of these; only a real function call over one side's columns is a
+# per-pair recompute worth a pre-projection
+_CHEAP_CONDITION_NODES = _EXPR_LEAVES | _TRIVIAL_WRAPPERS | {
+    "Add", "Subtract", "Multiply", "Divide", "UnaryMinus", "Remainder",
+    "Pmod", "Abs",
+    "GreaterThan", "GreaterThanOrEqual", "LessThan", "LessThanOrEqual",
+    "EqualTo", "EqualNullSafe", "Not", "And", "Or",
+    "IsNull", "IsNotNull", "In", "InSet", "If", "CaseWhen", "Coalesce",
+}
+
+
+def _bnlj_pair_recomputes(cond, left_ids: set[str], right_ids: set[str]) -> list[str]:
+    """Maximal subtrees of a nested-loop join condition that reference
+    attributes from only one side and contain a non-cheap computation —
+    evaluated per PAIR by the join, pre-projectable to per-ROW."""
+    out: list[str] = []
+
+    def attr_ids(t) -> set[str]:
+        return {
+            str(x.exprId())
+            for x in _ewalk(t)
+            if _expr_cls(x) == "AttributeReference"
+        }
+
+    def expensive(t) -> bool:
+        return any(_expr_cls(x) not in _CHEAP_CONDITION_NODES for x in _ewalk(t))
+
+    def scan(t) -> None:
+        ids = attr_ids(t)
+        if ids and (ids <= left_ids or ids <= right_ids):
+            if expensive(t) and not _is_trivial(t):
+                out.append(str(t.toString())[:120])
+            return  # maximal one-side subtree — don't double-report below
+        ch = t.children()
+        for i in range(ch.size()):
+            scan(ch.apply(i))
+
+    scan(cond)
+    return out
+
+
+def _side_output_ids(node) -> set[str]:
+    out = node.output()
+    return {str(out.apply(i).exprId()) for i in range(out.size())}
+
+
 def _lambda_inlined_scalars(top) -> list[str]:
     """Maximal non-trivial per-row subtrees inside LambdaFunction bodies
     that are invariant w.r.t. every ENCLOSING lambda's arguments (bound
@@ -231,6 +290,13 @@ def lint_plan(df, name: str) -> list[str]:
             )
             if not anchor:
                 findings.append(f"{name}: fat-bnlj")
+        if c in ("BroadcastNestedLoopJoinExec", "CartesianProductExec"):
+            jcond = node.condition()
+            if jcond.isDefined():
+                lids = _side_output_ids(node.children().apply(0))
+                rids = _side_output_ids(node.children().apply(1))
+                for sub in _bnlj_pair_recomputes(jcond.get(), lids, rids):
+                    findings.append(f"{name}: bnlj-pair-recompute ({sub})")
         for top in _exprs(node):
             # cheap pre-filter: one toString per top-level expression, walk
             # only the trees that actually contain a lambda
