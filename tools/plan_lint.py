@@ -160,6 +160,12 @@ _CHEAP_CONDITION_NODES = _EXPR_LEAVES | _TRIVIAL_WRAPPERS | {
     "GreaterThan", "GreaterThanOrEqual", "LessThan", "LessThanOrEqual",
     "EqualTo", "EqualNullSafe", "Not", "And", "Or",
     "IsNull", "IsNotNull", "In", "InSet", "If", "CaseWhen", "Coalesce",
+    # O(1) accessors/calendar arithmetic (Spark arrays carry their
+    # length; date/timestamp ± interval is ALU work) — an expensive node
+    # NESTED UNDER these (e.g. size(array_distinct(x))) still flags,
+    # because expensive() walks the whole subtree
+    "Size", "DateAdd", "DateSub", "TimestampAddInterval", "TimeAdd",
+    "DateAddInterval", "ExtractANSIIntervalDays",
 }
 
 
@@ -290,7 +296,17 @@ def lint_plan(df, name: str) -> list[str]:
             )
             if not anchor:
                 findings.append(f"{name}: fat-bnlj")
-        if c in ("BroadcastNestedLoopJoinExec", "CartesianProductExec"):
+        if c in (
+            "BroadcastNestedLoopJoinExec",
+            "CartesianProductExec",
+            # equi-joins keep only the RESIDUAL (non-equi) predicate in
+            # condition() — the keys evaluate once per row — but that
+            # residual is still evaluated per candidate pair, so the
+            # same single-side-recompute rule applies
+            "SortMergeJoinExec",
+            "ShuffledHashJoinExec",
+            "BroadcastHashJoinExec",
+        ):
             jcond = node.condition()
             if jcond.isDefined():
                 lids = _side_output_ids(node.children().apply(0))
