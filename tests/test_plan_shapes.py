@@ -778,3 +778,53 @@ def test_plan_lint_flags_bnlj_pair_recompute(spark):
     assert [
         f for f in plan_lint.lint_plan(ok3, "ok3") if "recompute" in f
     ] == []
+
+
+def test_plan_lint_flags_scanfed_global_window(spark):
+    """The scanfed-global-window rule FIRES on a global (unpartitioned)
+    window fed directly by a scan — every row lands on ONE task, the
+    window twin of scanfed-sort — and stays quiet on the two legitimate
+    shapes: a keyed window (hash-distributed) and a global window over an
+    aggregate (the summary-frame shape all 18 catalog global windows
+    use)."""
+    import sys
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    sys.path.insert(0, "/root/repo/tools")
+    import plan_lint
+
+    scan = spark.read.parquet(f"{SF}/orders.parquet")
+
+    bad = scan.withColumn(
+        "rn", F.row_number().over(Window.orderBy("o_orderkey"))
+    )
+    finds = plan_lint.lint_plan(bad, "neg")
+    assert any("scanfed-global-window" in f for f in finds), finds
+
+    keyed = scan.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("o_custkey").orderBy("o_orderkey")
+        ),
+    )
+    assert [
+        f for f in plan_lint.lint_plan(keyed, "keyed") if "window" in f
+    ] == []
+
+    summary = (
+        scan.groupBy("o_orderstatus")
+        .agg(F.sum("o_totalprice").alias("rev"))
+        .withColumn(
+            "share",
+            F.col("rev") / F.sum("rev").over(
+                Window.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        )
+    )
+    assert [
+        f for f in plan_lint.lint_plan(summary, "summary") if "window" in f
+    ] == []

@@ -26,6 +26,16 @@ SF-invariant in shape for these rules) and flags:
 - ``fat-bnlj``       BroadcastNestedLoopJoin whose broadcast side is not a
                      1-row aggregate anchor (``HashAggregate(keys=[]``) and
                      not an explicitly allowed broadcast-by-design query.
+- ``scanfed-global-window``  a Window/WindowGroupLimit exec requiring
+                     AllTuples (empty partitionSpec → every row on ONE
+                     task) whose subtree contains no aggregate/limit to
+                     bound the row count: a global window over a raw scan
+                     serializes the full table through a single partition
+                     — the window twin of scanfed-sort. Global windows
+                     over aggregated inputs (daily rollups, per-bucket
+                     counts, per-key spend frames) are the legitimate
+                     shape and stay clean (r11 audit: all 18 global
+                     windows in the catalog are aggregate-bounded).
 - ``bnlj-pair-recompute``  a non-cheap expression subtree inside a
                      nested-loop join condition that references attributes
                      from ONLY ONE side: the condition is evaluated per
@@ -120,6 +130,20 @@ _SHUFFLE_INDUCING = {
     "FlatMapGroupsInPandasWithStateExec",
     # limit-then-sort: GlobalLimitExec gets a single-partition exchange
     "GlobalLimitExec",
+}
+
+# nodes that bound the row count flowing into a global (AllTuples) window:
+# aggregates collapse to |groups|, limits to N — either makes the single
+# window task proportional to a summary, not the raw table
+_ROW_BOUNDING = {
+    "HashAggregateExec",
+    "ObjectHashAggregateExec",
+    "SortAggregateExec",
+    "AggregateInPandasExec",
+    "FlatMapGroupsInPandasExec",
+    "GlobalLimitExec",
+    "LocalLimitExec",
+    "CollectLimitExec",
 }
 
 
@@ -283,6 +307,14 @@ def lint_plan(df, name: str) -> list[str]:
             if not any(_cls(b) in _SHUFFLE_INDUCING for b in below):
                 findings.append(
                     f"{name}: scanfed-sort ({node.simpleString(200)[:80]})"
+                )
+        elif c in ("WindowExec", "WindowGroupLimitExec") and "AllTuples" in _cls(
+            node.requiredChildDistribution().apply(0)
+        ):
+            below = list(_walk(node))[1:]
+            if not any(_cls(b) in _ROW_BOUNDING for b in below):
+                findings.append(
+                    f"{name}: scanfed-global-window ({node.simpleString(200)[:80]})"
                 )
         elif c == "BroadcastNestedLoopJoinExec" and name not in BNLJ_ALLOWED:
             # pre-exchange plan (EnsureRequirements hasn't run), so the
