@@ -23,11 +23,15 @@ Seams (pin tests co-located in ``tests/test_jvmseam.py``):
    stats scale strings by schema default widths (~30× under-report on
    text columns). Failure direction: ``None`` → ``io.fanout_scan``
    assumes "big" and fans out, costing at most one tiny exchange.
-3. ``physical_plan_root`` / ``walk_plan`` / ``node_class`` — the
-   pre-exchange physical plan tree via ``df._jdf.queryExecution()
-   .sparkPlan()``. Read-only plan introspection for the catalog-wide
-   lint (``tools/plan_lint.py``) and the plan-shape tests. Failure
-   direction: the lint errors loudly in pytest.
+3. ``physical_plan_root`` / ``walk_plan`` / ``node_class`` /
+   ``node_expressions`` / ``walk_expression`` — the pre-exchange
+   physical plan tree via ``df._jdf.queryExecution().sparkPlan()``,
+   plus each node's Catalyst expression trees (same TreeNode
+   ``children`` Seq API). Read-only plan introspection for the
+   catalog-wide lint (``tools/plan_lint.py``) and the plan-shape
+   tests; the expression walk feeds the lambda-inlining and
+   pair-recompute rules (r11). Failure direction: the lint errors
+   loudly in pytest.
 4. ``hadoop_fs`` / ``hadoop_path`` / ``fs_read_utf8`` / ``fs_write_utf8``
    — the session's Hadoop FileSystem via ``spark._jvm``. PySpark ships
    no public FS API; the streaming gate's sidecars, compaction
