@@ -106,6 +106,46 @@ def node_class(node) -> str:
     return node.getClass().getSimpleName()
 
 
+def executed_plan_metrics(df: DataFrame, keys: tuple[str, ...]) -> dict:
+    """Drive ``df``'s OWN QueryExecution (``executedPlan().execute()
+    .count()`` — a noop write would run a separate QueryExecution and
+    leave every metric zero) and sum the named executed-plan SQLMetrics
+    across the tree, walking into AQE query stages and scalar-subquery
+    plans. Returns ``{key: summed value, "out_rows": n}``. The
+    shuffle-bytes ledger (``tools/shuffle_ledger.py``) is the consumer;
+    failure direction: loud AttributeError in the ledger run and its
+    smoke test."""
+
+    def _walk_exec(node):
+        yield node
+        c = node.getClass().getSimpleName()
+        if c == "AdaptiveSparkPlanExec":
+            yield from _walk_exec(node.executedPlan())
+            return
+        if "QueryStageExec" in c:
+            yield from _walk_exec(node.plan())
+            return
+        subs = node.subqueries()
+        for i in range(subs.size()):
+            yield from _walk_exec(subs.apply(i))
+        cs = node.children()
+        for i in range(cs.size()):
+            yield from _walk_exec(cs.apply(i))
+
+    plan = df._jdf.queryExecution().executedPlan()
+    rows = plan.execute().count()
+    tot = {k: 0 for k in keys}
+    for node in _walk_exec(plan):
+        it = node.metrics().iterator()
+        while it.hasNext():
+            kv = it.next()
+            k = str(kv._1())
+            if k in tot:
+                tot[k] += kv._2().value()
+    tot["out_rows"] = rows
+    return tot
+
+
 def node_expressions(node):
     """Generator over a plan node's top-level Catalyst expressions (the
     JVM ``SparkPlan.expressions`` Seq). Same read-only introspection

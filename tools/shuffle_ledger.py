@@ -17,11 +17,11 @@ A future round that changes a plan and sees seconds move can diff THIS
 ledger instead of re-litigating the window: bytes/records moved = the
 plan really does different work; bytes flat + seconds up = load.
 
-AQE query stages and plan subqueries (scalar-subquery exchanges) are
-walked; the driver is ``executedPlan().execute().count()`` — the
-DataFrame's own QueryExecution, so metrics land on the inspected tree
-(a ``noop`` write would run a SEPARATE QueryExecution and leave these
-zeros).
+The metric walk lives in ``mbgspark.jvmseam.executed_plan_metrics``
+(the one module allowed to touch JVM internals — the seam-confinement
+pin test enforces it): AQE query stages and plan subqueries are walked,
+and the driver is the DataFrame's OWN QueryExecution, so metrics land
+on the inspected tree.
 
 Usage: python tools/shuffle_ledger.py [SF_DIR] [NAME...]
        (defaults: /root/testdata/sf0.1, bench.py's HEADLINE set)
@@ -38,42 +38,15 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from bench import HEADLINE
+from mbgspark.jvmseam import executed_plan_metrics
 from mbgspark.plans.catalog import CATALOG
 from mbgspark.session import ensure_session_conf, get_spark
 
 KEYS = ("shuffleBytesWritten", "shuffleRecordsWritten", "spillSize", "peakMemory")
 
 
-def _walk(node):
-    yield node
-    c = node.getClass().getSimpleName()
-    if c == "AdaptiveSparkPlanExec":
-        yield from _walk(node.executedPlan())
-        return
-    if "QueryStageExec" in c:
-        yield from _walk(node.plan())
-        return
-    subs = node.subqueries()
-    for i in range(subs.size()):
-        yield from _walk(subs.apply(i))
-    cs = node.children()
-    for i in range(cs.size()):
-        yield from _walk(cs.apply(i))
-
-
 def ledger_for(df) -> dict:
-    plan = df._jdf.queryExecution().executedPlan()
-    rows = plan.execute().count()
-    tot = {k: 0 for k in KEYS}
-    for node in _walk(plan):
-        it = node.metrics().iterator()
-        while it.hasNext():
-            kv = it.next()
-            k = str(kv._1())
-            if k in tot:
-                tot[k] += kv._2().value()
-    tot["out_rows"] = rows
-    return tot
+    return executed_plan_metrics(df, KEYS)
 
 
 def main() -> int:
