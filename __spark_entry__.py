@@ -14,9 +14,9 @@ queries()    — 164 catalog queries: SURVEY.md §2.11 core (q1–q28), the
                and the reprocess idempotence invariant. ALL 164 carry
                DuckDB oracles.
                Ordered by verification priority (the driver checks the
-               first 50): see mbgspark/plans/catalog.py for the round-5
-               window packing rationale (backlog-drain round — the
-               window is exclusively the never-driver-verified queue).
+               first 50): see mbgspark/plans/catalog.py for the current
+               (round-12) staleness-rotation packing — oldest-cohort
+               entries first, next cohort queued past the window.
 oracle_sql() — matching DuckDB SQL per query.
 
 Implementation lives in the ``mbgspark`` package.

@@ -44,6 +44,18 @@ def containment_join_first_match(
       dim (BroadcastNestedLoopJoin — fine for dims ≤ a few hundred rows).
     - otherwise: literal \\b-bounded regex containment (utils.py:364-371) —
       needed when terms are multi-word or text isn't token-normalized."""
+    # withColumn silently REPLACES an existing column of the same name:
+    # a caller whose fact/dim already carries one of the scratch names
+    # would get corrupted output, not an error — fail loud instead
+    # (ADVICE r11), matching the explode-path contract check below.
+    taken = [c for c in ("__toks", "__lc", "__rn") if c in fact.columns]
+    taken += [c for c in ("__pat", "__rn") if c in dim.columns]
+    if taken:
+        raise ValueError(
+            f"containment_join_first_match: reserved scratch column(s) "
+            f"{sorted(set(taken))} already present on fact/dim — rename "
+            "them before calling"
+        )
     b = F.broadcast(dim)
     if explode_tokens:
         # token equi-join can only match single-word terms; a multi-word

@@ -828,3 +828,28 @@ def test_plan_lint_flags_scanfed_global_window(spark):
     assert [
         f for f in plan_lint.lint_plan(summary, "summary") if "window" in f
     ] == []
+
+    # ADVICE r11 false negative: a global window fed by a JOIN of a raw
+    # scan with an aggregated side. The old any()-over-subtree check saw
+    # the aggregate and passed; every path must be bounded — the scan
+    # branch still funnels every row through one task. Must FLAG.
+    agg_side = scan.groupBy("o_orderstatus").agg(
+        F.avg("o_totalprice").alias("avg_price")
+    )
+    mixed = scan.join(agg_side, "o_orderstatus").withColumn(
+        "rn", F.row_number().over(Window.orderBy("o_orderkey"))
+    )
+    finds = plan_lint.lint_plan(mixed, "mixed")
+    assert any("scanfed-global-window" in f for f in finds), finds
+
+    # and the all-branches-bounded join shape stays quiet: both inputs
+    # aggregated before the global window
+    agg_b = scan.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n")
+    ).withColumn("o_orderstatus", F.lit("O"))
+    both = agg_side.join(agg_b, "o_orderstatus").withColumn(
+        "rn", F.row_number().over(Window.orderBy("avg_price"))
+    )
+    assert [
+        f for f in plan_lint.lint_plan(both, "both") if "window" in f
+    ] == []

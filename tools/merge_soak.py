@@ -170,7 +170,13 @@ def main() -> None:
     src, store, ck = f"{BASE}/src", f"{BASE}/store", f"{BASE}/ck"
 
     sweep_at = batches // 2
-    crash_at = (2 * batches) // 3  # mid-soak, after the retention sweep
+    # mid-soak, strictly AFTER the retention sweep: the crash block
+    # snapshots the pre-batch store and compares replay to the post-batch
+    # hash, so it must bracket a sweep-free batch. The raw (2*batches)//3
+    # degenerates for small counts (== sweep_at at batches<=2 -> spurious
+    # divergence; == 0 at batches=1 -> copytree of a store that doesn't
+    # exist yet), hence the guard; with batches<2 no crash phase runs.
+    crash_at = max(sweep_at + 1, 1) if batches >= 2 else None
     per_day = rows // DAYS_PER_BATCH  # rows a batch contributes to one day
     for b in range(batches):
         write_batch(spark, src, b, rows)

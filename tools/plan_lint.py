@@ -293,6 +293,22 @@ def _lambda_inlined_scalars(top) -> list[str]:
     return out
 
 
+def _all_leaf_paths_bounded(node) -> bool:
+    """True iff EVERY leaf-to-``node`` path crosses a _ROW_BOUNDING node.
+    ``any()`` over the flattened subtree under-reports (ADVICE r11): a
+    global window fed by a join of a raw scan with an aggregated side
+    would pass, even though the unbounded scan branch still funnels
+    every row through the single window task. Descend per-branch: a
+    bounding node caps everything beneath it; a leaf reached without
+    one is an unbounded path."""
+    if _cls(node) in _ROW_BOUNDING:
+        return True
+    ch = node.children()
+    if ch.size() == 0:
+        return False
+    return all(_all_leaf_paths_bounded(ch.apply(i)) for i in range(ch.size()))
+
+
 def lint_plan(df, name: str) -> list[str]:
     findings: list[str] = []
     root = physical_plan_root(df)
@@ -311,8 +327,7 @@ def lint_plan(df, name: str) -> list[str]:
         elif c in ("WindowExec", "WindowGroupLimitExec") and "AllTuples" in _cls(
             node.requiredChildDistribution().apply(0)
         ):
-            below = list(_walk(node))[1:]
-            if not any(_cls(b) in _ROW_BOUNDING for b in below):
+            if not _all_leaf_paths_bounded(node):
                 findings.append(
                     f"{name}: scanfed-global-window ({node.simpleString(200)[:80]})"
                 )

@@ -53,14 +53,21 @@ def main() -> None:
 
     spark = get_spark("row_bench")
     spark.sparkContext.setLogLevel("ERROR")
+    missed_warm: list[str] = []
     for name in names:
         try:
             run_one(spark, name, WARM_DIR)
         except Exception as exc:
-            # a failed warm run means this row gets timed COLD, off
-            # bench.py's protocol — say so instead of silently skewing
-            # the best-of-2 number (ADVICE r10)
-            print(f"row_bench: WARM RUN FAILED for {name} ({exc}); timing cold")
+            # a failed warm run skews this row off bench.py's protocol —
+            # only the FIRST timed run is cold (best-of-2 is still
+            # reported, and the min is usually the warmed second run),
+            # so the skew is bounded but real; say so AND mark the row
+            # in the JSON so downstream readers see it (ADVICE r10/r11)
+            print(
+                f"row_bench: WARM RUN FAILED for {name} ({exc}); first "
+                "timed run will be cold (best-of-2 still reported)"
+            )
+            missed_warm.append(name)
     spark_times: dict[str, float] = {}
     for name in names:
         spark_times[name] = round(min(run_one(spark, name, sf_dir) for _ in range(2)), 3)
@@ -85,6 +92,7 @@ def main() -> None:
                 "spark_total": round(sum(spark_times.values()), 3),
                 "oracle_total": round(sum(v for v in oracle_times.values() if v), 3),
                 "iterative_cold": sorted(set(names) & ITERATIVE),
+                "missed_warm": missed_warm,
             }
         )
     )
