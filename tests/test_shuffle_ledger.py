@@ -33,3 +33,33 @@ def test_ledger_deterministic_and_spill_free(spark):
     # a pure scan→projection row shuffles NOTHING (the q1 shape)
     z = ledger_for(CATALOG["q1"][0](spark, sf))
     assert z["shuffleRecordsWritten"] == 0 and z["spillSize"] == 0
+
+
+def test_ledger_diff_of_back_to_back_runs_is_empty(spark):
+    """The adjudication contract (VERDICT r11 item 2): two back-to-back
+    ledger runs of the same plans on the same data diff EMPTY — so any
+    non-empty diff against the committed ledger of record is a real plan
+    change, never noise. Also pins the failure direction: a doctored row
+    (records bumped, spill injected) must be reported."""
+    from ledger_diff import diff_ledgers
+    from shuffle_ledger import ledger_for
+
+    from mbgspark.plans.catalog import CATALOG
+
+    sf = "/root/testdata/sf0.001"
+    names = ["q12", "q14", "dedup_exact", "locate_full_dim"]
+    run_a = {n: {"query": n, **ledger_for(CATALOG[n][0](spark, sf))} for n in names}
+    run_b = {n: {"query": n, **ledger_for(CATALOG[n][0](spark, sf))} for n in names}
+    failures, _warnings = diff_ledgers(run_a, run_b)
+    assert failures == [], failures
+
+    doctored = {n: dict(r) for n, r in run_b.items()}
+    doctored["q12"]["shuffleRecordsWritten"] += 1
+    doctored["q14"]["spillSize"] = 4096
+    failures, _ = diff_ledgers(run_a, doctored)
+    assert any("q12: records" in f for f in failures), failures
+    assert any("q14: SPILLS" in f for f in failures), failures
+    # a missing row is a failure too (headline-set drift)
+    del doctored["dedup_exact"]
+    failures, _ = diff_ledgers(run_a, doctored)
+    assert any("only in OLD" in f for f in failures), failures
