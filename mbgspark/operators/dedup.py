@@ -118,33 +118,57 @@ def with_word_shingles(
 
 def _sig_aggs(num_hashes: int, shingle_col: str = "shingle") -> list:
     """THE MinHash hash-family definition — hash i = min over the doc's
-    shingles of the 16-hex-char md5 window starting at offset 2i. Every
-    signature consumer (``minhash_signature``, the packed aggregations in
-    ``minhash_near_dups`` / ``minhash_estimate_pairs``, and the DuckDB
-    oracle's _MINHASH_SIG_COLS) must agree on this expression exactly —
-    bucketer and estimator silently disagree otherwise — so it lives in
-    one place."""
+    shingles of the 15-hex-char (60-bit) md5 window starting at offset
+    2i. Every signature consumer (``minhash_signature``, the packed
+    aggregation in ``minhash_estimate_pairs``, and the DuckDB oracle's
+    _MINHASH_SIG_COLS) must agree on this expression exactly — bucketer
+    and estimator silently disagree otherwise — so it lives in one place.
+
+    The Spark side takes the min NUMERICALLY (conv the window to a
+    60-bit bigint): min over a mutable long buffer plans as a
+    whole-stage-codegen HashAggregate with map-side partial combine,
+    where min over a STRING buffer plans as ObjectHashAggregate, whose
+    128-key sort-based fallback degenerates to a full sort of every
+    shingle row per aggregation — measured 939 MB of sort spill PER
+    SIGNATURE PASS at sf10 (r12 two-decade ledger sweep). Fixed-width
+    lowercase hex is order-isomorphic to its numeric value, so
+    ``render_sig_hex`` reproduces the oracle's lexicographic string min
+    bit-for-bit (the oracle keeps the plain string min)."""
     return [
-        F.min(F.substring(F.md5(F.col(shingle_col)), 2 * i + 1, 16)).alias(f"h{i}")
+        F.min(
+            F.conv(
+                F.substring(F.md5(F.col(shingle_col)), 2 * i + 1, 15), 16, 10
+            ).cast("long")
+        ).alias(f"h{i}")
         for i in range(num_hashes)
     ]
+
+
+def _render_sig_hex(i: int) -> "F.Column":
+    """Render numeric hash ``h{i}`` back to the oracle's 15-hex-char
+    lowercase window string (hex() is uppercase and strips leading
+    zeros; lpad+lower restores the md5 substring exactly)."""
+    return F.lower(F.lpad(F.hex(F.col(f"h{i}")), 15, "0"))
 
 
 def minhash_signature(
     shingled: DataFrame, id_col: str, num_hashes: int = 8, shingle_col: str = "shingle"
 ) -> DataFrame:
-    """Portable MinHash: hash function i is the 16-hex-char window of
+    """Portable MinHash: hash function i is the 15-hex-char window of
     md5(shingle) starting at offset 2i, so ONE md5 per shingle yields all
     ``num_hashes`` (≤ 9) functions — 8× less hashing than independent
     md5(i || shingle) per permutation, measured the dominant cost of the
-    near-dup pipeline. sig_i = lexicographic min of window i over the doc's
-    shingles: a valid min-wise family for dedup purposes, and bit-identical
-    across Spark, DuckDB, and Python — the property the correctness oracle
-    needs. Output: (id, sig array<string>). One shuffle (groupBy id); the
-    md5 is computed once per input row under subexpression elimination."""
+    near-dup pipeline. sig_i = min of window i over the doc's shingles
+    (numeric inside the agg — see ``_sig_aggs`` for why; rendered back
+    to the lexicographic-min hex string here): a valid min-wise family
+    for dedup purposes, and bit-identical across Spark, DuckDB, and
+    Python — the property the correctness oracle needs. Output: (id, sig
+    array<string>). One shuffle (groupBy id); the md5 is computed once
+    per input row under subexpression elimination."""
     sig = shingled.groupBy(id_col).agg(*_sig_aggs(num_hashes, shingle_col))
     return sig.select(
-        F.col(id_col), F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+        F.col(id_col),
+        F.array(*[_render_sig_hex(i) for i in range(num_hashes)]).alias("sig"),
     )
 
 
@@ -313,34 +337,56 @@ def lsh_candidate_pairs(
     then-unreferenced observed subtree, stages-already-executed
     notwithstanding."""
     band_rows = _lsh_band_rows(signatures, id_col, bands, rows_per_band)
+    # Bucket sizes via a KEYED WINDOW over the one band exchange, not a
+    # separate groupBy + anti-join (the r12 reshape). The first
+    # implementation sized buckets in their own aggregation lineage and
+    # anti-joined the blacklist; per-consumer pruning defeated exchange
+    # reuse, so the whole signature pipeline recomputed per lineage and
+    # the band rows shuffled twice (~4M of the 6.9M sf10 ledger records).
+    # The window count rides the self-join's own exchange AND its
+    # partition-local sort (WindowExec orders by the partition keys,
+    # exactly the ordering the merge join needs), so sizing costs zero
+    # additional shuffle. It also makes the n >= 2 filter free: ~94% of
+    # band rows sit in singleton buckets (random 128-bit keys) that can
+    # never mint a pair, and they now drop BEFORE the join instead of
+    # streaming through it. Same cap semantics: pairs come only from
+    # buckets with 2 <= n <= cap.
+    w = Window.partitionBy("band_idx", "band_key")
+    counted = band_rows.withColumn("__n", F.count("*").over(w))
     if max_bucket_size is not None:
-        sized = band_rows.groupBy("band_idx", "band_key").agg(
-            F.count("*").alias("__n")
-        )
+        over = counted.filter(F.col("__n") > max_bucket_size)
         if metrics_out is not None:
+            # same one-row global-aggregate contract as
+            # _oversized_metrics_row (AQE-elimination-proof, zeros on
+            # empty), computed from the window-counted rows: row count
+            # IS oversized_rows; buckets need the distinct key count
             metrics_out.append(
-                _oversized_metrics_row(signatures.sparkSession, sized, max_bucket_size)
+                over.agg(
+                    F.count_distinct(F.struct("band_idx", "band_key"))
+                    .cast("bigint")
+                    .alias("oversized_buckets"),
+                    F.count(F.lit(1)).cast("bigint").alias("oversized_rows"),
+                )
             )
-        oversized = sized.filter(F.col("__n") > max_bucket_size)
         if on_oversized is not None:
             on_oversized(
-                oversized.select(
+                over.select(
                     "band_idx",
                     "band_key",
                     F.col("__n").cast("bigint").alias("bucket_n"),
-                )
+                ).distinct()
             )
-        band_rows = band_rows.join(
-            oversized.select("band_idx", "band_key"),
-            ["band_idx", "band_key"],
-            "left_anti",
-        )
-    elif metrics_out is not None:
-        metrics_out.append(
-            _oversized_metrics_row(signatures.sparkSession, None, None)
-        )
-    a = band_rows.alias("a")
-    b = band_rows.alias("b")
+        eligible = counted.filter(
+            (F.col("__n") >= 2) & (F.col("__n") <= max_bucket_size)
+        ).drop("__n")
+    else:
+        if metrics_out is not None:
+            metrics_out.append(
+                _oversized_metrics_row(signatures.sparkSession, None, None)
+            )
+        eligible = counted.filter(F.col("__n") >= 2).drop("__n")
+    a = eligible.alias("a")
+    b = eligible.alias("b")
     return (
         a.join(b, on=["band_idx", "band_key"])
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
@@ -649,24 +695,41 @@ def minhash_near_dups(
     shingle table is infeasible anyway; re-scan is the strategy that
     survives scale."""
     shingled = with_word_shingles(df, id_col, text_col, k)
-    # ONE aggregation computes the MinHash windows AND packs the shingle
-    # set per doc: every downstream consumer (banding, both verify sides)
-    # hangs off the same exchange, which Spark reuses (ReusedExchange) —
-    # the shingle pass over the corpus happens exactly once per action,
-    # where separate signature/array lineages would recompute it 3×.
-    packed = shingled.groupBy(id_col).agg(
-        *_sig_aggs(num_hashes), F.collect_list("shingle").alias("__shingles")
-    )
-    sig = packed.select(
-        F.col(id_col),
-        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"),
-    )
+    # The signature aggregation is SKINNY on purpose (min() windows only,
+    # classic partial-combining HashAggregate). The first implementation
+    # packed collect_list(shingle) into the same aggregation so "every
+    # consumer hangs off one reused exchange" — measured false at scale
+    # (r12 two-decade ledger sweep): per-consumer column pruning
+    # canonicalizes the three consumers differently, so the fat agg ran
+    # up to 3× anyway, and at sf10 the list-building partial agg spilled
+    # 1.48 GB while the fat frame crossed the broadcast threshold into
+    # full-corpus SortMergeJoin sorts (0.94 GB more spill).
+    sig = minhash_signature(shingled, id_col, num_hashes)
     pairs = lsh_candidate_pairs(
         sig, id_col, bands, num_hashes // bands,
         max_bucket_size=max_bucket_size, on_oversized=on_oversized,
         metrics_out=metrics_out,
     )
-    arrays = packed.select(id_col, "__shingles")
+    # Pack shingle arrays ONLY for docs that appear in a candidate pair —
+    # a semi-join pushed BELOW the collect_list. Verify evaluates pairs
+    # and nothing else, so restricting the agg to pair members is
+    # output-identical, and the candidate set is small by LSH
+    # construction (bucket cap bounds it even under viral-text skew): at
+    # sf10 this packs 5% of the corpus instead of 100%, and the verify
+    # joins sort thousands of fat rows, not the whole corpus. The
+    # candidate-id lineage hangs off the pairs distinct exchange, which
+    # Spark reuses across all three pair consumers (measured: one
+    # exchange in the executed plan).
+    cand_ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .union(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    arrays = (
+        shingled.join(cand_ids, id_col, "semi")
+        .groupBy(id_col)
+        .agg(F.collect_list("shingle").alias("__shingles"))
+    )
     return jaccard_verify_arrays(arrays, pairs, id_col, threshold, "__shingles")
 
 
@@ -806,30 +869,40 @@ def incremental_candidate_pairs(
         c_bands.withColumn("__side", F.lit("c"))
     )
 
+    # combined (batch+corpus) bucket population: a viral corpus bucket
+    # joined by even one batch row would emit bucket_n pairs per doc.
+    # Sizing rides a keyed window over the join's own exchange — same
+    # r12 reshape (and rationale) as ``lsh_candidate_pairs``: zero extra
+    # shuffle, no per-consumer recompute of the band lineage, and the
+    # n >= 2 filter drops singleton buckets before the join.
+    w = Window.partitionBy("band_idx", "band_key")
+    counted = band_rows.withColumn("__n", F.count("*").over(w))
     if max_bucket_size is not None:
-        # combined (batch+corpus) bucket population: a viral corpus bucket
-        # joined by even one batch row would emit bucket_n pairs per doc
-        sized = band_rows.groupBy("band_idx", "band_key").agg(
-            F.count("*").alias("__n")
-        )
+        over = counted.filter(F.col("__n") > max_bucket_size)
         if metrics_out is not None:
             metrics_out.append(
-                _oversized_metrics_row(spark, sized, max_bucket_size)
-            )
-        oversized = sized.filter(F.col("__n") > max_bucket_size)
-        if on_oversized is not None:
-            on_oversized(
-                oversized.select(
-                    "band_idx", "band_key", F.col("__n").cast("bigint").alias("bucket_n")
+                over.agg(
+                    F.count_distinct(F.struct("band_idx", "band_key"))
+                    .cast("bigint")
+                    .alias("oversized_buckets"),
+                    F.count(F.lit(1)).cast("bigint").alias("oversized_rows"),
                 )
             )
-        band_rows = band_rows.join(
-            oversized.select("band_idx", "band_key"),
-            ["band_idx", "band_key"],
-            "left_anti",
-        )
-    elif metrics_out is not None:
-        metrics_out.append(_oversized_metrics_row(spark, None, None))
+        if on_oversized is not None:
+            on_oversized(
+                over.select(
+                    "band_idx",
+                    "band_key",
+                    F.col("__n").cast("bigint").alias("bucket_n"),
+                ).distinct()
+            )
+        band_rows = counted.filter(
+            (F.col("__n") >= 2) & (F.col("__n") <= max_bucket_size)
+        ).drop("__n")
+    else:
+        if metrics_out is not None:
+            metrics_out.append(_oversized_metrics_row(spark, None, None))
+        band_rows = counted.filter(F.col("__n") >= 2).drop("__n")
 
     # ONE bucket join: batch rows against ALL rows, corpus-corpus pairs
     # excluded by the side predicate — never generated, never filtered out
@@ -1415,23 +1488,27 @@ def minhash_estimate_pairs(
     re-joined) — this surface measures exactly what that would cost in
     accuracy.
 
-    Same ONE packed aggregation as ``minhash_near_dups`` (signature +
-    shingle arrays off a single exchange, ReuseExchange merges the
-    consumers); the estimate is a row-local zip over the two 8-element
+    Same skinny-signature + candidate-restricted packing shape as
+    ``minhash_near_dups`` (see the r12 rationale there: the old ONE
+    packed aggregation recomputed per pruned consumer and sort-spilled
+    at sf10); the estimate is a row-local zip over the two 8-element
     signature arrays on the already-verified pair set. est_e4 is
     integer-exact (matches * 10000 div num_hashes)."""
     shingled = with_word_shingles(df, id_col, text_col, k)
-    packed = shingled.groupBy(id_col).agg(
-        *_sig_aggs(num_hashes), F.collect_list("shingle").alias("__shingles")
-    )
-    sig = packed.select(
-        F.col(id_col),
-        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"),
-    )
+    sig = minhash_signature(shingled, id_col, num_hashes)
     pairs = lsh_candidate_pairs(
         sig, id_col, bands, num_hashes // bands, max_bucket_size=max_bucket_size
     )
-    arrays = packed.select(id_col, "__shingles")
+    cand_ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .union(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    arrays = (
+        shingled.join(cand_ids, id_col, "semi")
+        .groupBy(id_col)
+        .agg(F.collect_list("shingle").alias("__shingles"))
+    )
     verified = jaccard_verify_arrays(arrays, pairs, id_col, threshold, "__shingles")
     sa = sig.select(F.col(id_col).alias("id_a"), F.col("sig").alias("__sa"))
     sb = sig.select(F.col(id_col).alias("id_b"), F.col("sig").alias("__sb"))

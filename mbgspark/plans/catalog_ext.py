@@ -112,8 +112,12 @@ def dedup_minhash_lsh(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+# 15-hex-char (60-bit) windows — must match operators/dedup._sig_aggs
+# exactly (the Spark side takes the min numerically for HashAggregate
+# planning and renders back; fixed-width lowercase hex makes the string
+# min here identical)
 _MINHASH_SIG_COLS = ",\n         ".join(
-    f"min(substr(md5(shingle), {2 * i + 1}, 16)) AS h{i}" for i in range(8)
+    f"min(substr(md5(shingle), {2 * i + 1}, 15)) AS h{i}" for i in range(8)
 )
 _MINHASH_BANDS = "\n  UNION ALL\n".join(
     f"  SELECT id, {b} AS band_idx, md5(h{2*b} || '|' || h{2*b+1}) AS band_key FROM sig"

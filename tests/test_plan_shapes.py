@@ -309,10 +309,17 @@ def test_top_bigrams_topk_never_global_sorts(spark):
 
 
 def test_minhash_bucket_cap_stays_cheap_and_equijoin(spark):
-    """The skew guard is a hash-aggregate blacklist + left-anti join: the
-    capped plan must stay free of cartesian/nested-loop joins and must not
-    add a per-partition sort of the band rows (the rejected window-count
-    formulation did — measured ~25% slower at sf0.1)."""
+    """The skew guard is a KEYED window count riding the band self-join's
+    own exchange (r12 reshape): the capped plan must stay free of
+    cartesian/nested-loop joins, and the window must be partitioned by
+    the band keys — never global. History: an earlier sf0.1-only A/B
+    rejected the window for an agg+anti-join blacklist, but that
+    measurement compared guard mechanics in isolation; the two-decade
+    ledger sweep (r12) showed the blacklist's separate aggregation
+    lineage defeats exchange reuse, recomputing the whole signature
+    pipeline per consumer and double-shuffling the band rows (~4M of
+    6.9M sf10 records) — the window shape is 25% faster at sf10 with
+    linear records across sf0.1→sf1→sf10 and zero spill."""
     import mbgspark.operators.dedup as dd
     from mbgspark.plans.catalog_ext import _dup_corpus
 
@@ -324,11 +331,24 @@ def test_minhash_bucket_cap_stays_cheap_and_equijoin(spark):
     pc = capped._jdf.queryExecution().executedPlan().toString()
     pu = uncapped._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in pc and "BroadcastNestedLoopJoin" not in pc
-    # the guard is agg + anti-join, NOT a window count (a Window would sort
-    # every band row per partition — measured ~25% slower at sf0.1); the
-    # uncapped plan has no Window either, so the whole pipeline stays
-    # window-free
-    assert "Window" not in pc and "Window" not in pu
+    assert "CartesianProduct" not in pu and "BroadcastNestedLoopJoin" not in pu
+    # the bucket-size window is keyed on the band columns (the join's own
+    # partitioning) in BOTH plans — the n >= 2 singleton drop applies
+    # capped or not; a global (AllTuples) window here would be a
+    # regression the plan lint also catches
+    assert "windowspecdefinition(band_idx" in pc
+    assert "windowspecdefinition(band_idx" in pu
+    # the signature aggregation must stay a codegen HashAggregate — the
+    # numeric min family exists precisely because min-over-STRING plans
+    # as ObjectHashAggregate, whose 128-key sort-based fallback was the
+    # 939 MB/pass sf10 spill. The only ObjectHashAggregate allowed is
+    # the candidate-restricted collect_list arrays packing.
+    import re
+
+    for plan in (pc, pu):
+        assert "SortAggregate" not in plan
+        for m in re.findall(r"ObjectHashAggregate\(keys=\S+ functions=\[\w+", plan):
+            assert "collect_list" in m, m
 
 
 def test_dedup_incremental_stays_equijoin(spark):
