@@ -1,6 +1,6 @@
 """Every reach into Spark's JVM internals, in one place.
 
-The engine is DataFrame-first and public-API-only with four deliberate
+The engine is DataFrame-first and public-API-only with five deliberate
 exceptions, all py4j / private-attribute probes that buy something the
 public API cannot express. A PySpark major upgrade that renames any of
 these private surfaces should fail the suite in ONE obvious module —
@@ -39,6 +39,14 @@ Seams (pin tests co-located in ``tests/test_jvmseam.py``):
    UTF-8 sidecar reads/writes that travel with the store on any Hadoop-
    compatible FS (local, HDFS, S3A) instead of assuming ``os.path``.
    Failure direction: loud AttributeError at the call site.
+5. ``app_shuffle_write_records`` — the core ``AppStatusStore`` stage
+   list via ``sc._jsc.sc().statusStore()``. App-cumulative
+   shuffle-write records, the per-BATCH work ledger for streaming
+   soaks (``executed_plan_metrics`` covers plans the caller drives
+   itself; a foreachBatch micro-batch's jobs are only visible here).
+   Snapshot-diff semantics; bounded by ``spark.ui.retainedStages``
+   (default 1000 — a soak's few hundred stages fit). Failure
+   direction: loud Py4JError in the soak and its pin test.
 """
 
 from __future__ import annotations
@@ -202,3 +210,33 @@ def fs_write_utf8(spark: SparkSession, path: str, data: str) -> None:
         out.write(bytearray(data.encode("utf-8")))
     finally:
         out.close()
+
+
+# ----------------------------------------------- 5. app-level stage metrics ----
+def app_shuffle_write_records(spark: SparkSession) -> int:
+    """App-cumulative ``shuffleWriteRecords`` summed over every stage the
+    core AppStatusStore retains. Callers snapshot before/after a unit of
+    work (e.g. one streaming micro-batch) and diff — the load-independent
+    per-batch work ledger the soak tools attach to crash/replay evidence.
+
+    Uses the full ``stageList(statuses, details, taskMetrics,
+    quantiles, taskStatus)`` signature (the zero-arg Scala overloads are
+    default-argument synthetics py4j cannot resolve). Retention caveat:
+    the store keeps ``spark.ui.retainedStages`` stages (default 1000);
+    diffs are exact while the app stays under that, which a soak's few
+    hundred stages do."""
+    gw = spark.sparkContext._gateway
+    jvm = gw.jvm
+    store = spark.sparkContext._jsc.sc().statusStore()
+    stages = store.stageList(
+        jvm.java.util.ArrayList(),
+        False,
+        False,
+        gw.new_array(jvm.double, 0),
+        jvm.java.util.ArrayList(),
+    )
+    total = 0
+    it = stages.iterator()
+    while it.hasNext():
+        total += it.next().shuffleWriteRecords()
+    return int(total)

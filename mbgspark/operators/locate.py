@@ -218,12 +218,28 @@ def fuzzy_top1_join(
     max_distance: int | None = None,
 ) -> DataFrame:
     """J2: best (min edit distance) dim term per fact row; deterministic
-    tiebreak on the dim term. Arg-max pattern of utils.py:463-487."""
-    joined = fact.crossJoin(F.broadcast(dim)).withColumn(
-        "lev_dist", F.levenshtein(F.col(fact_term), F.col(dim_term)).cast("bigint")
-    )
+    tiebreak on the dim term. Arg-max pattern of utils.py:463-487.
+
+    With ``max_distance`` set, the THRESHOLD form of levenshtein is used
+    (returns -1 above the bound): the bounded DP early-exits — including
+    instantly on |len(a)-len(b)| > k — so each of the |tokens| × |dim|
+    broadcast pairs costs O(k·min(len)) instead of O(len²), and rows
+    above the bound were discarded by the filter anyway. Within the
+    bound the true distance is returned, so the arg-max and tie-break
+    are unchanged (r12; parity bit-identical at sf0.01, 1.9× on the
+    sf20-split fuzzy pass)."""
     if max_distance is not None:
-        joined = joined.filter(F.col("lev_dist") <= max_distance)
+        joined = fact.crossJoin(F.broadcast(dim)).withColumn(
+            "lev_dist",
+            F.levenshtein(
+                F.col(fact_term), F.col(dim_term), max_distance
+            ).cast("bigint"),
+        ).filter(F.col("lev_dist") >= 0)
+    else:
+        joined = fact.crossJoin(F.broadcast(dim)).withColumn(
+            "lev_dist",
+            F.levenshtein(F.col(fact_term), F.col(dim_term)).cast("bigint"),
+        )
     w = Window.partitionBy(fact_id).orderBy(F.col("lev_dist").asc(), F.col(dim_term).asc())
     return (
         joined.withColumn("__rn", F.row_number().over(w))

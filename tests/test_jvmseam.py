@@ -171,3 +171,32 @@ def test_jvm_internals_confined_to_seam():
     }
     allowed = {"mbgspark/jvmseam.py"}
     assert offenders <= allowed, sorted(offenders - allowed)
+
+
+def test_app_shuffle_records_seam_pinned(spark):
+    """Seam 5: app-cumulative shuffle-write records via the core
+    AppStatusStore. Snapshot-diff across one job whose shuffle record
+    count is deterministic (partial agg of k = id % 10 over 4 input
+    partitions -> 4 x 10 partial rows) must equal exactly 40. A py4j
+    rename of statusStore/stageList fails here loudly."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    before = jvmseam.app_shuffle_write_records(spark)
+    (
+        spark.range(0, 1000, 1, 4)
+        .withColumn("k", F.col("id") % 10)
+        .groupBy("k")
+        .count()
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    # stage completion posts to the status store asynchronously
+    deadline = time.time() + 10
+    delta = jvmseam.app_shuffle_write_records(spark) - before
+    while delta < 40 and time.time() < deadline:
+        time.sleep(0.2)
+        delta = jvmseam.app_shuffle_write_records(spark) - before
+    assert delta == 40, delta

@@ -48,6 +48,7 @@ from gate_bench import (  # noqa: E402
     write_batch_file,
 )
 
+from mbgspark.jvmseam import app_shuffle_write_records  # noqa: E402
 from mbgspark.session import get_spark  # noqa: E402
 from mbgspark.streaming import (  # noqa: E402
     compact_gate_store,
@@ -55,6 +56,20 @@ from mbgspark.streaming import (  # noqa: E402
 )
 
 BASE = "/tmp/gate_soak"
+
+
+def _settled_records(spark) -> int:
+    """App-cumulative shuffle-write records after async stage postings
+    settle (two reads 0.3 s apart agree) — per-batch work ledger."""
+    prev = app_shuffle_write_records(spark)
+    deadline = time.time() + 10
+    while time.time() < deadline:
+        time.sleep(0.3)
+        cur = app_shuffle_write_records(spark)
+        if cur == prev:
+            return cur
+        prev = cur
+    return prev
 
 
 def _live_dirs(path: str) -> list[str]:
@@ -100,6 +115,7 @@ def main() -> None:
             f"{root}/src"
         )
         t0 = time.time()
+        x0 = _settled_records(spark)
         q = start_neardup_gate_sink_indexed(
             stream,
             store,
@@ -119,12 +135,14 @@ def main() -> None:
             q.stop()
             raise TimeoutError(f"batch {b}: gate sink still running after 1200 s")
         secs = round(time.time() - t0, 2)
+        xrec = _settled_records(spark) - x0
         print(
             json.dumps(
                 {
                     "phase": "batch",
                     "batch": b,
                     "secs": secs,
+                    "xrec": xrec,
                     "store_rows": spark.read.parquet(store).count(),
                     "live_store_dirs": len(_live_dirs(store)),
                     "live_band_dirs": len(_live_dirs(f"{index}/bands")),
@@ -172,11 +190,18 @@ def main() -> None:
             with open(f"{staging}/_COMPACT_MANIFEST.json", "w") as f:
                 json.dump({"dirs": dirs_at_snapshot}, f)
         extra.write.mode("overwrite").parquet(f"{twin_store}/__gate_batch=9999")
+        x0 = _settled_records(spark)
         folded_1 = compact_gate_store(spark, twin_store, target_files=target_files)
         folded_2 = compact_gate_store(spark, twin_store, target_files=target_files)
+        compact_xrec = _settled_records(spark) - x0
         df = spark.read.parquet(twin_store)
         results[twin] = {
             "folded": [folded_1, folded_2],
+            # work ledger, reported not asserted equal: the crash twin
+            # takes the staging-adoption path (reads the snapshot, not
+            # the batch dirs), legitimately different work converging to
+            # the same id set
+            "compact_xrec": compact_xrec,
             "rows": df.count(),
             "id_hash": df.selectExpr(
                 "sum(hash(doc_id)) AS h", "count(distinct doc_id) AS d"

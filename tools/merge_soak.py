@@ -59,8 +59,23 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from mbgspark.io import retention_sweep
+from mbgspark.jvmseam import app_shuffle_write_records
 from mbgspark.session import ensure_session_conf, get_spark
 from mbgspark.streaming import start_merge_sink
+
+
+def settled_records(spark) -> int:
+    """App-cumulative shuffle-write records, read after the async stage
+    postings settle (two consecutive reads 0.3 s apart agree)."""
+    prev = app_shuffle_write_records(spark)
+    deadline = time.time() + 10
+    while time.time() < deadline:
+        time.sleep(0.3)
+        cur = app_shuffle_write_records(spark)
+        if cur == prev:
+            return cur
+        prev = cur
+    return prev
 
 BASE = "/tmp/merge_soak"
 DAYS_PER_BATCH = 4  # each batch spans 4 consecutive days, advancing 2/batch
@@ -178,6 +193,11 @@ def main() -> None:
     # exist yet), hence the guard; with batches<2 no crash phase runs.
     crash_at = max(sweep_at + 1, 1) if batches >= 2 else None
     per_day = rows // DAYS_PER_BATCH  # rows a batch contributes to one day
+    # per-batch WORK ledger (shuffle records written by each batch's
+    # merge jobs, app-snapshot diffed): seconds swing with neighbor
+    # load, records don't — the crash replay below must not just
+    # converge to the same CONTENT, it must do the same WORK
+    batch_xrec: dict[int, int] = {}
     for b in range(batches):
         write_batch(spark, src, b, rows)
         if b == crash_at:
@@ -186,7 +206,9 @@ def main() -> None:
             # committed any day dir, so the visible store IS pre-batch)
             shutil.copytree(store, f"{BASE}/pre_b{b}_store")
         t0 = time.time()
+        x0 = settled_records(spark)
         run_stream(spark, src, store, ck, mrpf)
+        batch_xrec[b] = settled_records(spark) - x0
         counts = day_file_counts(store)
         # many-part bound: a day holds ≤ 2 batches' worth of rows (the
         # 2-day overlap), compacted to one task then split by mrpf
@@ -202,6 +224,7 @@ def main() -> None:
                     "phase": "batch",
                     "batch": b,
                     "secs": round(time.time() - t0, 2),
+                    "xrec": batch_xrec[b],
                     "days": len(counts),
                     "day_files_max": worst,
                     "day_files_bound": bound,
@@ -269,12 +292,22 @@ def main() -> None:
                 p = f"{ck}/commits/{f2}"
                 if os.path.exists(p):
                     os.remove(p)
+            x0 = settled_records(spark)
             run_stream(spark, src, store, ck, mrpf)  # replays batch b only
+            replay_xrec = settled_records(spark) - x0
             replayed = content_hash(spark, store)
             assert replayed == post_hash, (
                 "mid-write crash replay diverged",
                 replayed,
                 post_hash,
+            )
+            # identical WORK, not just identical content: the replay runs
+            # the same input against the same restored pre-batch store,
+            # so its shuffle records must equal the original batch's
+            assert replay_xrec == batch_xrec[b], (
+                "crash replay did different work",
+                replay_xrec,
+                batch_xrec[b],
             )
             counts = day_file_counts(store)
             assert max(counts.values()) <= bound, (
@@ -287,6 +320,8 @@ def main() -> None:
                         "batch": b,
                         "replayed_commit": commits[-1],
                         "identical": True,
+                        "xrec": replay_xrec,
+                        "xrec_original": batch_xrec[b],
                         "hash": post_hash,
                     }
                 ),
@@ -327,7 +362,9 @@ def main() -> None:
         p = f"{twin_ck}/commits/{f}"
         if os.path.exists(p):
             os.remove(p)
+    x0 = settled_records(spark)
     run_stream(spark, src, twin_store, twin_ck, mrpf)
+    twin_xrec = settled_records(spark) - x0
     replayed = content_hash(spark, twin_store)
     same = replayed == final
     print(
@@ -336,6 +373,14 @@ def main() -> None:
                 "phase": "crash_replay",
                 "replayed_batch": commits[-1],
                 "identical": same,
+                # reported, not asserted equal: the twin store already
+                # holds the final batch's rows, so the replayed merge
+                # reads bigger day partitions than the original run —
+                # legitimately different work converging to the same
+                # content (the mid-soak crash phase asserts work
+                # identity, where the store IS restored pre-batch)
+                "xrec": twin_xrec,
+                "xrec_original": batch_xrec[batches - 1],
                 "final": final,
                 "replayed": replayed,
             }
