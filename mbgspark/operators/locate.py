@@ -72,13 +72,26 @@ def containment_join_first_match(
             F.col(fact_id),
             F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("__tok"),
         )
+        # Argmin as min(order) + broadcast join-back, NOT min(struct(...)):
+        # a struct buffer is immutable so Spark plans SortAggregate — a
+        # per-partition sort of every hit row; min over the BIGINT-able
+        # order column is a codegen HashAggregate with map-side combine
+        # (r12, same class as the minhash numeric-family fix). Joining the
+        # winning order back to the broadcast dim recovers the term and
+        # carried columns. Duplicate order values (no caller has them,
+        # but the old struct-min tiebroke by term) are deduped on the
+        # tiny dim side first, so semantics are unchanged either way.
+        dim_best = F.broadcast(
+            dim.groupBy(order_col)
+            .agg(F.min(F.struct(term_col, *other_cols)).alias("__d"))
+            .select(F.col(order_col), *[F.col(f"__d.{c}") for c in (term_col, *other_cols)])
+        )
         hit = toks.join(b, toks["__tok"] == dim[term_col])
         best = (
             hit.groupBy(fact_id)
-            .agg(
-                F.min(F.struct(order_col, term_col, *other_cols)).alias("__best")
-            )
-            .select(fact_id, "__best.*")
+            .agg(F.min(order_col).alias(order_col))
+            .join(dim_best, order_col)
+            .select(fact_id, order_col, term_col, *other_cols)
         )
         return fact.join(best, fact_id)
     if use_token_membership:
