@@ -873,3 +873,50 @@ def test_plan_lint_flags_scanfed_global_window(spark):
     assert [
         f for f in plan_lint.lint_plan(both, "both") if "window" in f
     ] == []
+
+
+def test_agg_audit_classifies_sort_class_aggregates(spark):
+    """tools/agg_audit.py is the standing SortAggregate detector (r12):
+    a NEW sort-class aggregate outside the audited allowlist must be
+    reported as unexplained; inherent packings (collect_list) and
+    allowlisted rows pass. Pins the classifier on constructed frames
+    plus a catalog spot-check (full-catalog run is a tool invocation:
+    `python tools/agg_audit.py` -> exit 1 on unexplained)."""
+    import sys
+
+    from pyspark.sql import functions as F
+
+    sys.path.insert(0, "/root/repo/tools")
+    import agg_audit
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+
+    # min over a struct = SortAggregate, not in any allowlist -> flags
+    bad = orders.groupBy("o_custkey").agg(
+        F.min(F.struct("o_orderpriority", "o_orderkey")).alias("b")
+    )
+    u, e = agg_audit.classify("some_new_query", bad)
+    assert u and "SortAggregate" in u[0], (u, e)
+
+    # collect_list is inherent wherever it appears -> explained
+    packing = orders.groupBy("o_custkey").agg(
+        F.collect_list("o_orderstatus").alias("v")
+    )
+    u, e = agg_audit.classify("some_new_query", packing)
+    assert not u and e, (u, e)
+
+    # numeric min = codegen HashAggregate -> no sort-class nodes at all
+    good = orders.groupBy("o_custkey").agg(F.min("o_orderkey").alias("m"))
+    u, e = agg_audit.classify("some_new_query", good)
+    assert not u and not e, (u, e)
+
+    # catalog spot-check: the reshaped minhash row's only sort-class
+    # aggregate is the candidate-restricted collect_list packing
+    from mbgspark.plans.catalog import CATALOG
+
+    u, e = agg_audit.classify(
+        "dedup_minhash_lsh",
+        CATALOG["dedup_minhash_lsh"][0](spark, SF),
+    )
+    assert not u, u
+    assert all("collect_list" in line for line in e), e
