@@ -435,3 +435,30 @@ def test_ngram_driver_property_equivalence(spark, texts):
         key=key,
     )
     assert drv == dist
+
+
+@given(
+    st.lists(
+        st.text(alphabet="0123456789abcdef", min_size=15, max_size=15),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+def test_minhash_numeric_min_is_string_min(spark, windows):
+    """The r12 hash family's load-bearing identity: for FIXED-WIDTH
+    lowercase hex, numeric min (conv -> bigint, the HashAggregate path)
+    rendered back through lower(lpad(hex(...), 15, '0')) equals the
+    lexicographic string min the DuckDB oracle computes. Property-pinned
+    over arbitrary 15-hex windows including all-zero and max values."""
+    from mbgspark.operators.dedup import _render_sig_hex
+
+    df = spark.createDataFrame([(w,) for w in windows], "w string")
+    got = (
+        df.agg(
+            F.min(F.conv(F.col("w"), 16, 10).cast("long")).alias("h0")
+        )
+        .select(_render_sig_hex(0).alias("r"))
+        .first()["r"]
+    )
+    assert got == min(windows)
