@@ -26,6 +26,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# value-bucket count for the exact-quantile two-level cumulative rank:
+# enough buckets to engage every local core / a few waves of cluster
+# tasks, few enough that the offsets rollup stays driver-trivial
+_QB = 64
+
 
 # ------------------------------------------------------------ profiler ----
 
@@ -261,19 +266,146 @@ def snapshot_diff(
 # ------------------------------------------------------ numeric profiler ----
 
 
+def exact_quantiles_histogram(
+    df: DataFrame, columns: list[str], qs: list[float]
+) -> DataFrame:
+    """EXACT linear-interpolated quantiles for several columns in one
+    codegen pipeline: (column, value) histogram → per-column cumulative
+    rank → pick the two values bracketing position q·(n−1) → interpolate
+    with Spark's own percentile formula (lo·(hi_i−p) + hi·(p−lo_i)).
+
+    This is the scale shape for exact quantiles: Spark's builtin
+    ``percentile`` is a TypedImperativeAggregate that buffers the SAME
+    distinct-value→count map per function and serializes whole maps
+    through the shuffle (measured: +4.2 s on a 600k-row lineitem for six
+    of them, vs +0.3 s for this pipeline) — here the identical content
+    flows as (column, value, count) rows through a map-side-combining
+    HashAggregate, and the only sort is the per-COLUMN cumulative window
+    over DISTINCT values: bounded by value cardinality, not row count
+    (exactly the builtin's buffer bound, sorted once instead of
+    serialized per partition per function).
+
+    Output: one row per column that has ≥1 non-null value —
+    (column_name, q0, q1, …) as double, UNROUNDED (callers round).
+    All-null columns are simply absent (callers left-join)."""
+    pairs = (
+        df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("column_name"),
+                            F.col(c).cast("double").alias("__v"),
+                        )
+                        for c in columns
+                    ]
+                )
+            ).alias("p")
+        )
+        .select("p.*")
+        .filter(F.col("__v").isNotNull())
+    )
+    hist = pairs.groupBy("column_name", "__v").agg(F.count(F.lit(1)).alias("__cnt"))
+    # Two-level cumulative rank (the corpus_shuffle_shards offsets
+    # pattern): a single per-column window serializes the whole distinct
+    # set through one task (measured 1.9 s alone on a 600k-distinct
+    # column); equal-width VALUE buckets keep the cumsum order-correct
+    # while windows run per (column, bucket) in parallel, and the only
+    # serial pass is the ≤ columns×_QB-row bucket-offsets rollup. Value
+    # skew can unbalance buckets — that degrades parallelism only, never
+    # ranks. mn == mx (one distinct value) lands everything in bucket 0
+    # via the greatest() span guard.
+    rng = hist.groupBy("column_name").agg(
+        F.min("__v").alias("__mn"), F.max("__v").alias("__mx")
+    )
+    span = F.greatest(
+        F.col("__mx") - F.col("__mn"), F.lit(1e-300)
+    )
+    bucketed = hist.join(F.broadcast(rng), "column_name").withColumn(
+        "__bk",
+        F.least(
+            F.lit(_QB - 1),
+            F.floor((F.col("__v") - F.col("__mn")) / span * _QB),
+        ).cast("int"),
+    )
+    w_in = (
+        Window.partitionBy("column_name", "__bk")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    part = bucketed.withColumn("__local_hi", F.sum("__cnt").over(w_in))
+    bucket_tot = bucketed.groupBy("column_name", "__bk").agg(
+        F.sum("__cnt").alias("__bt")
+    )
+    w_off = (
+        Window.partitionBy("column_name")
+        .orderBy("__bk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = bucket_tot.withColumn(
+        "__off", F.coalesce(F.sum("__bt").over(w_off), F.lit(0))
+    )
+    wn = Window.partitionBy("column_name")
+    offs = offs.withColumn("__n", F.sum("__bt").over(wn))
+    cum = (
+        part.join(
+            F.broadcast(offs.select("column_name", "__bk", "__off", "__n")),
+            ["column_name", "__bk"],
+        )
+        .withColumn("__hi_rank", F.col("__local_hi") + F.col("__off"))
+        .withColumn("__lo_rank", F.col("__hi_rank") - F.col("__cnt"))
+    )
+    sel = [F.col("column_name")]
+    post = []
+    for i, q in enumerate(qs):
+        # 0-based position; a value row covers ranks [__lo_rank, __hi_rank)
+        p = F.lit(q) * (F.col("__n") - 1)
+        lo_i, hi_i = F.floor(p), F.ceil(p)
+        sel.append(
+            F.max(
+                F.when(
+                    (F.col("__lo_rank") <= lo_i) & (lo_i < F.col("__hi_rank")),
+                    F.col("__v"),
+                )
+            ).alias(f"__vlo{i}")
+        )
+        sel.append(
+            F.max(
+                F.when(
+                    (F.col("__lo_rank") <= hi_i) & (hi_i < F.col("__hi_rank")),
+                    F.col("__v"),
+                )
+            ).alias(f"__vhi{i}")
+        )
+        sel.append(F.max(p).alias(f"__p{i}"))
+        post.append(
+            F.when(
+                F.floor(F.col(f"__p{i}")) == F.ceil(F.col(f"__p{i}")),
+                F.col(f"__vlo{i}"),
+            )
+            .otherwise(
+                F.col(f"__vlo{i}") * (F.ceil(F.col(f"__p{i}")) - F.col(f"__p{i}"))
+                + F.col(f"__vhi{i}") * (F.col(f"__p{i}") - F.floor(F.col(f"__p{i}")))
+            )
+            .alias(f"q{i}")
+        )
+    return cum.groupBy("column_name").agg(*sel[1:]).select("column_name", *post)
+
+
 def profile_numeric(df: DataFrame, columns: list[str]) -> DataFrame:
     """Numeric twin of ``profile_table``: per-column count/nulls/min/max/
-    mean plus EXACT median and p95 (sort-based ``percentile``, not the
-    t-digest approximation — deterministic and engine-portable, which
-    approx sketches are not). All float surfaces rounded to 4 dp in the
-    aggregate itself so summation/interpolation noise can't flip a hash.
+    mean plus EXACT median and p95 — deterministic and engine-portable,
+    which approx sketches are not. All float surfaces rounded to 4 dp so
+    summation/interpolation noise can't flip a hash.
 
-    Plan shape: one aggregation pass over one scan; the percentile
-    aggregates sort per column WITHIN the single final aggregate (driver
-    holds only the k result rows). For 100 TB profile runs where an exact
-    sort-percentile is too heavy, swap ``percentile`` for
-    ``percentile_approx`` at the call site — same plan, bounded memory.
-    """
+    Plan shape (r12): one codegen aggregation pass for the moment stats
+    + the histogram-quantile pipeline of ``exact_quantiles_histogram``
+    for median/p95 (see there for why the builtin ``percentile``'s
+    buffer-serializing aggregate was 15× slower at sf0.1), joined on
+    column_name — all-null columns keep NULL quantiles via the left
+    join. For 100 TB profile runs where even a cardinality-bounded exact
+    quantile is too heavy, swap in ``percentile_approx`` at the call
+    site — bounded memory, approximate."""
     aggs = []
     for c in columns:
         col = F.col(c).cast("double")
@@ -283,8 +415,6 @@ def profile_numeric(df: DataFrame, columns: list[str]) -> DataFrame:
             F.round(F.min(col), 4).alias(f"__mn_{c}"),
             F.round(F.max(col), 4).alias(f"__mx_{c}"),
             F.round(F.avg(col), 4).alias(f"__av_{c}"),
-            F.round(F.expr(f"percentile({c}, 0.5)"), 4).alias(f"__md_{c}"),
-            F.round(F.expr(f"percentile({c}, 0.95)"), 4).alias(f"__p95_{c}"),
         ]
     row = df.agg(*aggs)
     per_col = [
@@ -295,14 +425,23 @@ def profile_numeric(df: DataFrame, columns: list[str]) -> DataFrame:
             F.col(f"__mn_{c}").alias("min_val"),
             F.col(f"__mx_{c}").alias("max_val"),
             F.col(f"__av_{c}").alias("avg_val"),
-            F.col(f"__md_{c}").alias("median_val"),
-            F.col(f"__p95_{c}").alias("p95_val"),
         )
         for c in columns
     ]
+    base = row.select(F.explode(F.array(*per_col)).alias("p")).select("p.*")
+    pct = exact_quantiles_histogram(df, columns, [0.5, 0.95])
     return (
-        row.select(F.explode(F.array(*per_col)).alias("p"))
-        .select("p.*")
+        base.join(pct, "column_name", "left")
+        .select(
+            "column_name",
+            "n_values",
+            "n_null",
+            "min_val",
+            "max_val",
+            "avg_val",
+            F.round(F.col("q0"), 4).alias("median_val"),
+            F.round(F.col("q1"), 4).alias("p95_val"),
+        )
         .orderBy("column_name")
     )
 
