@@ -58,6 +58,11 @@ HEADLINE = [
     # read path, and the data-quality gate (additive — compare to the
     # 25-query basis on the first 25)
     "bm25_topk", "scd2_asof_revenue", "dq_checks_orders",
+    # round 13: the numeric profiler (its r12 8-scan plan regression was
+    # invisible to bench AND the shuffle ledger because the row wasn't in
+    # HEADLINE — VERDICT r12 next-round #3) and a curation sampling row
+    # (additive — compare to the 28-query basis on the first 28)
+    "profile_lineitem_numeric", "stratified_sample_counts",
 ]
 
 

@@ -225,6 +225,14 @@ def app_shuffle_write_records(spark: SparkSession) -> int:
     the store keeps ``spark.ui.retainedStages`` stages (default 1000);
     diffs are exact while the app stays under that, which a soak's few
     hundred stages do."""
+    total = 0
+    for stage in _retained_stages(spark):
+        total += stage.shuffleWriteRecords()
+    return int(total)
+
+
+def _retained_stages(spark: SparkSession):
+    """Iterate the AppStatusStore's retained stage summaries."""
     gw = spark.sparkContext._gateway
     jvm = gw.jvm
     store = spark.sparkContext._jsc.sc().statusStore()
@@ -235,8 +243,28 @@ def app_shuffle_write_records(spark: SparkSession) -> int:
         gw.new_array(jvm.double, 0),
         jvm.java.util.ArrayList(),
     )
-    total = 0
     it = stages.iterator()
     while it.hasNext():
-        total += it.next().shuffleWriteRecords()
-    return int(total)
+        yield it.next()
+
+
+def assert_stage_retention_headroom(spark: SparkSession, frac: float = 0.8) -> int:
+    """Guard for ``app_shuffle_write_records`` snapshot-diff users: the
+    app-cumulative sum is exact only while the AppStatusStore has evicted
+    NOTHING. Past ``spark.ui.retainedStages`` the store silently drops old
+    stages, so a before/after diff under-counts or goes negative and an
+    exact-work assertion (replay_xrec == batch_xrec) fails spuriously
+    (ADVICE r12). Fail loud while there is still headroom — long soaks
+    must raise the retention limit, not adjudicate a corrupted ledger.
+
+    Returns the retained stage count (for logging)."""
+    limit = int(spark.conf.get("spark.ui.retainedStages", "1000"))
+    n = sum(1 for _ in _retained_stages(spark))
+    if n > frac * limit:
+        raise RuntimeError(
+            f"AppStatusStore holds {n} stages, > {frac:.0%} of "
+            f"spark.ui.retainedStages={limit}: the shuffle-record ledger "
+            "is about to lose exactness — raise spark.ui.retainedStages "
+            "for this soak"
+        )
+    return n

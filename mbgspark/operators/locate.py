@@ -78,13 +78,30 @@ def containment_join_first_match(
         # order column is a codegen HashAggregate with map-side combine
         # (r12, same class as the minhash numeric-family fix). Joining the
         # winning order back to the broadcast dim recovers the term and
-        # carried columns. Duplicate order values (no caller has them,
-        # but the old struct-min tiebroke by term) are deduped on the
-        # tiny dim side first, so semantics are unchanged either way.
-        dim_best = F.broadcast(
+        # carried columns. This join-back REQUIRES order_col to be unique
+        # in dim: with duplicates, the dim-global dedup below could
+        # attribute a fact row to a same-order term it never matched
+        # (the old struct-min tiebroke only among the row's actual hits)
+        # — fail loud instead of silently changing semantics (ADVICE r12),
+        # matching the reserved-column guard above. dim is broadcast-tiny,
+        # so the uniqueness probe is a driver-trivial count.
+        dup = (
             dim.groupBy(order_col)
-            .agg(F.min(F.struct(term_col, *other_cols)).alias("__d"))
-            .select(F.col(order_col), *[F.col(f"__d.{c}") for c in (term_col, *other_cols)])
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise ValueError(
+                "explode_tokens=True requires unique order_col values in "
+                "dim (the argmin join-back is keyed on it); duplicates "
+                "found — dedupe dim or use use_token_membership/regex"
+            )
+        dim_best = F.broadcast(
+            dim.select(
+                F.col(order_col), F.col(term_col), *[F.col(c) for c in other_cols]
+            )
         )
         hit = toks.join(b, toks["__tok"] == dim[term_col])
         best = (

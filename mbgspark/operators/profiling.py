@@ -266,46 +266,71 @@ def snapshot_diff(
 # ------------------------------------------------------ numeric profiler ----
 
 
-def exact_quantiles_histogram(
-    df: DataFrame, columns: list[str], qs: list[float]
+def _value_histogram(
+    df: DataFrame, columns: list[str], keep_nulls: bool
 ) -> DataFrame:
-    """EXACT linear-interpolated quantiles for several columns in one
-    codegen pipeline: (column, value) histogram → per-column cumulative
-    rank → pick the two values bracketing position q·(n−1) → interpolate
-    with Spark's own percentile formula (lo·(hi_i−p) + hi·(p−lo_i)).
-
-    This is the scale shape for exact quantiles: Spark's builtin
-    ``percentile`` is a TypedImperativeAggregate that buffers the SAME
-    distinct-value→count map per function and serializes whole maps
-    through the shuffle (measured: +4.2 s on a 600k-row lineitem for six
-    of them, vs +0.3 s for this pipeline) — here the identical content
-    flows as (column, value, count) rows through a map-side-combining
-    HashAggregate, and the only sort is the per-COLUMN cumulative window
-    over DISTINCT values: bounded by value cardinality, not row count
-    (exactly the builtin's buffer bound, sorted once instead of
-    serialized per partition per function).
-
-    Output: one row per column that has ≥1 non-null value —
-    (column_name, q0, q1, …) as double, UNROUNDED (callers round).
-    All-null columns are simply absent (callers left-join)."""
-    pairs = (
-        df.select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(c).alias("column_name"),
-                            F.col(c).cast("double").alias("__v"),
-                        )
-                        for c in columns
-                    ]
-                )
-            ).alias("p")
-        )
-        .select("p.*")
-        .filter(F.col("__v").isNotNull())
+    """(column_name, __v, __cnt) value histogram for several numeric
+    columns in ONE scan: explode the columns row-wise, map-side-combining
+    HashAggregate on (column, value). With ``keep_nulls`` the null values
+    of each column survive as a single ``__v IS NULL`` sentinel row per
+    column, so null counts ride the same histogram (``profile_numeric``
+    derives its moment stats from these rows — no second table scan)."""
+    pairs = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column_name"),
+                        F.col(c).cast("double").alias("__v"),
+                    )
+                    for c in columns
+                ]
+            )
+        ).alias("p")
+    ).select("p.*")
+    if not keep_nulls:
+        pairs = pairs.filter(F.col("__v").isNotNull())
+    return pairs.groupBy("column_name", "__v").agg(
+        F.count(F.lit(1)).alias("__cnt")
     )
-    hist = pairs.groupBy("column_name", "__v").agg(F.count(F.lit(1)).alias("__cnt"))
+
+
+def _quantiles_from_histogram(
+    hist: DataFrame, qs: list[float], rng: DataFrame | None = None
+) -> DataFrame:
+    """Quantile pipeline over a ``_value_histogram`` frame (null-free):
+    per-column cumulative rank → pick the two values bracketing position
+    q·(n−1) → interpolate with Spark's own percentile formula.
+
+    ``rng`` — (column_name, __mn, __mx, __qn) with the per-column
+    min/max/non-null-count — is computed from ``hist`` when absent.
+    Callers that already aggregate those moments (``profile_numeric``)
+    pass their own frame so the histogram has exactly one extra consumer
+    and every consumer reuses the SAME shuffle exchange. When computed
+    here, the rollup deliberately also sums ``__cnt``: every consumer of
+    ``hist`` must read all three columns, or per-consumer column pruning
+    canonicalizes the exchanges differently and ReuseExchange stops
+    firing (the r12 profile_numeric 8-scan regression, VERDICT r12)."""
+    if rng is None:
+        # min/max take __v + 0.0·__cnt — value-identical (__cnt is
+        # count(1): finite, ≥ 1, never null), but the reference to
+        # __cnt, an OUTPUT of the inner (column, value) aggregate, is
+        # load-bearing twice over: (a) a bare min(__v)/max(__v) is
+        # duplicate-agnostic over the grouping key, so
+        # RemoveRedundantAggregates collapses the inner aggregate out of
+        # this branch and its exchange stops matching the histogram's —
+        # re-scanning the base table (the r12 8-scan regression); (b) a
+        # struct-rider guard (min(struct(__v, __cnt))) keeps the reuse
+        # but plans an immutable-buffer SortAggregate — the fat-agg
+        # class tools/agg_audit.py exists to catch. The arithmetic rider
+        # stays a double, so the whole rollup is one codegen
+        # HashAggregate. (Spark does not fold 0.0·x — unsound under
+        # null/NaN/Inf — and the plan-shape test pins both properties.)
+        guarded_v = F.col("__v") + F.lit(0.0) * F.col("__cnt")
+        rng = hist.groupBy("column_name").agg(
+            F.min(guarded_v).alias("__mn"),
+            F.max(guarded_v).alias("__mx"),
+        )
     # Two-level cumulative rank (the corpus_shuffle_shards offsets
     # pattern): a single per-column window serializes the whole distinct
     # set through one task (measured 1.9 s alone on a 600k-distinct
@@ -315,9 +340,6 @@ def exact_quantiles_histogram(
     # skew can unbalance buckets — that degrades parallelism only, never
     # ranks. mn == mx (one distinct value) lands everything in bucket 0
     # via the greatest() span guard.
-    rng = hist.groupBy("column_name").agg(
-        F.min("__v").alias("__mn"), F.max("__v").alias("__mx")
-    )
     span = F.greatest(
         F.col("__mx") - F.col("__mn"), F.lit(1e-300)
     )
@@ -392,53 +414,89 @@ def exact_quantiles_histogram(
     return cum.groupBy("column_name").agg(*sel[1:]).select("column_name", *post)
 
 
+def exact_quantiles_histogram(
+    df: DataFrame, columns: list[str], qs: list[float]
+) -> DataFrame:
+    """EXACT linear-interpolated quantiles for several columns in one
+    codegen pipeline: (column, value) histogram → per-column cumulative
+    rank → interpolate (see ``_quantiles_from_histogram``).
+
+    This is the scale shape for exact quantiles: Spark's builtin
+    ``percentile`` is a TypedImperativeAggregate that buffers the SAME
+    distinct-value→count map per function and serializes whole maps
+    through the shuffle (measured: +4.2 s on a 600k-row lineitem for six
+    of them, vs +0.3 s for this pipeline) — here the identical content
+    flows as (column, value, count) rows through a map-side-combining
+    HashAggregate, and the only sort is the per-COLUMN cumulative window
+    over DISTINCT values: bounded by value cardinality, not row count
+    (exactly the builtin's buffer bound, sorted once instead of
+    serialized per partition per function).
+
+    Output: one row per column that has ≥1 non-null value —
+    (column_name, q0, q1, …) as double, UNROUNDED (callers round).
+    All-null columns are simply absent (callers left-join)."""
+    return _quantiles_from_histogram(
+        _value_histogram(df, columns, keep_nulls=False), qs
+    )
+
+
 def profile_numeric(df: DataFrame, columns: list[str]) -> DataFrame:
     """Numeric twin of ``profile_table``: per-column count/nulls/min/max/
     mean plus EXACT median and p95 — deterministic and engine-portable,
     which approx sketches are not. All float surfaces rounded to 4 dp so
     summation/interpolation noise can't flip a hash.
 
-    Plan shape (r12): one codegen aggregation pass for the moment stats
-    + the histogram-quantile pipeline of ``exact_quantiles_histogram``
-    for median/p95 (see there for why the builtin ``percentile``'s
-    buffer-serializing aggregate was 15× slower at sf0.1), joined on
-    column_name — all-null columns keep NULL quantiles via the left
-    join. For 100 TB profile runs where even a cardinality-bounded exact
+    Plan shape (r13): the ENTIRE profile hangs off one (column, value,
+    count) histogram — one FileScan + one map-side-combined shuffle, the
+    exchange reused by every consumer. Moments are derived FROM the
+    histogram rows (n = Σcnt, avg = Σv·cnt / Σcnt; nulls survive as a
+    ``__v IS NULL`` sentinel row per column, so null counts need no side
+    aggregate), and that same moments rollup doubles as the bucket-range
+    frame of the quantile pipeline. This replaces the r12 shape, whose
+    separate ``df.agg`` + per-consumer column pruning re-scanned the
+    base table 8× (VERDICT r12 "What's wrong" #2).
+
+    The quantile branch drops the null sentinel with a predicate guarded
+    by ``__cnt`` (an aggregate output): a bare ``__v IS NOT NULL`` is a
+    grouping-key predicate that Catalyst pushes below the aggregate,
+    which would fork the scan again. Semantically identical — ``__cnt``
+    is count(1), always ≥ 1.
+
+    For 100 TB profile runs where even a cardinality-bounded exact
     quantile is too heavy, swap in ``percentile_approx`` at the call
     site — bounded memory, approximate."""
-    aggs = []
-    for c in columns:
-        col = F.col(c).cast("double")
-        aggs += [
-            F.count(col).alias(f"__n_{c}"),
-            F.count(F.lit(1)).alias(f"__r_{c}"),
-            F.round(F.min(col), 4).alias(f"__mn_{c}"),
-            F.round(F.max(col), 4).alias(f"__mx_{c}"),
-            F.round(F.avg(col), 4).alias(f"__av_{c}"),
-        ]
-    row = df.agg(*aggs)
-    per_col = [
-        F.struct(
-            F.lit(c).alias("column_name"),
-            F.col(f"__n_{c}").cast("bigint").alias("n_values"),
-            (F.col(f"__r_{c}") - F.col(f"__n_{c}")).cast("bigint").alias("n_null"),
-            F.col(f"__mn_{c}").alias("min_val"),
-            F.col(f"__mx_{c}").alias("max_val"),
-            F.col(f"__av_{c}").alias("avg_val"),
-        )
-        for c in columns
-    ]
-    base = row.select(F.explode(F.array(*per_col)).alias("p")).select("p.*")
-    pct = exact_quantiles_histogram(df, columns, [0.5, 0.95])
+    hist = _value_histogram(df, columns, keep_nulls=True)
+    nn_cnt = F.when(F.col("__v").isNotNull(), F.col("__cnt"))
+    # min/max take __v + 0.0·__cnt — value-identical, but the __cnt
+    # reference keeps RemoveRedundantAggregates from collapsing the inner
+    # histogram aggregate out of any pruned copy of this rollup (exchange
+    # reuse by construction) while staying a codegen HashAggregate; see
+    # _quantiles_from_histogram. Null sentinel rows yield null (null+x)
+    # and are skipped by min/max, exactly as intended.
+    guarded_v = F.col("__v") + F.lit(0.0) * F.col("__cnt")
+    stats = hist.groupBy("column_name").agg(
+        F.coalesce(F.sum(nn_cnt), F.lit(0)).cast("bigint").alias("n_values"),
+        F.coalesce(
+            F.sum(F.when(F.col("__v").isNull(), F.col("__cnt"))), F.lit(0)
+        ).cast("bigint").alias("n_null"),
+        F.min(guarded_v).alias("__mn"),
+        F.max(guarded_v).alias("__mx"),
+        (F.sum(F.col("__v") * F.col("__cnt")) / F.sum(nn_cnt)).alias("__av"),
+    )
+    pct = _quantiles_from_histogram(
+        hist.filter(F.when(F.col("__cnt") >= 1, F.col("__v")).isNotNull()),
+        [0.5, 0.95],
+        rng=stats.select("column_name", "__mn", "__mx"),
+    )
     return (
-        base.join(pct, "column_name", "left")
+        stats.join(pct, "column_name", "left")
         .select(
             "column_name",
             "n_values",
             "n_null",
-            "min_val",
-            "max_val",
-            "avg_val",
+            F.round(F.col("__mn"), 4).alias("min_val"),
+            F.round(F.col("__mx"), 4).alias("max_val"),
+            F.round(F.col("__av"), 4).alias("avg_val"),
             F.round(F.col("q0"), 4).alias("median_val"),
             F.round(F.col("q1"), 4).alias("p95_val"),
         )

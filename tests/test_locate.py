@@ -98,6 +98,23 @@ def test_explode_tokens_rejects_multiword_terms(spark):
         )
 
 
+def test_explode_tokens_rejects_duplicate_order_values(spark):
+    """ADVICE r12: the min(order)+join-back argmin is keyed on order_col,
+    so duplicate order values could attribute a fact row to a same-order
+    term it never matched — fail loud instead."""
+    import pytest
+    from mbgspark.operators.locate import containment_join_first_match
+
+    fact = spark.createDataFrame([(1, "di bandung")], "id int, text string")
+    dim = spark.createDataFrame(
+        [("bandung", 1), ("jakarta", 1)], "term string, dict_order int"
+    )
+    with pytest.raises(ValueError, match="unique order_col"):
+        containment_join_first_match(
+            fact, dim, "id", "text", "term", explode_tokens=True
+        )
+
+
 def test_case_chain_compiles_at_reference_dim_size(spark):
     # the reference dim is 456 (province, city) pairs + aliases; a 500-term
     # CASE chain must survive codegen (or its interpreted fallback) and

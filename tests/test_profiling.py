@@ -349,11 +349,22 @@ def test_profile_numeric_exact_percentiles(spark):
 
 
 def test_profile_numeric_single_scan(spark):
+    """100 TB pin: the whole numeric profile (moments + exact quantiles)
+    hangs off ONE histogram shuffle — the AQE-final executed plan reads
+    the base table exactly once, every other consumer is a
+    ReusedExchange (r12 regression: 8 FileScans, VERDICT r12)."""
     from mbgspark.operators.profiling import profile_numeric
 
     df = spark.read.parquet(f"{SF}/lineitem.parquet")
-    plan = _plan(profile_numeric(df, ["l_quantity", "l_discount"]))
-    assert plan.count("FileScan parquet") == 1
+    prof = profile_numeric(df, ["l_quantity", "l_discount"])
+    prof.collect()  # pin the AQE-FINAL plan, not the initial one
+    plan = _plan(prof).split("== Initial Plan ==")[0]
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "ReusedExchange" in plan, plan
+    # the exchange-reuse guard (__v + 0.0*__cnt) must not cost the hash
+    # aggregate class: a struct-rider variant planned SortAggregate —
+    # per-partition sorts of the whole distinct-value set (agg_audit r12)
+    assert "SortAggregate" not in plan, plan
 
 
 def test_split_leakage_flags_planted_cross_split_duplicates(spark):

@@ -63,3 +63,18 @@ def test_ledger_diff_of_back_to_back_runs_is_empty(spark):
     del doctored["dedup_exact"]
     failures, _ = diff_ledgers(run_a, doctored)
     assert any("only in OLD" in f for f in failures), failures
+
+    # --subset adjudicates a TARGETED re-run (VERDICT r12 #7): NEW
+    # covering only part of OLD is the documented workflow, reported as
+    # a warning; per-row movement still fails; a row only in NEW (no
+    # baseline) still fails
+    partial = {n: dict(run_b[n]) for n in ["q12", "q14"]}
+    failures, warnings = diff_ledgers(run_a, partial, subset=True)
+    assert failures == [], failures
+    assert any("not re-run" in w for w in warnings), warnings
+    partial["q12"]["shuffleRecordsWritten"] += 1
+    failures, _ = diff_ledgers(run_a, partial, subset=True)
+    assert any("q12: records" in f for f in failures), failures
+    extra = {**partial, "brand_new": dict(run_b["q14"], query="brand_new")}
+    failures, _ = diff_ledgers(run_a, extra, subset=True)
+    assert any("only in NEW" in f for f in failures), failures

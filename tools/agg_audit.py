@@ -75,8 +75,9 @@ _ALLOW: set[tuple[str, str]] = {
     ("user_features", "sum("),             #   self-join back into events (audited)
     ("user_features", "count("),
     ("user_features", "max("),
-    ("q10", "min(struct(kw"),              # ≤602-row broadcast dim dedupe
-    ("locate_full_dim", "min(struct"),     # same dim dedupe if compiled path changes
+    # r13: the q10/locate_full_dim "min(struct(kw" dim-dedupe entries were
+    # pruned — the argmin join-back now guards order_col uniqueness up
+    # front (ADVICE r12) and the dedupe aggregate no longer exists.
 }
 
 

@@ -48,7 +48,10 @@ from gate_bench import (  # noqa: E402
     write_batch_file,
 )
 
-from mbgspark.jvmseam import app_shuffle_write_records  # noqa: E402
+from mbgspark.jvmseam import (  # noqa: E402
+    app_shuffle_write_records,
+    assert_stage_retention_headroom,
+)
 from mbgspark.session import get_spark  # noqa: E402
 from mbgspark.streaming import (  # noqa: E402
     compact_gate_store,
@@ -60,7 +63,10 @@ BASE = "/tmp/gate_soak"
 
 def _settled_records(spark) -> int:
     """App-cumulative shuffle-write records after async stage postings
-    settle (two reads 0.3 s apart agree) — per-batch work ledger."""
+    settle (two reads 0.3 s apart agree) — per-batch work ledger. Fails
+    loud near the stage-retention limit, past which eviction silently
+    corrupts the snapshot diff (ADVICE r12)."""
+    assert_stage_retention_headroom(spark)
     prev = app_shuffle_write_records(spark)
     deadline = time.time() + 10
     while time.time() < deadline:
@@ -95,7 +101,10 @@ def main() -> None:
     ce = int(sys.argv[3]) if len(sys.argv) > 3 else 3
     target_files = int(sys.argv[4]) if len(sys.argv) > 4 else 1
 
-    spark = get_spark("gate_soak")
+    # exact-work ledger needs every stage retained (see _settled_records)
+    spark = get_spark(
+        "gate_soak", extra_conf={"spark.ui.retainedStages": "100000"}
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     root = f"{BASE}/pruned_{n}"

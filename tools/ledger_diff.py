@@ -20,9 +20,13 @@ Adjudication rule (also in the verify skill): bench seconds moved +
 ledger records flat = load — cite the ledger and move on. Records moved
 = a real plan change — find the commit.
 
-Usage: python tools/ledger_diff.py OLD.jsonl NEW.jsonl
+Usage: python tools/ledger_diff.py [--subset] OLD.jsonl NEW.jsonl
 Prints one line per moved row and a summary; exit 1 if any row's
-records moved, spill appeared, or the query sets differ.
+records moved, spill appeared, or the query sets differ. ``--subset``
+(VERDICT r12 #7) adjudicates a TARGETED re-run: the NEW ledger may
+cover only some of OLD's rows (rows missing from NEW are reported as
+skipped, not failed) — rows present only in NEW still fail, since a
+row the committed ledger never saw has no baseline to diff against.
 """
 
 from __future__ import annotations
@@ -50,16 +54,23 @@ def load_ledger(path: str) -> dict[str, dict]:
 
 
 def diff_ledgers(
-    old: dict[str, dict], new: dict[str, dict]
+    old: dict[str, dict], new: dict[str, dict], subset: bool = False
 ) -> tuple[list[str], list[str]]:
     """Returns (failures, warnings). Empty failures = the plans do the
-    same work; seconds deltas between the two runs are load."""
+    same work; seconds deltas between the two runs are load. With
+    ``subset``, NEW covering only part of OLD is the documented
+    targeted-re-run workflow, not a failure."""
     failures: list[str] = []
     warnings: list[str] = []
     only_old = sorted(set(old) - set(new))
     only_new = sorted(set(new) - set(old))
     if only_old:
-        failures.append(f"rows only in OLD ledger: {only_old}")
+        if subset:
+            warnings.append(
+                f"{len(only_old)} OLD row(s) not re-run (subset mode)"
+            )
+        else:
+            failures.append(f"rows only in OLD ledger: {only_old}")
     if only_new:
         failures.append(f"rows only in NEW ledger: {only_new}")
     for name in sorted(set(old) & set(new)):
@@ -88,11 +99,15 @@ def diff_ledgers(
 
 
 def main() -> int:
-    if len(sys.argv) != 3:
-        sys.exit("usage: ledger_diff.py OLD.jsonl NEW.jsonl")
-    old = load_ledger(sys.argv[1])
-    new = load_ledger(sys.argv[2])
-    failures, warnings = diff_ledgers(old, new)
+    args = sys.argv[1:]
+    subset = "--subset" in args
+    if subset:
+        args.remove("--subset")
+    if len(args) != 2:
+        sys.exit("usage: ledger_diff.py [--subset] OLD.jsonl NEW.jsonl")
+    old = load_ledger(args[0])
+    new = load_ledger(args[1])
+    failures, warnings = diff_ledgers(old, new, subset=subset)
     for f in failures:
         print(f"MOVED {f}")
     for w in warnings:

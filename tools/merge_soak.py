@@ -59,14 +59,20 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from mbgspark.io import retention_sweep
-from mbgspark.jvmseam import app_shuffle_write_records
+from mbgspark.jvmseam import (
+    app_shuffle_write_records,
+    assert_stage_retention_headroom,
+)
 from mbgspark.session import ensure_session_conf, get_spark
 from mbgspark.streaming import start_merge_sink
 
 
 def settled_records(spark) -> int:
     """App-cumulative shuffle-write records, read after the async stage
-    postings settle (two consecutive reads 0.3 s apart agree)."""
+    postings settle (two consecutive reads 0.3 s apart agree). Fails loud
+    if the AppStatusStore is nearing its stage-retention limit — past it,
+    eviction silently corrupts the snapshot diff (ADVICE r12)."""
+    assert_stage_retention_headroom(spark)
     prev = app_shuffle_write_records(spark)
     deadline = time.time() + 10
     while time.time() < deadline:
@@ -176,7 +182,11 @@ def main() -> None:
     batches = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     mrpf = int(sys.argv[3]) if len(sys.argv) > 3 else 5_000
 
-    spark = get_spark("merge_soak")
+    # the exact-work ledger needs every stage retained for the whole soak
+    # (see settled_records); default retention is 1000 stages
+    spark = get_spark(
+        "merge_soak", extra_conf={"spark.ui.retainedStages": "100000"}
+    )
     # non-ANSI like every engine entry point: the content checksum SUMs
     # xxhash64 values, which must wrap, not raise
     ensure_session_conf(spark)
