@@ -348,6 +348,34 @@ def test_profile_numeric_exact_percentiles(spark):
     assert r["p95_val"] == 3.85            # 1 + 0.95*3 interpolation
 
 
+def test_profile_numeric_single_distinct_value(spark):
+    """mn == mx puts every row in bucket 0 via the greatest() span guard;
+    quantiles of a constant column are the constant."""
+    from mbgspark.operators.profiling import profile_numeric
+
+    df = spark.createDataFrame([(7.5,)] * 9, "v: double")
+    r = profile_numeric(df, ["v"]).collect()[0]
+    assert r["n_values"] == 9 and r["n_null"] == 0
+    assert r["min_val"] == r["max_val"] == r["avg_val"] == 7.5
+    assert r["median_val"] == 7.5 and r["p95_val"] == 7.5
+
+
+def test_profile_numeric_all_null_column(spark):
+    """An all-null column keeps its moments row (n_values=0, null
+    min/max/avg) and NULL quantiles via the left join — the null
+    sentinel row carries the column through the histogram."""
+    from mbgspark.operators.profiling import profile_numeric
+
+    df = spark.createDataFrame(
+        [(1.0, None), (2.0, None)], "a: double, b: double"
+    )
+    rows = {r["column_name"]: r for r in profile_numeric(df, ["a", "b"]).collect()}
+    assert rows["b"]["n_values"] == 0 and rows["b"]["n_null"] == 2
+    assert rows["b"]["min_val"] is None and rows["b"]["avg_val"] is None
+    assert rows["b"]["median_val"] is None and rows["b"]["p95_val"] is None
+    assert rows["a"]["n_values"] == 2 and rows["a"]["median_val"] == 1.5
+
+
 def test_profile_numeric_single_scan(spark):
     """100 TB pin: the whole numeric profile (moments + exact quantiles)
     hangs off ONE histogram shuffle — the AQE-final executed plan reads
