@@ -443,7 +443,12 @@ def exact_quantiles_histogram(
     )
 
 
-def profile_numeric(df: DataFrame, columns: list[str]) -> DataFrame:
+def profile_numeric(
+    df: DataFrame,
+    columns: list[str],
+    exact: bool = True,
+    approx_accuracy: int = 10000,
+) -> DataFrame:
     """Numeric twin of ``profile_table``: per-column count/nulls/min/max/
     mean plus EXACT median and p95 — deterministic and engine-portable,
     which approx sketches are not. All float surfaces rounded to 4 dp so
@@ -465,9 +470,50 @@ def profile_numeric(df: DataFrame, columns: list[str]) -> DataFrame:
     which would fork the scan again. Semantically identical — ``__cnt``
     is count(1), always ≥ 1.
 
-    For 100 TB profile runs where even a cardinality-bounded exact
-    quantile is too heavy, swap in ``percentile_approx`` at the call
-    site — bounded memory, approximate."""
+    ``exact=False`` is the 100 TB budget path: when even a
+    cardinality-bounded exact quantile is too heavy (near-unique
+    doubles at petabyte row counts), the whole profile collapses to a
+    SINGLE codegen aggregation pass — moments plus
+    ``percentile_approx(col, [0.5, 0.95], approx_accuracy)`` per column
+    (the KLL-style fixed-size sketch: O(accuracy) memory per function
+    regardless of cardinality, mergeable map-side) — one FileScan, one
+    partial/final agg pair, no histogram, no windows. Same output
+    schema; median/p95 are then approximate (rank error ≤ n/accuracy),
+    so the exact path stays the parity/oracle surface."""
+    if not exact:
+        aggs = []
+        for c in columns:
+            col = F.col(c).cast("double")
+            aggs += [
+                F.count(col).alias(f"__n_{c}"),
+                F.count(F.lit(1)).alias(f"__r_{c}"),
+                F.min(col).alias(f"__mn_{c}"),
+                F.max(col).alias(f"__mx_{c}"),
+                F.avg(col).alias(f"__av_{c}"),
+                F.percentile_approx(
+                    col, [0.5, 0.95], approx_accuracy
+                ).alias(f"__pq_{c}"),
+            ]
+        row = df.agg(*aggs)
+        per_col = [
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col(f"__n_{c}").cast("bigint").alias("n_values"),
+                (F.col(f"__r_{c}") - F.col(f"__n_{c}"))
+                .cast("bigint").alias("n_null"),
+                F.round(F.col(f"__mn_{c}"), 4).alias("min_val"),
+                F.round(F.col(f"__mx_{c}"), 4).alias("max_val"),
+                F.round(F.col(f"__av_{c}"), 4).alias("avg_val"),
+                F.round(F.col(f"__pq_{c}")[0], 4).alias("median_val"),
+                F.round(F.col(f"__pq_{c}")[1], 4).alias("p95_val"),
+            )
+            for c in columns
+        ]
+        return (
+            row.select(F.explode(F.array(*per_col)).alias("p"))
+            .select("p.*")
+            .orderBy("column_name")
+        )
     hist = _value_histogram(df, columns, keep_nulls=True)
     nn_cnt = F.when(F.col("__v").isNotNull(), F.col("__cnt"))
     # min/max take __v + 0.0·__cnt — value-identical, but the __cnt

@@ -395,6 +395,34 @@ def test_profile_numeric_single_scan(spark):
     assert "SortAggregate" not in plan, plan
 
 
+def test_profile_numeric_approx_path_single_agg(spark):
+    """exact=False is the 100 TB budget path: same schema, quantiles
+    within sketch tolerance of exact, and the plan is ONE FileScan with
+    ONE partial/final aggregate pair — no histogram, no windows."""
+    from mbgspark.operators.profiling import profile_numeric
+
+    df = spark.read.parquet(f"{SF}/lineitem.parquet")
+    cols = ["l_quantity", "l_discount"]
+    ex = profile_numeric(df, cols)
+    ap = profile_numeric(df, cols, exact=False)
+    assert ap.columns == ex.columns
+    e = {r["column_name"]: r for r in ex.collect()}
+    a = {r["column_name"]: r for r in ap.collect()}
+    for c in cols:
+        assert a[c]["n_values"] == e[c]["n_values"]
+        assert a[c]["n_null"] == e[c]["n_null"]
+        assert a[c]["min_val"] == e[c]["min_val"]
+        assert a[c]["max_val"] == e[c]["max_val"]
+        assert a[c]["avg_val"] == e[c]["avg_val"]
+        # rank error ≤ n/accuracy; these columns' spreads make that a
+        # loose absolute band
+        assert abs(a[c]["median_val"] - e[c]["median_val"]) <= 1.0
+        assert abs(a[c]["p95_val"] - e[c]["p95_val"]) <= 1.0
+    plan = _plan(ap).split("== Initial Plan ==")[0]
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "Window" not in plan, plan
+
+
 def test_split_leakage_flags_planted_cross_split_duplicates(spark):
     """A val/test doc that exactly duplicates (or merely reorders the
     words of) a train doc is flagged; novel eval docs are not."""
