@@ -79,7 +79,7 @@ def containment_join_first_match(
         # (r12, same class as the minhash numeric-family fix). Joining the
         # winning order back to the broadcast dim recovers the term and
         # carried columns. This join-back REQUIRES order_col to be unique
-        # in dim: with duplicates, the dim-global dedup below could
+        # in dim: with duplicates, joining the winning order back could
         # attribute a fact row to a same-order term it never matched
         # (the old struct-min tiebroke only among the row's actual hits)
         # — fail loud instead of silently changing semantics (ADVICE r12),

@@ -302,15 +302,15 @@ def _quantiles_from_histogram(
     per-column cumulative rank → pick the two values bracketing position
     q·(n−1) → interpolate with Spark's own percentile formula.
 
-    ``rng`` — (column_name, __mn, __mx, __qn) with the per-column
-    min/max/non-null-count — is computed from ``hist`` when absent.
-    Callers that already aggregate those moments (``profile_numeric``)
-    pass their own frame so the histogram has exactly one extra consumer
-    and every consumer reuses the SAME shuffle exchange. When computed
-    here, the rollup deliberately also sums ``__cnt``: every consumer of
-    ``hist`` must read all three columns, or per-consumer column pruning
-    canonicalizes the exchanges differently and ReuseExchange stops
-    firing (the r12 profile_numeric 8-scan regression, VERDICT r12)."""
+    ``rng`` — (column_name, __mn, __mx) with the per-column min/max —
+    is computed from ``hist`` when absent. Callers that already
+    aggregate those moments (``profile_numeric``) pass their own frame
+    so the histogram has exactly one extra consumer and every consumer
+    reuses the SAME shuffle exchange: any consumer whose pruned copy of
+    ``hist`` drops the inner aggregate (or a column of it) canonicalizes
+    to a DIFFERENT exchange and ReuseExchange stops firing — the r12
+    profile_numeric 8-scan regression (VERDICT r12). Hence the guarded
+    min/max below."""
     if rng is None:
         # min/max take __v + 0.0·__cnt — value-identical (__cnt is
         # count(1): finite, ≥ 1, never null), but the reference to

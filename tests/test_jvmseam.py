@@ -200,3 +200,15 @@ def test_app_shuffle_records_seam_pinned(spark):
         time.sleep(0.2)
         delta = jvmseam.app_shuffle_write_records(spark) - before
     assert delta == 40, delta
+
+
+def test_stage_retention_headroom_guard(spark):
+    """ADVICE r12: the snapshot-diff ledger must fail loud BEFORE the
+    AppStatusStore starts evicting stages. With generous headroom the
+    guard is silent and returns the retained count; with frac=0 any
+    retained stage trips it."""
+    spark.range(10).groupBy((F.col("id") % 2).alias("k")).count().collect()
+    n = jvmseam.assert_stage_retention_headroom(spark)  # default frac
+    assert n >= 1
+    with pytest.raises(RuntimeError, match="retainedStages"):
+        jvmseam.assert_stage_retention_headroom(spark, frac=0.0)
