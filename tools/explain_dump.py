@@ -21,8 +21,9 @@ ANNOTATED = {
     "(PushedFilters: GreaterThanOrEqual/LessThan on o_orderdate) and only "
     "the filtered column is read",
     "q10": "containment join via token explode + BroadcastHashJoin on "
-    "token = term, then a per-row min(dict_order) — no per-row dimension "
-    "scan, no nested loop",
+    "token = term, then a per-row min(dict_order) as a codegen "
+    "HashAggregate joined back to the (uniqueness-guarded) broadcast dim "
+    "— no per-row dimension scan, no nested loop, no sort-class argmin",
     "q18r": "four-table rollup: every dimension side is a BroadcastHashJoin "
     "(zero shuffle joins), aggregation has a map-side partial",
     "dedup_minhash_lsh": "LSH candidate generation is an equi-join on "
@@ -88,6 +89,12 @@ ANNOTATED = {
     "profile_orders": "one-pass multi-column profiler: the exact "
     "count(DISTINCT) set compiles to a single scan + Expand with "
     "map-side partials, never one scan per column",
+    "profile_lineitem_numeric": "numeric profiler (r13 reshape): ONE "
+    "FileScan + one map-side-combined (column, value) histogram "
+    "exchange; moments AND exact median/p95 both hang off it (every "
+    "other consumer is a ReusedExchange in the AQE-final plan), the "
+    "cumulative-rank windows run per (column, value-bucket), and no "
+    "aggregate is sort-class",
     "token_budget_sample": "budget-filling prefix sample: per-bucket "
     "sums + a window over the tiny bucket aggregate + bucket-partitioned "
     "cumulative windows — the corpus is never globally sorted",
