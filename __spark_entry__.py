@@ -15,9 +15,9 @@ queries()    — 164 catalog queries: SURVEY.md §2.11 core (q1–q28), the
                DuckDB oracles.
                Ordered by verification priority (the driver checks the
                first 50): see mbgspark/plans/catalog.py for the current
-               (round-13) staleness-rotation packing — oldest-cohort
-               entries first (q6..q18r, then the r10 cohort), next
-               cohort queued past the window.
+               (round-14) staleness-rotation packing — oldest-cohort
+               entries first (the last 14 r10-cohort rows, then the r11
+               cohort), next cohort queued past the window.
 oracle_sql() — matching DuckDB SQL per query.
 
 Implementation lives in the ``mbgspark`` package.
