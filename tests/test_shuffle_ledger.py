@@ -78,3 +78,57 @@ def test_ledger_diff_of_back_to_back_runs_is_empty(spark):
     extra = {**partial, "brand_new": dict(run_b["q14"], query="brand_new")}
     failures, _ = diff_ledgers(run_a, extra, subset=True)
     assert any("only in NEW" in f for f in failures), failures
+
+
+def test_ledger_diff_summary_counts_rows_not_groups():
+    """VERDICT r13 #3: the summary must count ROWS per category, not
+    failure-string groups — a 3-row additive group is '3 row(s) only in
+    NEW', never '1 row(s) moved' — and additive rows are reported
+    distinctly from record movement (HEADLINE-growth adjudication
+    language). Pure-dict fixture; no Spark session needed."""
+    from ledger_diff import diff_ledgers, summary_line
+
+    def row(name, records=100, bytes_=1000, spill=0, out=5):
+        return {
+            "query": name,
+            "shuffleRecordsWritten": records,
+            "shuffleBytesWritten": bytes_,
+            "spillSize": spill,
+            "out_rows": out,
+        }
+
+    old = {n: row(n) for n in ["a", "b", "c"]}
+
+    # 3 additive rows + 1 moved row + 1 spilling row, all at once
+    new = {n: row(n) for n in ["a", "b", "c", "x", "y", "z"]}
+    new["a"]["shuffleRecordsWritten"] += 7
+    new["b"]["spillSize"] = 4096
+    res = diff_ledgers(old, new)
+    assert res.moved_rows == ["a"]
+    assert res.spilled_rows == ["b"]
+    assert res.only_new == ["x", "y", "z"]
+    line = summary_line(res, len(new))
+    assert "1 row(s) moved" in line, line
+    assert "1 row(s) spilling" in line, line
+    assert "3 row(s) only in NEW" in line, line
+    assert "HEADLINE growth" in line, line
+
+    # pure HEADLINE growth: no 'moved' language at all in the summary
+    grown = {n: row(n) for n in ["a", "b", "c", "d", "e"]}
+    res = diff_ledgers(old, grown)
+    assert res.moved_rows == [] and res.only_new == ["d", "e"]
+    line = summary_line(res, len(grown))
+    assert "moved" not in line, line
+    assert "2 row(s) only in NEW" in line, line
+
+    # clean diff still reads as the legacy load-adjudication line and
+    # still unpacks as the legacy 2-tuple
+    failures, warnings = diff_ledgers(old, {n: row(n) for n in old})
+    assert failures == [] and warnings == []
+    res = diff_ledgers(old, {n: row(n) for n in old})
+    assert "records identical" in summary_line(res, 3)
+
+    # missing rows (set drift, non-subset) count rows too
+    res = diff_ledgers(old, {"a": row("a")})
+    line = summary_line(res, 1)
+    assert "2 row(s) only in OLD" in line, line

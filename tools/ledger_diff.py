@@ -37,6 +37,25 @@ import sys
 BYTES_BAND = 0.01  # compression-framing tolerance on shuffleBytesWritten
 
 
+class DiffResult:
+    """Row-level diff outcome (VERDICT r13 #3). Unpacks as the legacy
+    ``(failures, warnings)`` 2-tuple; the extra attributes give main()
+    exact ROW counts so the summary can't conflate a 3-row additive
+    group with one moved row, and report additive rows (only in NEW —
+    adjudicate as HEADLINE growth) distinctly from record movement."""
+
+    def __init__(self) -> None:
+        self.failures: list[str] = []
+        self.warnings: list[str] = []
+        self.moved_rows: list[str] = []  # records moved — real plan change
+        self.spilled_rows: list[str] = []  # zero-spill invariant broken
+        self.only_old: list[str] = []  # missing from NEW (set drift)
+        self.only_new: list[str] = []  # additive — no baseline to diff
+
+    def __iter__(self):
+        return iter((self.failures, self.warnings))
+
+
 def load_ledger(path: str) -> dict[str, dict]:
     rows: dict[str, dict] = {}
     with open(path) as fh:
@@ -55,47 +74,81 @@ def load_ledger(path: str) -> dict[str, dict]:
 
 def diff_ledgers(
     old: dict[str, dict], new: dict[str, dict], subset: bool = False
-) -> tuple[list[str], list[str]]:
-    """Returns (failures, warnings). Empty failures = the plans do the
-    same work; seconds deltas between the two runs are load. With
-    ``subset``, NEW covering only part of OLD is the documented
-    targeted-re-run workflow, not a failure."""
-    failures: list[str] = []
-    warnings: list[str] = []
-    only_old = sorted(set(old) - set(new))
-    only_new = sorted(set(new) - set(old))
-    if only_old:
+) -> DiffResult:
+    """Returns a DiffResult (unpacks as the legacy ``(failures,
+    warnings)``). Empty failures = the plans do the same work; seconds
+    deltas between the two runs are load. With ``subset``, NEW covering
+    only part of OLD is the documented targeted-re-run workflow, not a
+    failure."""
+    res = DiffResult()
+    res.only_old = sorted(set(old) - set(new))
+    res.only_new = sorted(set(new) - set(old))
+    if res.only_old:
         if subset:
-            warnings.append(
-                f"{len(only_old)} OLD row(s) not re-run (subset mode)"
+            res.warnings.append(
+                f"{len(res.only_old)} OLD row(s) not re-run (subset mode)"
             )
         else:
-            failures.append(f"rows only in OLD ledger: {only_old}")
-    if only_new:
-        failures.append(f"rows only in NEW ledger: {only_new}")
+            res.failures.append(f"rows only in OLD ledger: {res.only_old}")
+    if res.only_new:
+        res.failures.append(
+            f"rows only in NEW ledger: {res.only_new} "
+            "(no baseline — adjudicate as HEADLINE growth if intentional)"
+        )
     for name in sorted(set(old) & set(new)):
         o, n = old[name], new[name]
         if o["shuffleRecordsWritten"] != n["shuffleRecordsWritten"]:
-            failures.append(
+            res.moved_rows.append(name)
+            res.failures.append(
                 f"{name}: records {o['shuffleRecordsWritten']} -> "
                 f"{n['shuffleRecordsWritten']} (plan does different work)"
             )
         if n.get("spillSize", 0):
-            failures.append(f"{name}: SPILLS ({n['spillSize']} bytes)")
+            res.spilled_rows.append(name)
+            res.failures.append(f"{name}: SPILLS ({n['spillSize']} bytes)")
         ob, nb = o["shuffleBytesWritten"], n["shuffleBytesWritten"]
         band = max(BYTES_BAND * max(ob, nb), 64)  # floor for tiny rows
         if abs(ob - nb) > band:
-            warnings.append(
+            res.warnings.append(
                 f"{name}: bytes {ob} -> {nb} "
                 f"({(nb - ob) / max(ob, 1):+.1%}, records "
                 f"{'flat' if o['shuffleRecordsWritten'] == n['shuffleRecordsWritten'] else 'MOVED'})"
             )
         if o.get("out_rows") != n.get("out_rows"):
-            warnings.append(
+            res.warnings.append(
                 f"{name}: out_rows {o.get('out_rows')} -> {n.get('out_rows')}"
                 " (parity will adjudicate)"
             )
-    return failures, warnings
+    return res
+
+
+def summary_line(res: DiffResult, n_new_rows: int) -> str:
+    """One honest line, counting ROWS per category (VERDICT r13 #3) —
+    never failure-string groups, and never 'moved' for rows that are
+    merely additive or missing."""
+    if not res.failures:
+        return (
+            f"ledger_diff: {n_new_rows} rows, records identical"
+            + (
+                f", {len(res.warnings)} byte-band warning(s)"
+                if res.warnings
+                else ""
+            )
+            + " — any seconds delta between these runs is load"
+        )
+    parts = []
+    if res.moved_rows:
+        parts.append(f"{len(res.moved_rows)} row(s) moved — real plan change")
+    if res.spilled_rows:
+        parts.append(f"{len(res.spilled_rows)} row(s) spilling")
+    if res.only_new:
+        parts.append(
+            f"{len(res.only_new)} row(s) only in NEW "
+            "(additive — adjudicate as HEADLINE growth)"
+        )
+    if res.only_old and any("only in OLD" in f for f in res.failures):
+        parts.append(f"{len(res.only_old)} row(s) only in OLD (set drift)")
+    return "ledger_diff: " + "; ".join(parts)
 
 
 def main() -> int:
@@ -107,20 +160,14 @@ def main() -> int:
         sys.exit("usage: ledger_diff.py [--subset] OLD.jsonl NEW.jsonl")
     old = load_ledger(args[0])
     new = load_ledger(args[1])
-    failures, warnings = diff_ledgers(old, new, subset=subset)
-    for f in failures:
-        print(f"MOVED {f}")
-    for w in warnings:
+    res = diff_ledgers(old, new, subset=subset)
+    for f in res.failures:
+        tag = "ADDED" if "only in NEW" in f else "MOVED"
+        print(f"{tag} {f}")
+    for w in res.warnings:
         print(f"warn  {w}")
-    if failures:
-        print(f"ledger_diff: {len(failures)} row(s) moved — real plan change")
-        return 1
-    print(
-        f"ledger_diff: {len(new)} rows, records identical"
-        + (f", {len(warnings)} byte-band warning(s)" if warnings else "")
-        + " — any seconds delta between these runs is load"
-    )
-    return 0
+    print(summary_line(res, len(new)))
+    return 1 if res.failures else 0
 
 
 if __name__ == "__main__":

@@ -23,7 +23,7 @@ pin test enforces it): AQE query stages and plan subqueries are walked,
 and the driver is the DataFrame's OWN QueryExecution, so metrics land
 on the inspected tree.
 
-Usage: python tools/shuffle_ledger.py [SF_DIR] [NAME...]
+Usage: python tools/shuffle_ledger.py [--no-isolate] [SF_DIR] [NAME...]
        (defaults: /root/testdata/sf0.1, bench.py's HEADLINE set)
 Prints one JSON line per query plus a totals line; exits 1 if any
 query SPILLS (the suite-wide zero-spill invariant).
@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -44,14 +45,58 @@ from mbgspark.session import ensure_session_conf, get_spark
 
 KEYS = ("shuffleBytesWritten", "shuffleRecordsWritten", "spillSize", "peakMemory")
 
+# Rows whose builders materialize state at plan-build time — the
+# ITERATIVE connected-components loop and the seed-collect / k-means
+# ANN quantizers. Their in-session metrics depend on which invocation
+# pays the shared JVM/codegen warm-up (NOTES_r13 §12: ann_ivf_topk read
+# 1035 cold but 1050 when another row had warmed the path first), so a
+# full-catalog ledger was exact only per-ORDER. Fix (VERDICT r13 #2):
+# capture each of these rows in an ISOLATED fresh session (subprocess),
+# so its record is always the cold, order-independent value and
+# ledger_diff never needs rotation-order adjudication again.
+ISOLATE = {
+    "dup_components",
+    "ann_ivf_topk",
+    "ann_ivf_kmeans_topk",
+    "dedup_semantic_keep_best",
+}
+
 
 def ledger_for(df) -> dict:
     return executed_plan_metrics(df, KEYS)
 
 
+def _isolated_row(sf_dir: str, name: str) -> dict:
+    """Capture one catalog row in a fresh subprocess session; returns its
+    ledger record. Fails loud on a non-zero exit that produced no row
+    (a spilling row still returns its record — the caller applies the
+    zero-spill policy uniformly)."""
+    p = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--no-isolate",
+         sf_dir, name],
+        capture_output=True, text=True,
+    )
+    for line in p.stdout.splitlines():
+        line = line.strip()
+        if not line.startswith("{"):
+            continue
+        row = json.loads(line)
+        if row.get("query") == name:
+            row.pop("query")
+            return row
+    raise RuntimeError(
+        f"shuffle_ledger: isolated capture of {name} produced no record "
+        f"(exit {p.returncode}):\n{p.stderr[-2000:]}"
+    )
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    names = sys.argv[2:] or list(HEADLINE)
+    args = sys.argv[1:]
+    isolate = "--no-isolate" not in args
+    if not isolate:
+        args.remove("--no-isolate")
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
+    names = args[1:] or list(HEADLINE)
     unknown = [n for n in names if n not in CATALOG]
     if unknown:
         sys.exit(f"shuffle_ledger: not in CATALOG: {unknown}")
@@ -61,8 +106,11 @@ def main() -> int:
     totals = {k: 0 for k in KEYS}
     spilled = []
     for name in names:
-        df = CATALOG[name][0](spark, sf_dir)
-        row = ledger_for(df)
+        if isolate and name in ISOLATE:
+            row = _isolated_row(sf_dir, name)
+        else:
+            df = CATALOG[name][0](spark, sf_dir)
+            row = ledger_for(df)
         for k in KEYS:
             totals[k] += row[k]
         if row["spillSize"]:
