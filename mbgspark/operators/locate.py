@@ -58,14 +58,43 @@ def containment_join_first_match(
         )
     b = F.broadcast(dim)
     if explode_tokens:
-        # token equi-join can only match single-word terms; a multi-word
-        # term ("jakarta selatan") would be silently unmatched — fail loud
-        # so callers pick the regex/membership strategy instead
-        bad = dim.filter(F.col(term_col).rlike(r"\s")).limit(1).count()
-        if bad:
+        # Contract probes, ONE aggregation job (ADVICE r13 — this used
+        # to be two eager driver-side jobs per call; a caller with an
+        # expensive-to-compute dim paid both scans before any plan was
+        # built). All three preconditions fall out of one dim.agg():
+        # - single-word terms: a multi-word term ("jakarta selatan")
+        #   would be silently unmatched by the token equi-join;
+        # - unique order_col: the argmin join-back is keyed on it — with
+        #   duplicates a fact row could be attributed a same-order term
+        #   it never matched (ADVICE r12);
+        # - non-null order_col: a null key never equi-joins back, so the
+        #   term's matches would silently vanish.
+        # Fail loud on each instead of silently changing semantics.
+        probe = dim.agg(
+            F.coalesce(
+                F.max(F.col(term_col).rlike(r"\s").cast("int")), F.lit(0)
+            ).alias("multi"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(order_col).alias("n_nonnull"),
+            F.countDistinct(order_col).alias("n_distinct"),
+        ).collect()[0]
+        if probe["multi"]:
             raise ValueError(
                 "explode_tokens=True requires single-word terms; dim contains "
                 "multi-word terms — use use_token_membership/regex instead"
+            )
+        if probe["n_nonnull"] != probe["n_rows"]:
+            raise ValueError(
+                "explode_tokens=True requires non-null order_col values in "
+                "dim (the argmin join-back is keyed on it; null keys never "
+                "join back) — fill or drop them, or use "
+                "use_token_membership/regex"
+            )
+        if probe["n_distinct"] != probe["n_nonnull"]:
+            raise ValueError(
+                "explode_tokens=True requires unique order_col values in "
+                "dim (the argmin join-back is keyed on it); duplicates "
+                "found — dedupe dim or use use_token_membership/regex"
             )
         other_cols = [c for c in dim.columns if c not in (term_col, order_col)]
         toks = fact.select(
@@ -78,26 +107,7 @@ def containment_join_first_match(
         # order column is a codegen HashAggregate with map-side combine
         # (r12, same class as the minhash numeric-family fix). Joining the
         # winning order back to the broadcast dim recovers the term and
-        # carried columns. This join-back REQUIRES order_col to be unique
-        # in dim: with duplicates, joining the winning order back could
-        # attribute a fact row to a same-order term it never matched
-        # (the old struct-min tiebroke only among the row's actual hits)
-        # — fail loud instead of silently changing semantics (ADVICE r12),
-        # matching the reserved-column guard above. dim is broadcast-tiny,
-        # so the uniqueness probe is a driver-trivial count.
-        dup = (
-            dim.groupBy(order_col)
-            .count()
-            .filter(F.col("count") > 1)
-            .limit(1)
-            .count()
-        )
-        if dup:
-            raise ValueError(
-                "explode_tokens=True requires unique order_col values in "
-                "dim (the argmin join-back is keyed on it); duplicates "
-                "found — dedupe dim or use use_token_membership/regex"
-            )
+        # carried columns.
         dim_best = F.broadcast(
             dim.select(
                 F.col(order_col), F.col(term_col), *[F.col(c) for c in other_cols]

@@ -115,6 +115,24 @@ def test_explode_tokens_rejects_duplicate_order_values(spark):
         )
 
 
+def test_explode_tokens_rejects_null_order_values(spark):
+    """r14: a null order_col never equi-joins back through the argmin,
+    so that term's matches would silently vanish — fail loud (the probe
+    is the same single aggregation job as the multi-word/duplicate
+    checks, ADVICE r13)."""
+    import pytest
+    from mbgspark.operators.locate import containment_join_first_match
+
+    fact = spark.createDataFrame([(1, "di bandung")], "id int, text string")
+    dim = spark.createDataFrame(
+        [("bandung", None), ("jakarta", 2)], "term string, dict_order int"
+    )
+    with pytest.raises(ValueError, match="non-null order_col"):
+        containment_join_first_match(
+            fact, dim, "id", "text", "term", explode_tokens=True
+        )
+
+
 def test_case_chain_compiles_at_reference_dim_size(spark):
     # the reference dim is 456 (province, city) pairs + aliases; a 500-term
     # CASE chain must survive codegen (or its interpreted fallback) and
