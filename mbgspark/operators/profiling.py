@@ -431,9 +431,13 @@ def exact_quantiles_histogram(
     builtin's buffer bound, sorted once instead of serialized per
     partition per function). Measured (tools/quantile_ab.py, 6 quantiles
     over 3 lineitem columns incl. near-unique l_extendedprice,
-    interleaved best-of-N): builtin/histogram = 1.5x at sf0.1, 2.3x at
-    sf1, 5.1x at sf10 — the gap widens with distinct count, which is
-    what the buffer-serialization argument predicts (SCALE.md r13).
+    interleaved best-of-N, vs the honest array-form builtin
+    ``percentile(c, array(qs))`` — ADVICE r13): builtin/histogram =
+    0.8x at sf0.1 (builtin WINS small), 1.0x at sf1, 2.7x at sf10 —
+    the crossover is ~sf1 and the gap widens with distinct count, as
+    the buffer-serialization argument predicts (SCALE.md r14
+    correction). Prefer the builtin below the crossover; this pipeline
+    is the scale/beyond-sf1 shape.
 
     Output: one row per column that has ≥1 non-null value —
     (column_name, q0, q1, …) as double, UNROUNDED (callers round).
@@ -479,7 +483,14 @@ def profile_numeric(
     regardless of cardinality, mergeable map-side) — one FileScan, one
     partial/final agg pair, no histogram, no windows. Same output
     schema; median/p95 are then approximate (rank error ≤ n/accuracy),
-    so the exact path stays the parity/oracle surface."""
+    so the exact path stays the parity/oracle surface.
+
+    Empty-input contract (ADVICE r13): profiling an EMPTY table yields
+    an EMPTY profile — zero rows, stable schema — on BOTH paths. The
+    exact path gets this for free (no histogram rows); the approx path
+    drops its per-column rows when the table-wide row count is 0 (the
+    filter below) rather than emitting n_values=0 stubs, so the two
+    paths can never diverge at the schema level based on the flag."""
     if not exact:
         aggs = []
         for c in columns:
@@ -512,6 +523,11 @@ def profile_numeric(
         return (
             row.select(F.explode(F.array(*per_col)).alias("p"))
             .select("p.*")
+            # empty-input contract: n_values + n_null == count(1) == the
+            # table-wide row count for every column, so this drops ALL
+            # rows iff the input was empty and NO rows otherwise —
+            # matching the exact path's empty histogram.
+            .filter((F.col("n_values") + F.col("n_null")) > 0)
             .orderBy("column_name")
         )
     hist = _value_histogram(df, columns, keep_nulls=True)
