@@ -39,18 +39,51 @@ def _run(cmd: list[str], timeout: int | None = None) -> tuple[int, str]:
     return p.returncode, p.stdout + p.stderr
 
 
+def _tree_state() -> tuple[str, list[str]]:
+    """(diff_md5, untracked). ADVICE r13: ``git diff HEAD`` misses
+    untracked files, so a stamp could read 'clean' while a new untracked
+    test/conftest/tool changed what the suite actually ran against. The
+    digest therefore covers the tracked diff PLUS the name+content of
+    every untracked non-ignored file; the untracked list is recorded in
+    the stamp so a judge sees exactly what the 'diff' was."""
+    _, diff = _run(["git", "diff", "HEAD"])
+    _, status = _run(["git", "status", "--porcelain"])
+    untracked = sorted(
+        line[3:] for line in status.splitlines() if line.startswith("?? ")
+    )
+    h = hashlib.md5(diff.encode())
+    for path in untracked:
+        h.update(path.encode())
+        full = os.path.join(REPO, path)
+        try:
+            if os.path.isdir(full):
+                for root, _dirs, files in os.walk(full):
+                    for f in sorted(files):
+                        with open(os.path.join(root, f), "rb") as fh:
+                            h.update(fh.read())
+            else:
+                with open(full, "rb") as fh:
+                    h.update(fh.read())
+        except OSError:
+            h.update(b"<unreadable>")
+    dirty = bool(diff) or bool(untracked)
+    return (h.hexdigest() if dirty else "", untracked)
+
+
 def main() -> int:
     rows = sys.argv[1:]
     _, head = _run(["git", "rev-parse", "HEAD"])
-    _, diff = _run(["git", "diff", "HEAD"])
+    diff_md5, untracked = _tree_state()
     stamp = {
         "head": head.strip(),
-        "diff_md5": hashlib.md5(diff.encode()).hexdigest() if diff else "",
+        "diff_md5": diff_md5,
+        "untracked": untracked,
         "started_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }
-    if diff:
-        print("preship: WARNING — uncommitted changes; stamp covers them "
-              "only if nothing else changes before the snapshot commit")
+    if diff_md5:
+        print("preship: WARNING — uncommitted/untracked changes "
+              f"({len(untracked)} untracked); stamp covers them only if "
+              "nothing else changes before the snapshot commit")
 
     t0 = time.time()
     code, out = _run([sys.executable, "-m", "pytest", "tests/", "-q",
