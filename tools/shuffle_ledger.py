@@ -23,7 +23,8 @@ pin test enforces it): AQE query stages and plan subqueries are walked,
 and the driver is the DataFrame's OWN QueryExecution, so metrics land
 on the inspected tree.
 
-Usage: python tools/shuffle_ledger.py [--no-isolate] [SF_DIR] [NAME...]
+Usage: python tools/shuffle_ledger.py [--no-isolate] [--static-plan]
+           [SF_DIR] [NAME...]
        (defaults: /root/testdata/sf0.1, bench.py's HEADLINE set)
 Prints one JSON line per query plus a totals line; exits 1 if any
 query SPILLS (the suite-wide zero-spill invariant).
@@ -45,15 +46,24 @@ from mbgspark.session import ensure_session_conf, get_spark
 
 KEYS = ("shuffleBytesWritten", "shuffleRecordsWritten", "spillSize", "peakMemory")
 
-# Rows whose builders materialize state at plan-build time — the
-# ITERATIVE connected-components loop and the seed-collect / k-means
-# ANN quantizers. Their in-session metrics depend on which invocation
-# pays the shared JVM/codegen warm-up (NOTES_r13 §12: ann_ivf_topk read
-# 1035 cold but 1050 when another row had warmed the path first), so a
-# full-catalog ledger was exact only per-ORDER. Fix (VERDICT r13 #2):
-# capture each of these rows in an ISOLATED fresh session (subprocess),
-# so its record is always the cold, order-independent value and
-# ledger_diff never needs rotation-order adjudication again.
+# Rows whose executed-plan records are NOT a pure function of (plan,
+# data) under AQE. Root cause (diagnosed r14, revising the NOTES_r13
+# §12 "warm-up attribution" reading): these plans have an AQE
+# stage-materialization RACE — the probe side of a join plans an
+# ENSURE_REQUIREMENTS hash exchange, and whether that exchange's shuffle
+# is WRITTEN before AQE's runtime stats convert the join to broadcast
+# (AQEShuffleRead local) depends on stage completion order, i.e. on box
+# load, not on session order (reproduced: the same fresh-session capture
+# of dedup_semantic_keep_best returns 1649/1685/1979 records as CPU load
+# varies — the deltas are exactly the racy exchanges' row counts).
+# Fix (VERDICT r13 #2): capture each of these rows in an ISOLATED fresh
+# subprocess with AQE DISABLED — the static plan writes every planned
+# exchange exactly once, so the record is deterministic by construction.
+# The production/bench path keeps AQE on (the dynamic conversion is the
+# right 100 TB behavior — it SAVES work when it wins the race); only
+# this instrument's regression key needs the static twin, and only for
+# these rows (the other 160 catalog plans are AQE-stable: fwd/rev
+# full-catalog runs agree bit-for-bit on every record).
 ISOLATE = {
     "dup_components",
     "ann_ivf_topk",
@@ -67,13 +77,13 @@ def ledger_for(df) -> dict:
 
 
 def _isolated_row(sf_dir: str, name: str) -> dict:
-    """Capture one catalog row in a fresh subprocess session; returns its
-    ledger record. Fails loud on a non-zero exit that produced no row
-    (a spilling row still returns its record — the caller applies the
-    zero-spill policy uniformly)."""
+    """Capture one catalog row in a fresh static-plan (AQE-off)
+    subprocess session; returns its ledger record. Fails loud on a
+    non-zero exit that produced no row (a spilling row still returns its
+    record — the caller applies the zero-spill policy uniformly)."""
     p = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--no-isolate",
-         sf_dir, name],
+         "--static-plan", sf_dir, name],
         capture_output=True, text=True,
     )
     for line in p.stdout.splitlines():
@@ -95,12 +105,20 @@ def main() -> int:
     isolate = "--no-isolate" not in args
     if not isolate:
         args.remove("--no-isolate")
+    static_plan = "--static-plan" in args
+    if static_plan:
+        args.remove("--static-plan")
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
     names = args[1:] or list(HEADLINE)
     unknown = [n for n in names if n not in CATALOG]
     if unknown:
         sys.exit(f"shuffle_ledger: not in CATALOG: {unknown}")
-    spark = get_spark("shuffle_ledger")
+    spark = get_spark(
+        "shuffle_ledger",
+        extra_conf=(
+            {"spark.sql.adaptive.enabled": "false"} if static_plan else None
+        ),
+    )
     ensure_session_conf(spark)
     spark.sparkContext.setLogLevel("ERROR")
     totals = {k: 0 for k in KEYS}
