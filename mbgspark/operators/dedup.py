@@ -725,10 +725,8 @@ def minhash_near_dups(
         .union(pairs.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    arrays = (
-        shingled.join(cand_ids, id_col, "semi")
-        .groupBy(id_col)
-        .agg(F.collect_list("shingle").alias("__shingles"))
+    arrays = with_shingle_array(df, id_col, text_col, k, out="__shingles").join(
+        cand_ids, id_col, "semi"
     )
     return jaccard_verify_arrays(arrays, pairs, id_col, threshold, "__shingles")
 
