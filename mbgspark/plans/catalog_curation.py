@@ -27,6 +27,7 @@ from mbgspark.operators.curation import (
 )
 from mbgspark.functions.cleaning import strip_markup
 from mbgspark.operators.textstats import with_token_counts
+from mbgspark.io import widen_narrow_scan
 from mbgspark.plans.catalog_core import _t
 
 # --------------------------------------------------------- contamination --
@@ -36,8 +37,8 @@ def contamination_check(spark, sf_dir):
     """Benchmark decontamination: docs with doc_id % 41 == 0 stand in for
     the eval suite; every other document is flagged by distinct 3-gram
     overlap (>= 2 overlapping grams = contaminated)."""
-    d = _t(spark, sf_dir, "documents").repartition(
-        min(16, spark.sparkContext.defaultParallelism)
+    d = widen_narrow_scan(
+        _t(spark, sf_dir, "documents")
     )  # widen the 1-split test-SF scan for the shingle explode (see below)
     bench = d.filter(F.col("doc_id") % 41 == 0)
     corpus = d.filter(F.col("doc_id") % 41 != 0)
@@ -91,9 +92,7 @@ def repetition_stats(spark, sf_dir):
     core (measured 6.4 s of 7.2 s at sf0.1); repartitioning to the session
     width first makes it a wide map (same idiom as _dup_corpus). At
     production scale the scan has enough splits on its own."""
-    d = _t(spark, sf_dir, "documents").repartition(
-        min(16, spark.sparkContext.defaultParallelism)
-    )
+    d = widen_narrow_scan(_t(spark, sf_dir, "documents"))
     return with_repetition_stats(d, "doc_id", "text").orderBy("doc_id")
 
 

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mbgspark.io import widen_narrow_scan
 from mbgspark.operators import dedup as dd
 from mbgspark.operators.multimodal import extract_features, frame_sample
 from mbgspark.operators.similarity import (
@@ -71,9 +72,7 @@ def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("t"),
         )
     )
-    return base.unionByName(pert).repartition(
-        min(16, spark.sparkContext.defaultParallelism)
-    )
+    return widen_narrow_scan(base.unionByName(pert))
 
 
 def dedup_exact(spark, sf_dir):
@@ -333,7 +332,8 @@ def dedup_incremental(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     corpus = d.select(
         F.col("doc_id").alias("id"), F.lower(F.trim("text")).alias("t")
-    ).repartition(min(16, spark.sparkContext.defaultParallelism))
+    )
+    corpus = widen_narrow_scan(corpus)
     drop_first = F.lower(F.trim(F.expr("substring(text, instr(text, ' ') + 1)")))
     b1 = d.filter(F.col("doc_id") < 30).select(
         (F.col("doc_id") + 1000000).alias("id"), drop_first.alias("t")

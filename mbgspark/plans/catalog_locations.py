@@ -30,6 +30,7 @@ from mbgspark.locations import (
     build_full_locations_dim,
     locate_compiled,
 )
+from mbgspark.io import widen_narrow_scan
 from mbgspark.plans.catalog_core import _t
 
 _DIM_ROWS = build_full_locations_dim()
@@ -56,9 +57,11 @@ def _inject_expr():
 
 def locate_full_dim(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    fact = d.select(
-        "doc_id", F.concat(F.col("text"), _inject_expr()).alias("text")
-    ).repartition(min(16, spark.sparkContext.defaultParallelism))
+    fact = widen_narrow_scan(
+        d.select(
+            "doc_id", F.concat(F.col("text"), _inject_expr()).alias("text")
+        )
+    )
     # ^ small-file scan = 1-2 splits; widen the regex-prep + explode map
     # (same test-SF ergonomic as _dup_corpus / the lifecycle raw build)
     out = locate_compiled(fact, _DIM_ROWS, "doc_id", "text")

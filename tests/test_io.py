@@ -537,6 +537,31 @@ def test_fanout_scan_gate(spark, monkeypatch):
     assert io.fanout_scan(wide) is wide  # already at parallelism
 
 
+def test_widen_narrow_scan_gate(spark):
+    """The heavy-map widener (r14, replacing the catalog builders'
+    unconditional .repartition(min(16, parallelism))) fires ONLY on
+    inputs narrower than its width cap: a narrow scan is spread to
+    exactly min(16, parallelism) regardless of byte size (no byte floor —
+    shingle/minhash/locate per-row work pays for the exchange even on a
+    sub-MB corpus), and anything already at/over the cap passes through
+    UNTOUCHED — the 100 TB property: a production table with thousands
+    of splits must never pay a corpus-wide round-robin shuffle here."""
+    import mbgspark.io as io
+
+    cap = min(16, spark.sparkContext.defaultParallelism)
+    narrow = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    assert narrow.rdd.getNumPartitions() < cap
+    widened = io.widen_narrow_scan(narrow)
+    assert widened is not narrow
+    assert widened.rdd.getNumPartitions() == cap
+    assert widened.count() == narrow.count()
+
+    wide = narrow.repartition(cap)
+    assert io.widen_narrow_scan(wide) is wide  # production shape: no-op
+
+
 def test_fanout_leaf_bytes_probe_is_live(spark):
     """_leaf_bytes must return the REAL parquet footer size, not the
     assume-big fallback: if a PySpark upgrade breaks the py4j probe, this
