@@ -67,10 +67,17 @@ def contamination_flags(
         .distinct()
     )
     doc_grams = with_word_shingles(corpus, id_col, text_col, k=n)
+    # count(*), not countDistinct (r14): (id, shingle) rows are distinct
+    # by construction — with_word_shingles array_distincts per doc before
+    # the explode, and the broadcast side is itself distinct so the join
+    # cannot multiply rows. countDistinct planned a redundant extra
+    # keyed-by-(id, shingle) aggregation layer over the hit set just to
+    # re-prove that uniqueness (same structural argument as
+    # duplicated_spans' count(*) == distinct-doc frequency).
     hits = (
         doc_grams.join(F.broadcast(bench_grams), "shingle")
         .groupBy(id_col)
-        .agg(F.countDistinct("shingle").alias("contaminated_ngrams"))
+        .agg(F.count(F.lit(1)).alias("contaminated_ngrams"))
     )
     return (
         corpus.join(hits, id_col, "left")
