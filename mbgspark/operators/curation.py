@@ -14,8 +14,9 @@ Scale notes (100 TB):
 - contamination is an n-gram equi-join against the benchmark gram set —
   never all-pairs; the benchmark side (eval suites: thousands of docs) is
   broadcast, so the corpus side stays a narrow map + one hash aggregate.
-- repetition stats shuffle on doc_id only (bounded by corpus rows, partial
-  aggregation applies); everything else is narrow until the final agg.
+- repetition stats are fully row-local (token/bigram signals are per-doc
+  array expressions — zero shuffles, r14); everything else is narrow
+  until the final agg.
 - stratified sampling is a stateless hash filter — zero shuffles, any
   executor can evaluate it, and re-runs are reproducible (md5, not rand()).
 - sequence packing is windowed per shard: shards are independent, so the
@@ -108,18 +109,26 @@ def with_repetition_stats(
 
     Fractions are emitted as integer ten-thousandths (floor(x*1e4 + 0.5),
     identical half-up in Spark and DuckDB) so no raw double reaches a
-    hashed oracle surface. Distributed shape: bigram counting is explode +
-    two hash aggregates keyed by doc_id (map-side partials apply), then one
-    equi-join back. Ties for the top bigram don't matter: only the count is
-    emitted.
+    hashed oracle surface.
 
-    PLAN TRAP (measured 6.4 s -> 0.4 s at sf0.1): the explode must sit
-    DIRECTLY over the split projection. With an intermediate projection
-    holding the bigram array, CollapseProject inlines the regex split into
-    the interpreted transform lambda (no CSE there), re-splitting the text
-    per array element — O(tokens²) regex evaluations per doc. Generate
-    never collapses into its child projection, so the lineage below keeps
-    the split evaluated once per row.
+    Shape (r14): ENTIRELY row-local — every signal, including the
+    top-bigram count, is a per-document expression over the token array,
+    so the operator does ZERO shuffles (the previous shape exploded
+    bigram occurrences into a (doc, bigram) aggregate + a per-doc max +
+    an equi-join back — 291k shuffled records at sf0.1 to compute what
+    each row already knew; interleaved A/B: 0.90 → 0.43 s at sf0.1,
+    2.38 → 1.46 s at sf1, values asserted equal). The top-bigram count
+    is the longest run in the SORTED bigram array — one interpreted
+    ``aggregate`` pass over ~tokens elements per row, cheaper than
+    shipping every occurrence through an exchange at every SF measured.
+
+    PLAN TRAP (the bigram_surprise lesson, still load-bearing):
+    ``__toks`` must never be referenced INSIDE a lambda — CollapseProject
+    inlines the regex split into interpreted lambda bodies (no CSE
+    there), re-splitting the text per element, O(tokens²). The bigram
+    array is therefore built with ``zip_with`` over two ``slice``s of
+    ``__toks`` — slices are lambda ARGUMENTS, evaluated once — and the
+    run-length ``aggregate`` references only its own lambda variables.
 
     Input rides ``io.fanout_scan`` (row-group-bounded scan parallelism —
     see bigram_surprise; pass-through at real scale).
@@ -131,53 +140,43 @@ def with_repetition_stats(
         F.col(id_col),
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("__toks"),
     )
-    counts = toks.select(
+    n1 = "greatest(size(__toks) - 1, 0)"
+    bg = (
+        f"zip_with(slice(__toks, 1, {n1}), slice(__toks, 2, {n1}),"
+        " (x, y) -> concat(x, ' ', y))"
+    )
+    top_run = (
+        f"aggregate(array_sort({bg}),"
+        " named_struct('prev', cast(null as string), 'run', 0L, 'best', 0L),"
+        " (a, x) -> named_struct("
+        "   'prev', x,"
+        "   'run', if(x <=> a.prev, a.run + 1L, 1L),"
+        "   'best', greatest(a.best, if(x <=> a.prev, a.run + 1L, 1L))),"
+        " a -> a.best)"
+    )
+    stats = toks.select(
         id_col,
         F.size("__toks").cast("bigint").alias("n_tokens"),
         F.size(F.array_distinct("__toks")).cast("bigint").alias("n_distinct"),
-    )
-    bigrams = toks.select(
-        id_col,
-        F.explode(
-            # guarded: sequence(0, -1) would flip its step and emit [0, -1]
-            F.when(
-                F.size("__toks") >= 2,
-                F.expr(
-                    "transform(sequence(0, size(__toks) - 2),"
-                    " i -> concat(__toks[i], ' ', __toks[i + 1]))"
-                ),
-            ).otherwise(F.expr("cast(array() as array<string>)"))
-        ).alias("__bg"),
-    )
-    top = (
-        bigrams.groupBy(id_col, "__bg")
-        .agg(F.count("*").alias("__c"))
-        .groupBy(id_col)
-        .agg(F.max("__c").cast("bigint").alias("top_bigram_cnt"))
+        F.expr(top_run).cast("bigint").alias("top_bigram_cnt"),
     )
     e4 = lambda c: F.floor(c * 10000 + F.lit(0.5)).cast("bigint")  # noqa: E731
-    return (
-        counts.join(top, id_col, "left")
-        .withColumn(
-            "top_bigram_cnt", F.coalesce(F.col("top_bigram_cnt"), F.lit(0))
-        )
-        .select(
-            id_col,
-            "n_tokens",
-            e4(
-                F.when(
-                    F.col("n_tokens") > 0,
-                    1 - F.col("n_distinct") / F.col("n_tokens"),
-                ).otherwise(F.lit(0.0))
-            ).alias("dup_token_frac_e4"),
-            "top_bigram_cnt",
-            e4(
-                F.when(
-                    F.col("n_tokens") > 1,
-                    F.col("top_bigram_cnt") / (F.col("n_tokens") - 1),
-                ).otherwise(F.lit(0.0))
-            ).alias("top_bigram_frac_e4"),
-        )
+    return stats.select(
+        id_col,
+        "n_tokens",
+        e4(
+            F.when(
+                F.col("n_tokens") > 0,
+                1 - F.col("n_distinct") / F.col("n_tokens"),
+            ).otherwise(F.lit(0.0))
+        ).alias("dup_token_frac_e4"),
+        "top_bigram_cnt",
+        e4(
+            F.when(
+                F.col("n_tokens") > 1,
+                F.col("top_bigram_cnt") / (F.col("n_tokens") - 1),
+            ).otherwise(F.lit(0.0))
+        ).alias("top_bigram_frac_e4"),
     )
 
 
