@@ -293,23 +293,21 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Band the signature; docs sharing any band bucket become candidate pairs.
 
-    Equi-join on (band_idx, band_key) — a hash shuffle, never a cross join;
-    this is what keeps near-dup detection feasible at 100 TB. Output distinct
-    (id_a < id_b) pairs.
+    ONE hash shuffle on (band_idx, band_key), never a cross join; this is
+    what keeps near-dup detection feasible at 100 TB. Pairs are minted
+    per bucket from a cap-bounded sorted id array (r14 — see the inline
+    note below; the r13 shape self-joined the band rows on the bucket
+    key, which duplicated the signature subtree per join side). Output
+    distinct (id_a < id_b) pairs.
 
     ``max_bucket_size`` is the production skew guard: a text duplicated N
-    times puts N rows in ONE band bucket and the self-join emits N² pairs —
-    AQE skew-split handles the join mechanics but not the semantic pair
-    explosion (a single viral doc at 100 TB would mint ~10¹⁰ pairs).
-    Buckets larger than the cap are dropped from pair generation (use
-    ``lsh_oversized_buckets`` to monitor what was skipped — mega-clusters
-    of identical text belong to exact dedup, which runs first in the
-    curation pipeline and has no quadratic step). The guard is a hash
-    aggregate to the (near-empty) oversized-bucket blacklist plus a
-    left-anti join of the band rows against it — measured cheaper than a
-    window count over the band partitioning (the window forces a
-    per-partition sort of every band row; the blacklist anti-join is
-    AQE-broadcast and costs ~0.1 s on a 100k-row corpus). ``None``
+    times puts N rows in ONE band bucket which would mint N² pairs —
+    the semantic pair explosion no join-level skew handling can fix (a
+    single viral doc at 100 TB would mint ~10¹⁰ pairs). Buckets larger
+    than the cap are dropped from pair generation BEFORE their ids are
+    packed (use ``lsh_oversized_buckets`` to monitor what was skipped —
+    mega-clusters of identical text belong to exact dedup, which runs
+    first in the curation pipeline and has no quadratic step). ``None``
     disables.
 
     Dropping is silent by design inside this LAZY plan (a warning would
@@ -343,13 +341,14 @@ def lsh_candidate_pairs(
     # anti-joined the blacklist; per-consumer pruning defeated exchange
     # reuse, so the whole signature pipeline recomputed per lineage and
     # the band rows shuffled twice (~4M of the 6.9M sf10 ledger records).
-    # The window count rides the self-join's own exchange AND its
-    # partition-local sort (WindowExec orders by the partition keys,
-    # exactly the ordering the merge join needs), so sizing costs zero
-    # additional shuffle. It also makes the n >= 2 filter free: ~94% of
-    # band rows sit in singleton buckets (random 128-bit keys) that can
-    # never mint a pair, and they now drop BEFORE the join instead of
-    # streaming through it. Same cap semantics: pairs come only from
+    # The window count rides the ONE band-bucket exchange that pair
+    # generation needs anyway (the pair rollup below groups by the same
+    # keys), so sizing costs zero additional shuffle — and it bounds the
+    # rollup: the n <= cap filter runs BEFORE any bucket's ids are
+    # packed into an array, so no viral bucket is ever materialized in
+    # an aggregation buffer. It also makes the n >= 2 filter free: ~94%
+    # of band rows sit in singleton buckets (random 128-bit keys) that
+    # can never mint a pair. Same cap semantics: pairs come only from
     # buckets with 2 <= n <= cap.
     w = Window.partitionBy("band_idx", "band_key")
     counted = band_rows.withColumn("__n", F.count("*").over(w))

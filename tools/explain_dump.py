@@ -26,9 +26,11 @@ ANNOTATED = {
     "— no per-row dimension scan, no nested loop, no sort-class argmin",
     "q18r": "four-table rollup: every dimension side is a BroadcastHashJoin "
     "(zero shuffle joins), aggregation has a map-side partial",
-    "dedup_minhash_lsh": "LSH candidate generation is an equi-join on "
-    "(band_idx, band_key); nothing in the plan is a CartesianProduct — "
-    "pair volume is governed by banding, not corpus²",
+    "dedup_minhash_lsh": "LSH candidate generation packs each band bucket "
+    "into one cap-bounded sorted id array riding the bucket window's own "
+    "exchange and emits pairs row-locally (r14 — replaces the band "
+    "self-join); nothing in the plan is a CartesianProduct — pair volume "
+    "is governed by banding and the bucket cap, not corpus²",
     "etl_lifecycle": "the whole clean → locate → label lifecycle is ONE "
     "codegen'd map (locate is a compiled CASE chain, no join) followed by a "
     "single aggregation shuffle; the leading round-robin exchange is the "
