@@ -7,6 +7,8 @@ contract: judges check plan claims against these files).
 
 from __future__ import annotations
 
+import contextlib
+import io
 import os
 import sys
 
@@ -30,9 +32,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     for name in names:
         df = CATALOG[name][0](spark, SF)
-        txt = df._sc._jvm.PythonSQLUtils.explainString(
-            df._jdf.queryExecution(), "formatted"
-        )
+        # public API only (the jvmseam confinement pin): explain() prints,
+        # so capture its stdout instead of reaching into queryExecution
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        txt = buf.getvalue()
         path = os.path.join(OUT, f"{name}_{suffix}.txt")
         with open(path, "w") as f:
             f.write(f"-- {name} @ {SF} ({suffix})\n")
