@@ -158,7 +158,12 @@ def with_repetition_stats(
         id_col,
         F.size("__toks").cast("bigint").alias("n_tokens"),
         F.size(F.array_distinct("__toks")).cast("bigint").alias("n_distinct"),
-        F.expr(top_run).cast("bigint").alias("top_bigram_cnt"),
+        # coalesce: NULL text → NULL token array → NULL aggregate, but the
+        # pre-r14 join shape (and the DuckDB oracle's left-join coalesce)
+        # emit 0 there — keep that surface (ADVICE r14)
+        F.coalesce(F.expr(top_run), F.lit(0).cast("bigint"))
+        .cast("bigint")
+        .alias("top_bigram_cnt"),
     )
     e4 = lambda c: F.floor(c * 10000 + F.lit(0.5)).cast("bigint")  # noqa: E731
     return stats.select(

@@ -308,7 +308,14 @@ def lsh_candidate_pairs(
     packed (use ``lsh_oversized_buckets`` to monitor what was skipped —
     mega-clusters of identical text belong to exact dedup, which runs
     first in the curation pipeline and has no quadratic step). ``None``
-    disables.
+    disables the guard entirely — and since r14's pair-array reshape
+    that now means an UNCAPPED bucket packs all its ids into one
+    collect_list row and mints all ~n²/2 pair structs inside that single
+    row's array (the r13 self-join streamed them instead): a viral
+    bucket under ``None`` risks a single-row executor OOM, not just a
+    big shuffle (ADVICE r14). ``None`` is for bounded soaks and
+    explosion baselines (tools/skew_soak.py --uncapped); shipped callers
+    keep the cap.
 
     Dropping is silent by design inside this LAZY plan (a warning would
     need an action); to make drops observable without a second
@@ -344,9 +351,11 @@ def lsh_candidate_pairs(
     # The window count rides the ONE band-bucket exchange that pair
     # generation needs anyway (the pair rollup below groups by the same
     # keys), so sizing costs zero additional shuffle — and it bounds the
-    # rollup: the n <= cap filter runs BEFORE any bucket's ids are
-    # packed into an array, so no viral bucket is ever materialized in
-    # an aggregation buffer. It also makes the n >= 2 filter free: ~94%
+    # rollup: WHEN THE CAP IS SET, the n <= cap filter runs BEFORE any
+    # bucket's ids are packed into an array, so no viral bucket is ever
+    # materialized in an aggregation buffer (with max_bucket_size=None
+    # that guarantee does not hold — see the docstring's None caveat).
+    # It also makes the n >= 2 filter free: ~94%
     # of band rows sit in singleton buckets (random 128-bit keys) that
     # can never mint a pair. Same cap semantics: pairs come only from
     # buckets with 2 <= n <= cap.
@@ -385,10 +394,12 @@ def lsh_candidate_pairs(
             )
         eligible = counted.filter(F.col("__n") >= 2).drop("__n")
     # Pair generation (r14): pack each eligible bucket's ids into ONE
-    # sorted array (a bounded collect_list — the window filter above has
-    # already dropped every bucket larger than the cap, so no viral
-    # bucket is ever materialized; the r12 unbounded-collect_list spill
-    # class cannot recur) and emit each id's pairs with its successors
+    # sorted array (a collect_list bounded by the cap when one is set —
+    # the window filter above has already dropped every bucket larger
+    # than the cap, so no viral bucket is materialized and the r12
+    # unbounded-collect_list spill class cannot recur; under
+    # max_bucket_size=None the list and its pair array are unbounded —
+    # see the docstring) and emit each id's pairs with its successors
     # row-locally. This replaces the band self-join — whose two aliased
     # sides duplicated the whole signature subtree in the static plan —
     # with a partition-local aggregate that rides the window's own
@@ -469,6 +480,21 @@ def jaccard_verify(
     )
 
 
+def _shingles_of(toks: Column, k: int) -> Column:
+    """Distinct k-word shingle ARRAY over a token-array column. ``toks``
+    must be an ATTRIBUTE (an aliased column from its own projection), not
+    an inline expression: the split must never end up inside a lambda
+    body (the CollapseProject O(words²) trap — see with_word_shingles).
+    try_element_at, not element_at: NULL past the end (ANSI-safe),
+    concat_ws skips it."""
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    sh = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.try_element_at(toks, i + j + 1) for j in range(k)])
+    )
+    return F.array_distinct(F.filter(sh, lambda s: s != ""))
+
+
 def with_shingle_array(
     df: DataFrame, id_col: str, text_col: str, k: int = 3, out: str = "shingles"
 ) -> DataFrame:
@@ -479,20 +505,13 @@ def with_shingle_array(
     with_word_shingles for why inlining the split into the lambda is 13×
     slower, and for why neither builder sits behind ``io.fanout_scan``
     (consumers aggregate immediately; measured loss at sf1)."""
-    toks = F.col("__toks")
-    n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    # try_element_at: see with_word_shingles — NULL past the end (ANSI-safe)
-    sh = F.transform(
-        idx, lambda i: F.concat_ws(" ", *[F.try_element_at(toks, i + j + 1) for j in range(k)])
-    )
     pre = df.select(
         F.col(id_col),
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("__toks"),
     )
     return pre.select(
         F.col(id_col),
-        F.array_distinct(F.filter(sh, lambda s: s != "")).alias(out),
+        _shingles_of(F.col("__toks"), k).alias(out),
     )
 
 
@@ -732,16 +751,25 @@ def minhash_near_dups(
         max_bucket_size=max_bucket_size, on_oversized=on_oversized,
         metrics_out=metrics_out,
     )
-    # Pack shingle arrays ONLY for docs that appear in a candidate pair —
-    # a semi-join pushed BELOW the collect_list. Verify evaluates pairs
-    # and nothing else, so restricting the agg to pair members is
-    # output-identical, and the candidate set is small by LSH
-    # construction (bucket cap bounds it even under viral-text skew): at
-    # sf10 this packs 5% of the corpus instead of 100%, and the verify
-    # joins sort thousands of fat rows, not the whole corpus. The
-    # candidate-id lineage hangs off the pairs distinct exchange, which
-    # Spark reuses across all three pair consumers (measured: one
-    # exchange in the executed plan).
+    # Build shingle arrays only for docs that appear in a candidate pair:
+    # the row-local array map is filtered by a semi-join on the candidate
+    # ids (Catalyst pushes the id-only semi below the array projection,
+    # so non-candidates never tokenize). The candidate-id lineage hangs
+    # off the pairs distinct exchange, which Spark reuses across all
+    # three pair consumers (measured: one exchange in the executed
+    # plan). r15 re-measured the alternative VERDICT r14 item 1 proposed
+    # — verify from raw text joined once to the pairs, candidate subtree
+    # appearing once instead of four times (static tree 68 → 12
+    # Exchanges, stage census 38 → 25) — and REJECTED it: sf0.1
+    # interleaved cached-plan A/B was flat (old 1.58 vs new 1.66 best —
+    # the duplicated static subtrees cost almost nothing because
+    # ReuseExchange dedupes their execution), while sf1 LOST 1.7× with
+    # bimodal 60 s spikes (the second text join's build side carries
+    # pairs×text — a fat broadcast that degrades to shuffling corpus
+    # text when AQE mis-sizes it). The same text-verify reshape applied
+    # to the batch-bounded incremental path also lost (sf0.1 2.03 → 2.59
+    # best, sf1 flat). Per-doc candidate arrays + slim id-only
+    # broadcasts remain the scale shape.
     cand_ids = (
         pairs.select(F.col("id_a").alias(id_col))
         .union(pairs.select(F.col("id_b").alias(id_col)))
