@@ -1,7 +1,7 @@
-"""Snapshot .explain('formatted') for named catalog rows into plans/r14/.
+"""Snapshot .explain('formatted') for named catalog rows into plans/r15/.
 
 Usage: python tools/plan_snapshot.py SUFFIX NAME [NAME...]
-Writes plans/r14/<name>_<SUFFIX>.txt (the optimization-round evidence
+Writes plans/r15/<name>_<SUFFIX>.txt (the optimization-round evidence
 contract: judges check plan claims against these files).
 """
 
@@ -18,7 +18,7 @@ from mbgspark.plans.catalog import CATALOG
 from mbgspark.session import get_spark
 
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r14")
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r15")
 
 
 def main() -> None:
