@@ -735,6 +735,21 @@ def minhash_near_dups(
     materializing corpus × ~words shingle rows — and at 100 TB caching the
     shingle table is infeasible anyway; re-scan is the strategy that
     survives scale."""
+    # Non-null ids are an input contract, enforced up front (r15). Pairs
+    # can never contain a null id regardless (the bucket rollup's
+    # collect_list skips nulls; the verify equi-joins drop them), so the
+    # filter is output-invariant — what it buys is plan-level: the
+    # verify side's candidate semi-join infers isnotnull(id) and pushes
+    # it below the corpus lineage, while the signature side's copy used
+    # to lack it, so the two copies of any corpus-widening exchange
+    # canonicalized differently and ReuseExchange could not collapse
+    # them — the corpus text was shuffled TWICE (guide §2.4). With the
+    # constraint stated once here, both lineages carry it and the
+    # widener is written once (ledger at sf0.1: 37,868 → 32,838 rec,
+    # −29% shuffle bytes; the only observable shift is that an all-null-
+    # id phantom row no longer counts toward bucket-cap sizes, which the
+    # non-null contract makes unreachable).
+    df = df.filter(F.col(id_col).isNotNull())
     shingled = with_word_shingles(df, id_col, text_col, k)
     # The signature aggregation is SKINNY on purpose (min() windows only,
     # classic partial-combining HashAggregate). The first implementation
@@ -859,10 +874,21 @@ def minhash_near_dups_incremental(
     # lineage zero times, and cost scales with the BATCH. The
     # self-contained fallback (corpus_index=None) stays for bounded
     # gate-SF runs and one-shot jobs.
+    # Same non-null-id contract as minhash_near_dups (r15): the verify
+    # joins push isnotnull(id) below the arrays lineage but not the
+    # bands lineage, which de-canonicalized the two copies of the corpus
+    # widener exchange and shuffled the corpus text twice. Stating the
+    # constraint once up front restores ReuseExchange (ledger at sf0.1:
+    # 35,360 → 30,360 rec, −29% shuffle bytes; sf1 interleaved A/B mean
+    # 2.45 → 2.34 s). Output-invariant: null-id rows can never reach the
+    # output (the verify equi-joins drop them). A caller-provided
+    # corpus_index is trusted as built.
+    batch = batch.filter(F.col(id_col).isNotNull())
     b_bands, b_arrays = build_minhash_index(
         batch, id_col, text_col, k, num_hashes, bands
     )
     if corpus_index is None:
+        corpus = corpus.filter(F.col(id_col).isNotNull())
         c_bands, c_arrays = build_minhash_index(
             corpus, id_col, text_col, k, num_hashes, bands
         )

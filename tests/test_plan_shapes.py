@@ -359,6 +359,34 @@ def test_dedup_incremental_stays_equijoin(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+@pytest.mark.parametrize("name", ["dedup_minhash_lsh", "dedup_incremental"])
+def test_minhash_corpus_widener_canonicalizes_once(spark, name):
+    """r15 pin: every copy of the corpus-widening RoundRobin exchange in a
+    minhash plan must share ONE canonical form — the precondition for
+    AQE's stage cache to materialize the corpus shuffle once. Before the
+    upfront isnotnull(id) contract, the verify side's candidate semi-join
+    pushed isnotnull below ITS copy only, the copies de-canonicalized,
+    and the corpus text was shuffled twice (ledger: −29% shuffle bytes
+    when this collapsed). >1 distinct canonical form = the regression."""
+    from mbgspark.jvmseam import node_class, physical_plan_root, walk_plan
+
+    import re
+
+    df = CATALOG[name][0](spark, SF)
+    root = physical_plan_root(df)
+    forms = set()
+    for node in walk_plan(root):
+        if node_class(node) != "ShuffleExchangeExec":
+            continue
+        if "RoundRobinPartitioning" not in node.outputPartitioning().toString():
+            continue
+        # canonicalized() normalizes expression ids but toString still
+        # prints each node instance's plan_id tag — strip it, or every
+        # copy is trivially "distinct" and the pin can never pass
+        forms.add(re.sub(r", \[plan_id=\d+\]", "", node.canonicalized().toString()))
+    assert len(forms) == 1, f"{len(forms)} distinct widener forms:\n" + "\n---\n".join(forms)
+
+
 def test_mixture_interleave_one_window_no_global_sort(spark):
     # one rank window partitioned by source; pos_key is a column, so the
     # only unpartitioned sort is the catalog query's own output orderBy
