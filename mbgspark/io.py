@@ -133,7 +133,7 @@ def fanout_scan(df: DataFrame) -> DataFrame:
     return df.repartition(n)
 
 
-def widen_narrow_scan(df: DataFrame, width: int = 16) -> DataFrame:
+def widen_narrow_scan(df: DataFrame, width: int = 16, by: str | None = None) -> DataFrame:
     """Split-count-guarded twin of ``fanout_scan`` for operators whose
     per-row work is heavy enough that widening pays even on sub-megabyte
     inputs (shingle+minhash, the 600-term locate chain, bigram explodes —
@@ -150,10 +150,28 @@ def widen_narrow_scan(df: DataFrame, width: int = 16) -> DataFrame:
     no widening at all. Probing the scan's split count makes the exchange
     exist exactly when it helps. The probe (``df.rdd``) forces physical
     planning once per plan build — the same cost ``fanout_scan`` already
-    pays, amortized by the session plan cache."""
+    pays, amortized by the session plan cache.
+
+    ``by`` (r15): hash-partition on that column instead of round-robin.
+    Two wins when the caller has a unique row id: (1) any downstream
+    groupBy(``by``) satisfies its ClusteredDistribution from the widener
+    itself, so EnsureRequirements inserts NO aggregation exchange — the
+    minhash signature groupBy and contamination_check's per-doc hit
+    count ride the one widener shuffle (guide §2.4: two operations keyed
+    the same way share one exchange); (2) RoundRobinPartitioning pays a
+    local sort of every input partition before assignment
+    (spark.sql.execution.sortBeforeRepartition, needed for deterministic
+    retries — guide §2.5) which keyed hash partitioning never needs, and
+    the hash assignment is deterministic under retry by construction.
+    Spread is equivalent for a unique id (murmur3 over distinct keys).
+    Callers whose downstream keys on something else lose nothing: the
+    exchange exists either way at test SF and is skipped at production
+    widths."""
     n = min(width, df.sparkSession.sparkContext.defaultParallelism)
     if (df.rdd.getNumPartitions() or 1) >= n:
         return df
+    if by is not None:
+        return df.repartition(n, F.col(by))
     return df.repartition(n)
 
 

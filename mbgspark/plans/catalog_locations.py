@@ -60,7 +60,8 @@ def locate_full_dim(spark, sf_dir):
     fact = widen_narrow_scan(
         d.select(
             "doc_id", F.concat(F.col("text"), _inject_expr()).alias("text")
-        )
+        ),
+        by="doc_id",
     )
     # ^ small-file scan = 1-2 splits; widen the regex-prep + explode map
     # (same test-SF ergonomic as _dup_corpus / the lifecycle raw build)

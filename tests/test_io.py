@@ -561,6 +561,21 @@ def test_widen_narrow_scan_gate(spark):
     wide = narrow.repartition(cap)
     assert io.widen_narrow_scan(wide) is wide  # production shape: no-op
 
+    # keyed widener (r15): hash-partitions on the id column — a downstream
+    # groupBy(id) must plan NO exchange of its own (it rides the widener)
+    keyed = io.widen_narrow_scan(narrow, by="doc_id")
+    assert keyed.rdd.getNumPartitions() == cap
+    assert keyed.count() == narrow.count()
+    agg_plan = (
+        keyed.groupBy("doc_id")
+        .count()
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert agg_plan.count("Exchange") == 1  # the widener, nothing else
+    assert io.widen_narrow_scan(wide, by="doc_id") is wide  # gate still wins
+
 
 def test_fanout_leaf_bytes_probe_is_live(spark):
     """_leaf_bytes must return the REAL parquet footer size, not the

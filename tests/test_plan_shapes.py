@@ -378,7 +378,10 @@ def test_minhash_corpus_widener_canonicalizes_once(spark, name):
     for node in walk_plan(root):
         if node_class(node) != "ShuffleExchangeExec":
             continue
-        if "RoundRobinPartitioning" not in node.outputPartitioning().toString():
+        # the widener is the only REPARTITION_BY_NUM exchange in these
+        # plans (hashpartitioning(id) since the r15 keyed widener;
+        # RoundRobinPartitioning before it)
+        if "REPARTITION_BY_NUM" not in node.toString():
             continue
         # canonicalized() normalizes expression ids but toString still
         # prints each node instance's plan_id tag — strip it, or every
