@@ -593,7 +593,8 @@ def embedding_contamination(
             F.col(id_col),
             F.col(vec_col).alias("__cv"),
             vec_norm(F.col(vec_col)).alias("__cn"),
-        )
+        ),
+        by=id_col,  # the groupBy-max below rides the fanout exchange (r15)
     )
     return (
         c.crossJoin(b)

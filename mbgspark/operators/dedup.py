@@ -515,6 +515,22 @@ def with_shingle_array(
     )
 
 
+def candidate_ids(pairs: DataFrame, id_col: str) -> DataFrame:
+    """Distinct ids appearing on either side of a pair frame, derived
+    with ONE pairs consumer: ``explode(array(id_a, id_b))`` instead of
+    the union-of-two-projections shape, which duplicated the ENTIRE pair
+    subtree (signature → bands → bucket window → rollup) once per union
+    branch in the static plan (r15, guide §2.4). ReuseExchange dedupes
+    the execution either way; what this buys is the static tree AQE has
+    to walk, stage-cache bookkeeping, and planning time — measured as
+    part of the minhash stage-count drop (37 → 25 stages with the
+    verify-side trims)."""
+    return (
+        pairs.select(F.explode(F.array("id_a", "id_b")).alias(id_col))
+        .distinct()
+    )
+
+
 def jaccard_verify_arrays(
     arrays: DataFrame,
     pairs: DataFrame,
@@ -522,6 +538,7 @@ def jaccard_verify_arrays(
     threshold: float,
     arr_col: str = "shingles",
     carry: tuple[str, ...] = (),
+    prefiltered: bool = False,
 ) -> DataFrame:
     """Exact shingle-Jaccard on candidate pairs via per-doc shingle ARRAYS:
     the candidate set (LSH output — small by construction) joins the array
@@ -538,11 +555,21 @@ def jaccard_verify_arrays(
     shuffle join instead of OOMing the driver. AQE still picks broadcast
     at runtime whenever the pair set is actually small. Never join a
     dataset carrying the arrays themselves on the build side (measured:
-    1.7× regression at 14k pairs) — only ids travel to the probe."""
+    1.7× regression at 14k pairs) — only ids travel to the probe.
+
+    ``prefiltered`` (r15): the caller vouches that ``arrays`` is already
+    restricted to candidate ids (minhash_near_dups semi-joins it on
+    ``candidate_ids`` before calling). The id_b-candidate pre-join is
+    then pure overhead — it re-derives the whole pair subtree a third
+    time in the static plan and its inner equi-join cannot change the
+    output (ids absent from id_b simply match nothing) — so skip it.
+    Callers passing UNFILTERED arrays (the distributed ngram path) keep
+    the default: there the pre-join is what keeps the id_b build side
+    candidate-sized."""
     aa = arrays.select(F.col(id_col).alias("id_a"), F.col(arr_col).alias("__sa"))
     bb = arrays.select(F.col(id_col).alias("id_b"), F.col(arr_col).alias("__sb"))
     j = aa.join(pairs, "id_a")
-    bb_cand = bb.join(pairs.select("id_b").distinct(), "id_b")
+    bb_cand = bb if prefiltered else bb.join(pairs.select("id_b").distinct(), "id_b")
     j2 = j.join(bb_cand, "id_b")
     inter = F.size(F.array_intersect("__sa", "__sb"))
     return (
@@ -769,10 +796,14 @@ def minhash_near_dups(
     # Build shingle arrays only for docs that appear in a candidate pair:
     # the row-local array map is filtered by a semi-join on the candidate
     # ids (Catalyst pushes the id-only semi below the array projection,
-    # so non-candidates never tokenize). The candidate-id lineage hangs
-    # off the pairs distinct exchange, which Spark reuses across all
-    # three pair consumers (measured: one exchange in the executed
-    # plan). r15 re-measured the alternative VERDICT r14 item 1 proposed
+    # so non-candidates never tokenize). Since r15 the pair subtree has
+    # exactly TWO static-plan consumers — the verify probe join and the
+    # single-explode candidate_ids — both hanging off the one pairs
+    # distinct exchange (the union-shaped cand_ids duplicated the pair
+    # subtree per union branch, and the id_b pre-join inside the verify
+    # re-derived it a fourth time; prefiltered=True drops that one
+    # output-invariantly). r15 re-measured the alternative VERDICT r14
+    # item 1 proposed
     # — verify from raw text joined once to the pairs, candidate subtree
     # appearing once instead of four times (static tree 68 → 12
     # Exchanges, stage census 38 → 25) — and REJECTED it: sf0.1
@@ -785,15 +816,12 @@ def minhash_near_dups(
     # to the batch-bounded incremental path also lost (sf0.1 2.03 → 2.59
     # best, sf1 flat). Per-doc candidate arrays + slim id-only
     # broadcasts remain the scale shape.
-    cand_ids = (
-        pairs.select(F.col("id_a").alias(id_col))
-        .union(pairs.select(F.col("id_b").alias(id_col)))
-        .distinct()
-    )
     arrays = with_shingle_array(df, id_col, text_col, k, out="__shingles").join(
-        cand_ids, id_col, "semi"
+        candidate_ids(pairs, id_col), id_col, "semi"
     )
-    return jaccard_verify_arrays(arrays, pairs, id_col, threshold, "__shingles")
+    return jaccard_verify_arrays(
+        arrays, pairs, id_col, threshold, "__shingles", prefiltered=True
+    )
 
 
 def build_minhash_index(
@@ -1180,7 +1208,7 @@ def simhash_near_dups(
 VECTORIZED_PAIR_CROSSOVER = 2_000_000
 
 
-def fanout_stream_side(c: DataFrame) -> DataFrame:
+def fanout_stream_side(c: DataFrame, by: str | None = None) -> DataFrame:
     """Spread a narrow broadcast-join stream side across the session's cores.
 
     Broadcast-crossJoin scoring parallelism equals the STREAM side's
@@ -1195,9 +1223,20 @@ def fanout_stream_side(c: DataFrame) -> DataFrame:
     because scan-side per-row work is proportional to row size, but a
     broadcast-join stream side does |broadcast| units of work per row —
     a 3 MB vector file can carry 4×10⁸ cosines (the r6 sf1 incident), so
-    here small bytes never justify staying on one core."""
+    here small bytes never justify staying on one core.
+
+    ``by`` (r15, same device as ``io.widen_narrow_scan``'s keyed mode):
+    hash-partition on the stream side's unique id instead of
+    round-robin, so a downstream per-id reduction (the contamination
+    fold's groupBy-max) rides this exchange and plans none of its own —
+    and the round-robin-only sort-before-repartition is skipped. Spread
+    is equivalent for a unique id. Callers whose downstream keys on the
+    BROADCAST side (the top-k scorers' query_id windows) gain nothing
+    and stay round-robin."""
     n = c.sparkSession.sparkContext.defaultParallelism
     if (c.rdd.getNumPartitions() or 1) < n:
+        if by is not None:
+            return c.repartition(n, F.col(by))
         return c.repartition(n)
     return c
 
@@ -1573,17 +1612,14 @@ def minhash_estimate_pairs(
     pairs = lsh_candidate_pairs(
         sig, id_col, bands, num_hashes // bands, max_bucket_size=max_bucket_size
     )
-    cand_ids = (
-        pairs.select(F.col("id_a").alias(id_col))
-        .union(pairs.select(F.col("id_b").alias(id_col)))
-        .distinct()
-    )
     arrays = (
-        shingled.join(cand_ids, id_col, "semi")
+        shingled.join(candidate_ids(pairs, id_col), id_col, "semi")
         .groupBy(id_col)
         .agg(F.collect_list("shingle").alias("__shingles"))
     )
-    verified = jaccard_verify_arrays(arrays, pairs, id_col, threshold, "__shingles")
+    verified = jaccard_verify_arrays(
+        arrays, pairs, id_col, threshold, "__shingles", prefiltered=True
+    )
     sa = sig.select(F.col(id_col).alias("id_a"), F.col("sig").alias("__sa"))
     sb = sig.select(F.col(id_col).alias("id_b"), F.col("sig").alias("__sb"))
     matches = F.size(
