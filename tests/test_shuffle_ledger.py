@@ -132,3 +132,45 @@ def test_ledger_diff_summary_counts_rows_not_groups():
     res = diff_ledgers(old, {"a": row("a")})
     line = summary_line(res, 1)
     assert "2 row(s) only in OLD" in line, line
+
+
+def test_ledger_diff_capture_mode_peak_adjudication():
+    """r15 (VERDICT r14 item 5): the 26 MB -> 1.29 GB dup_components
+    peakMemory move was the r14 switch to isolated/AQE-off capture for
+    ISOLATE rows — task-count scaling of fixed per-task reservations,
+    not a plan change. Rows now carry their capture mode; the diff must
+    (a) say cross-mode peaks are not comparable instead of staying
+    silent, (b) flag a >2x same-mode peak move as context, and (c) stay
+    quiet on same-mode in-band peaks. Pure-dict fixture."""
+    from ledger_diff import diff_ledgers
+
+    def row(name, peak, capture=None):
+        r = {
+            "query": name,
+            "shuffleRecordsWritten": 100,
+            "shuffleBytesWritten": 1000,
+            "spillSize": 0,
+            "out_rows": 5,
+            "peakMemory": peak,
+        }
+        if capture:
+            r["capture"] = capture
+        return r
+
+    # (a) cross-mode: adjudicated as not-comparable, no phantom movement
+    old = {"dc": row("dc", 26_017_744, "shared-aqe")}
+    new = {"dc": row("dc", 1_294_726_784, "isolated-static")}
+    failures, warnings = diff_ledgers(old, new)
+    assert failures == [], failures
+    assert any("not comparable across modes" in w for w in warnings), warnings
+
+    # (b) same-mode 50x peak move: context warning
+    new_same = {"dc": row("dc", 1_294_726_784, "shared-aqe")}
+    failures, warnings = diff_ledgers(old, new_same)
+    assert failures == [], failures
+    assert any("peakMemory" in w for w in warnings), warnings
+
+    # (c) same-mode, in-band: silent
+    new_flat = {"dc": row("dc", 27_000_000, "shared-aqe")}
+    failures, warnings = diff_ledgers(old, new_flat)
+    assert failures == [] and warnings == [], (failures, warnings)

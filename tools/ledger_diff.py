@@ -119,6 +119,27 @@ def diff_ledgers(
                 f"{name}: out_rows {o.get('out_rows')} -> {n.get('out_rows')}"
                 " (parity will adjudicate)"
             )
+        # peakMemory is context-only, but its drift must be ADJUDICATED,
+        # not silently skipped (VERDICT r14 item 5: the 26 MB -> 1.29 GB
+        # dup_components move was the r14 capture-mode switch —
+        # isolated/AQE-off runs every consumer at the full declared
+        # partition count and peak sums fixed per-task reservations).
+        # Rows now record their capture mode; cross-mode peaks are NOT
+        # comparable and say so, same-mode peaks get a wide 2x band.
+        om, nm = o.get("capture"), n.get("capture")
+        op, np_ = o.get("peakMemory", 0), n.get("peakMemory", 0)
+        if om is not None and nm is not None and om != nm:
+            res.warnings.append(
+                f"{name}: capture mode {om} -> {nm} — peakMemory/bytes "
+                "not comparable across modes"
+            )
+        elif (om == nm or om is None) and max(op, np_) > 0:
+            if max(op, np_) > 2 * max(min(op, np_), 1):
+                res.warnings.append(
+                    f"{name}: peakMemory {op} -> {np_} "
+                    f"(same capture mode{'' if om else ' assumed'}; "
+                    "task-count/operator change — context only)"
+                )
     return res
 
 
